@@ -1,0 +1,40 @@
+"""gpu_quantum_simulator_tpu — a TPU-native state-vector quantum circuit simulator.
+
+A ground-up JAX/XLA/Pallas re-design of the capabilities of
+RiccardoFiorentini/GPU_quantum_simulator (nine standalone CUDA programs exploring
+gate fusion, megakernels, constant-memory gate tables, and qubit permutation on a
+single GPU — see /root/reference).  Instead of nine binaries this is ONE library
+with composable circuit-compiler passes and a strategy knob:
+
+  * ``qasm``      — OpenQASM 2/3 subset front-end (ref: quantum_simulator.c:115-254)
+  * ``ir``        — gate matrices + circuit IR + dense op-tables
+  * ``passes``    — fusion (2x2 / 4x4 / k-qubit), qubit permutation, shard planning
+  * ``ops``       — gate application primitives (XLA einsum + Pallas kernels)
+  * ``engine``    — simulation strategies mirroring the reference ablations
+  * ``parallel``  — mesh-sharded state vectors, all_to_all qubit swaps
+  * ``ref``       — double-precision CPU ground truth (NumPy + native C++)
+  * ``models``    — circuit families (Bell, GHZ, QFT, Grover-profile random, ...)
+  * ``bench``     — the tester.bash-equivalent sweep harness
+
+Qubit convention matches the reference: qubit ``k`` is bit ``k`` of the basis
+index (little-endian; ref: quantum_simulator.c:83 ``mask = 1<<target``).
+"""
+
+from .ir.circuit import Gate, Circuit
+from .ir import gates
+from .qasm.parser import parse_qasm, parse_qasm_file
+from .engine.simulator import Simulator, simulate
+from .config import SimulatorConfig
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Gate",
+    "Circuit",
+    "gates",
+    "parse_qasm",
+    "parse_qasm_file",
+    "Simulator",
+    "simulate",
+    "SimulatorConfig",
+]

@@ -1,0 +1,52 @@
+"""Simulator configuration.
+
+The reference selects its optimization strategy by compiling a different
+binary (nine programs, SURVEY §2.1) and tunes via compile-time #defines
+(NUMTHREAD/NUMBLOCKS/MAX_COSTANT, quantum_simulator_preproces_constant.cu:27-32).
+Here every ablation is a config on one library.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+STRATEGIES = (
+    "reference",   # NumPy complex128 ground truth (quantum_simulator.c semantics)
+    "naive",       # one jitted device call per gate (ref: naive launch-per-gate)
+    "fused2x2",    # host-side per-qubit 2x2 accumulation (ref: preproces)
+    "fused4x4",    # pair state machine -> 4x4 blocks (ref: 4x4, its fastest)
+    "megakernel",  # whole fused op-list unrolled into ONE jit (ref: constant/texture)
+    "scan",        # recompile-free lax.scan over dense gate tables
+    "mxu",         # k-qubit fusion to 128x128 blocks on the MXU (TPU-native flagship)
+    "sharded",     # mesh-sharded state vector, all_to_all qubit swaps
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class SimulatorConfig:
+    strategy: str = "mxu"
+    # complex64 (split float32, like the GPU variants) or complex128 (like the
+    # CPU reference; TPU executes f64 slowly — intended for parity checking).
+    dtype: str = "complex64"
+    # qubit-relabeling pass (correct version of ref's permute variants);
+    # output is always returned in the ORIGINAL basis (ref defect #7 avoided).
+    permute: bool = False
+    # max fused block width for the mxu strategy (7 -> 128x128 matrices).
+    max_fused_qubits: int = 7
+    # scan strategy pads op tables to the next multiple of this bucket size so
+    # circuits of similar depth share one compiled executable.
+    scan_bucket: int = 256
+    # sharding: number of global (mesh-sharded) qubits; None = auto from mesh.
+    mesh_shape: Optional[Tuple[int, ...]] = None
+    mesh_axis_names: Tuple[str, ...] = ("amp",)
+
+    def __post_init__(self):
+        if self.strategy not in STRATEGIES:
+            raise ValueError(
+                f"unknown strategy {self.strategy!r}; pick one of {STRATEGIES}"
+            )
+        if self.dtype not in ("complex64", "complex128"):
+            raise ValueError("dtype must be complex64 or complex128")
+        if not (1 <= self.max_fused_qubits <= 10):
+            raise ValueError("max_fused_qubits must be in [1, 10]")

@@ -1,0 +1,76 @@
+"""Naive engine: one jitted device dispatch per gate.
+
+The analog of the reference's launch-per-gate variant
+(quantum_simulator_naive.cu:163-189) — and like it, this exists mostly as a
+baseline for the ablation sweep: per-gate Python dispatch overhead is the
+TPU analog of per-gate cudaLaunchKernel overhead.
+
+Compiled applications are cached per (num_qubits, target, width) — the gate
+MATRIX is a traced argument, so all rz angles / gate types on the same qubit
+share one executable (like the reference passing U by value to one kernel).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ir.circuit import Circuit
+from ..ops import apply
+
+
+@partial(jax.jit, static_argnums=(4, 5))
+def _apply_1q(re, im, ur, ui, k: int, n: int):
+    return apply.apply_1q(re, im, ur, ui, k, n)
+
+
+@partial(jax.jit, static_argnums=(4, 5, 6))
+def _apply_2q(re, im, ur, ui, qa: int, qb: int, n: int):
+    return apply.apply_2q(re, im, ur, ui, qa, qb, n)
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def _apply_cnot(re, im, c: int, t: int, n: int):
+    return apply.apply_cnot(re, im, c, t, n)
+
+
+def run_naive(circuit: Circuit, re, im, real_dtype=jnp.float32):
+    """Apply the raw gate stream, one dispatch per gate."""
+    n = circuit.num_qubits
+    for g in circuit.gates:
+        if g.is_cx:
+            re, im = _apply_cnot(re, im, g.qubits[0], g.qubits[1], n)
+        else:
+            u = g.matrix()
+            ur = jnp.asarray(u.real, dtype=real_dtype)
+            ui = jnp.asarray(u.imag, dtype=real_dtype)
+            re, im = _apply_1q(re, im, ur, ui, g.qubits[0], n)
+    return re, im
+
+
+def run_oplist(ops, num_qubits: int, re, im, real_dtype=jnp.float32):
+    """Apply a fused op list (1q/2q/cx), one dispatch per op — the analog of
+    the reference's preproces/4x4 host flush loops."""
+    n = num_qubits
+    for op in ops:
+        if op.kind == "cx":
+            re, im = _apply_cnot(re, im, op.qubits[0], op.qubits[1], n)
+            continue
+        ur = jnp.asarray(op.u.real, dtype=real_dtype)
+        ui = jnp.asarray(op.u.imag, dtype=real_dtype)
+        if op.width == 1:
+            re, im = _apply_1q(re, im, ur, ui, op.qubits[0], n)
+        elif op.width == 2:
+            re, im = _apply_2q(re, im, ur, ui, op.qubits[0], op.qubits[1], n)
+        else:
+            # wide blocks go through the traced k-qubit path (jit per shape)
+            re, im = _apply_kq_jit(re, im, ur, ui, op.qubits, n)
+    return re, im
+
+
+@partial(jax.jit, static_argnums=(4, 5))
+def _apply_kq_jit(re, im, ur, ui, qubits, n):
+    return apply.apply_kq(re, im, ur, ui, qubits, n)

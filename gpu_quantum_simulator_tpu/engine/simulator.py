@@ -1,0 +1,152 @@
+"""Simulator facade: one library, a strategy knob per reference ablation."""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+from ..config import SimulatorConfig
+from ..ir.circuit import Circuit
+from ..ops import apply as A
+from .. import ref as REF
+
+
+@dataclass
+class RunResult:
+    state: np.ndarray          # final complex amplitudes, ORIGINAL qubit basis
+    num_qubits: int
+    num_gates: int
+    num_fused_ops: int
+    seconds: float             # wall-clock: passes + execution + D2H
+    strategy: str
+
+
+class Simulator:
+    def __init__(self, config: Optional[SimulatorConfig] = None):
+        self.config = config or SimulatorConfig()
+
+    # ------------------------------------------------------------------ API
+    def run(self, circuit: Circuit) -> np.ndarray:
+        return self.run_detailed(circuit).state
+
+    def sample(self, circuit: Circuit, num_samples: int, seed: int = 0) -> np.ndarray:
+        """Measurement sampling (ref: quantum_simulator.c:256-283)."""
+        state = self.run(circuit)
+        return REF.sample(state, num_samples, np.random.default_rng(seed))
+
+    def run_detailed(self, circuit: Circuit) -> RunResult:
+        cfg = self.config
+        t0 = time.perf_counter()
+
+        if cfg.strategy == "reference":
+            state = REF.simulate_reference(circuit)
+            return RunResult(
+                state, circuit.num_qubits, len(circuit), len(circuit),
+                time.perf_counter() - t0, cfg.strategy,
+            )
+
+        perm = None
+        work = circuit
+        if cfg.permute or cfg.strategy == "mxu":
+            from ..passes.permute import plan_permutation
+
+            perm = plan_permutation(circuit)
+            if np.array_equal(perm, np.arange(circuit.num_qubits)):
+                perm = None
+            else:
+                work = circuit.relabeled(perm)
+
+        re, im, num_ops = self._execute(work)
+        state = A.join_state(np.asarray(re), np.asarray(im))
+
+        if perm is not None:
+            from ..passes.permute import unpermute_state
+
+            state = unpermute_state(state, perm)
+
+        return RunResult(
+            state, circuit.num_qubits, len(circuit), num_ops,
+            time.perf_counter() - t0, cfg.strategy,
+        )
+
+    # ------------------------------------------------------------- dispatch
+    def _execute(self, circuit: Circuit):
+        import jax.numpy as jnp
+
+        cfg = self.config
+        real_dtype = jnp.float32 if cfg.dtype == "complex64" else jnp.float64
+        if cfg.dtype == "complex128":
+            import jax
+
+            jax.config.update("jax_enable_x64", True)
+        n = circuit.num_qubits
+        re, im = A.initial_state_parts(n, dtype=real_dtype)
+
+        if cfg.strategy == "naive":
+            from .naive import run_naive
+
+            re, im = run_naive(circuit, re, im, real_dtype)
+            num_ops = len(circuit)
+
+        elif cfg.strategy == "fused2x2":
+            from ..passes.fuse2x2 import fuse_2x2
+            from .naive import run_oplist
+
+            ops = fuse_2x2(circuit)
+            re, im = run_oplist(ops, n, re, im, real_dtype)
+            num_ops = len(ops)
+
+        elif cfg.strategy == "fused4x4":
+            from ..passes.fuse4x4 import fuse_4x4
+            from .naive import run_oplist
+
+            ops = fuse_4x4(circuit)
+            re, im = run_oplist(ops, n, re, im, real_dtype)
+            num_ops = len(ops)
+
+        elif cfg.strategy == "megakernel":
+            from ..passes.fuse4x4 import fuse_4x4
+            from .megakernel import build_megakernel
+
+            ops = fuse_4x4(circuit)
+            re, im = build_megakernel(ops, n, real_dtype)(re, im)
+            num_ops = len(ops)
+
+        elif cfg.strategy == "scan":
+            from ..passes.fuse2x2 import fuse_2x2
+            from .scan import run_scan
+
+            ops = fuse_2x2(circuit)
+            re, im = run_scan(ops, n, re, im, bucket=cfg.scan_bucket)
+            num_ops = len(ops)
+
+        elif cfg.strategy == "mxu":
+            from ..passes.fuse4x4 import fuse_4x4
+            from ..passes.fuse_k import fuse_k
+            from .megakernel import build_megakernel
+
+            # 4x4 pairing first (cheap, removes structural cx), then widen to
+            # MXU-sized dense blocks.
+            k = min(cfg.max_fused_qubits, n)
+            ops = fuse_k(fuse_4x4(circuit), max_qubits=k)
+            re, im = build_megakernel(ops, n, real_dtype)(re, im)
+            num_ops = len(ops)
+
+        elif cfg.strategy == "sharded":
+            from ..parallel.sharded import run_sharded
+
+            re, im, num_ops = run_sharded(circuit, self.config)
+
+        else:  # pragma: no cover
+            raise AssertionError(cfg.strategy)
+
+        re.block_until_ready()
+        return re, im, num_ops
+
+
+def simulate(circuit: Circuit, strategy: str = "mxu", **kwargs) -> np.ndarray:
+    """One-shot convenience: final state in the original basis."""
+    return Simulator(SimulatorConfig(strategy=strategy, **kwargs)).run(circuit)

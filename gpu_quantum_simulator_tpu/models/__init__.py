@@ -1,0 +1,19 @@
+from .circuits import (
+    bell,
+    ghz,
+    qft,
+    random_circuit,
+    grover_like,
+    GROVER_3_18_PROFILE,
+    load_reference_circuit,
+)
+
+__all__ = [
+    "bell",
+    "ghz",
+    "qft",
+    "random_circuit",
+    "grover_like",
+    "GROVER_3_18_PROFILE",
+    "load_reference_circuit",
+]

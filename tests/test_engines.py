@@ -1,0 +1,94 @@
+"""Differential tests: every engine vs the double-precision CPU reference.
+
+This is the test strategy the reference lacks entirely (SURVEY §4): its
+correctness story was eyeballed amplitude dumps, since disabled
+(quantum_simulator_naive.cu:207-216).
+"""
+
+import numpy as np
+import pytest
+
+from gpu_quantum_simulator_tpu import models
+from gpu_quantum_simulator_tpu.config import SimulatorConfig
+from gpu_quantum_simulator_tpu.engine.simulator import Simulator
+from gpu_quantum_simulator_tpu.ir.circuit import Circuit
+from gpu_quantum_simulator_tpu.ref import cpu as REF
+
+ENGINES = ["naive", "fused2x2", "fused4x4", "megakernel", "scan", "mxu"]
+
+# float32 engines vs float64 ground truth: amplitude tolerance scales with
+# circuit depth; 1e-5 covers the deep (2445-gate) workloads comfortably.
+TOL_F32 = 2e-5
+
+
+def _run(strategy, circuit, **kw):
+    return Simulator(SimulatorConfig(strategy=strategy, **kw)).run(circuit)
+
+
+@pytest.mark.parametrize("strategy", ENGINES)
+def test_bell(strategy):
+    got = _run(strategy, models.bell())
+    want = REF.simulate_reference(models.bell())
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+@pytest.mark.parametrize("strategy", ENGINES)
+def test_ghz6(strategy):
+    c = models.ghz(6)
+    np.testing.assert_allclose(_run(strategy, c), REF.simulate_reference(c), atol=1e-6)
+
+
+@pytest.mark.parametrize("strategy", ENGINES)
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_random_full_gateset(strategy, seed):
+    c = models.random_circuit(6, 120, seed=seed)
+    got = _run(strategy, c)
+    want = REF.simulate_reference(c)
+    np.testing.assert_allclose(got, want, atol=TOL_F32)
+
+
+@pytest.mark.parametrize("strategy", ENGINES)
+def test_grover_3_18_parity(strategy):
+    c = models.load_reference_circuit("grover_3_18")
+    got = _run(strategy, c)
+    want = REF.simulate_reference(c)
+    np.testing.assert_allclose(got, want, atol=TOL_F32)
+
+
+@pytest.mark.parametrize("strategy", ["megakernel", "mxu"])
+def test_complex128_parity_tight(strategy):
+    # double-precision engine run must hit the 1e-6 bar on the deep workload
+    c = models.load_reference_circuit("grover_3_18")
+    got = _run(strategy, c, dtype="complex128")
+    want = REF.simulate_reference(c)
+    np.testing.assert_allclose(got, want, atol=1e-9)
+
+
+@pytest.mark.parametrize("strategy", ENGINES)
+def test_permute_option_returns_original_basis(strategy):
+    c = models.random_circuit(5, 60, seed=3)
+    got = _run(strategy, c, permute=True)
+    want = REF.simulate_reference(c)
+    np.testing.assert_allclose(got, want, atol=TOL_F32)
+
+
+def test_cnot_nonadjacent_and_reversed():
+    for (ctl, tgt) in [(0, 3), (3, 0), (1, 4), (4, 2)]:
+        c = Circuit(5).x(ctl).cx(ctl, tgt)
+        got = _run("naive", c)
+        want = REF.simulate_reference(c)
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_simulator_sample():
+    sim = Simulator(SimulatorConfig(strategy="megakernel"))
+    samples = sim.sample(models.bell(), 2000, seed=1)
+    assert set(np.unique(samples)) <= {0, 3}
+
+
+def test_run_detailed_reports_fusion():
+    c = models.load_reference_circuit("grover_3_18")
+    res = Simulator(SimulatorConfig(strategy="mxu")).run_detailed(c)
+    assert res.num_gates == 2445
+    assert res.num_fused_ops < res.num_gates  # fusion must shrink the op list
+    assert res.seconds > 0

@@ -1,0 +1,74 @@
+import math
+
+import numpy as np
+import pytest
+
+from gpu_quantum_simulator_tpu.qasm.parser import QasmError, parse_qasm, parse_qasm_file
+
+
+def test_bell_qasm_both_decl_forms():
+    for decl in ("qubit[2] q;", "qubit q[2];", "qreg q[2];"):
+        src = f'OPENQASM 3.0;\ninclude "stdgates.inc";\n{decl}\nh q[0];\ncx q[0], q[1];\n'
+        c = parse_qasm(src)
+        assert c.num_qubits == 2
+        assert [g.name for g in c.gates] == ["h", "cx"]
+        assert c.gates[1].qubits == (0, 1)
+
+
+def test_reference_entanglement_file():
+    c = parse_qasm_file("/root/reference/entanglement.qasm")
+    assert c.num_qubits == 2
+    assert [g.name for g in c.gates] == ["h", "cx"]
+
+
+def test_reference_grover_file():
+    # grover_3_18.qasm: 6 qubits, 2445 gates (1024 cx, 1212 rz, 174 sx, 35 x)
+    c = parse_qasm_file("/root/reference/grover_3_18.qasm")
+    assert c.num_qubits == 6
+    counts = c.gate_counts()
+    assert counts == {"cx": 1024, "rz": 1212, "sx": 174, "x": 35}
+    assert len(c) == 2445
+
+
+def test_rz_param_forms():
+    c = parse_qasm("qubit[1] q; rz(1.5707963267948966) q[0]; rz(pi/2) q[0]; rz(-pi/4) q[0];")
+    assert c.gates[0].params[0] == pytest.approx(math.pi / 2)
+    assert c.gates[1].params[0] == pytest.approx(math.pi / 2)
+    assert c.gates[2].params[0] == pytest.approx(-math.pi / 4)
+
+
+def test_comments_and_whitespace():
+    src = """
+    // a comment
+    OPENQASM 2.0;
+    qreg q[3];
+    h q[0]; // trailing
+    barrier q[0];
+    cx q[0] , q[2] ;
+    """
+    c = parse_qasm(src)
+    assert [g.name for g in c.gates] == ["h", "cx"]
+    assert c.gates[1].qubits == (0, 2)
+
+
+def test_errors():
+    with pytest.raises(QasmError):
+        parse_qasm("h q[0];")  # gate before register
+    with pytest.raises(QasmError):
+        parse_qasm("qubit[2] q; foo q[0];")  # unknown gate
+    with pytest.raises(QasmError):
+        parse_qasm("qubit[2] q; cx q[0], q[5];")  # out of range
+    with pytest.raises(QasmError):
+        parse_qasm("qubit[2] q; cx q[1], q[1];")  # control == target
+    with pytest.raises(QasmError):
+        parse_qasm("qubit[2] q; h r[0];")  # unknown register
+
+
+def test_roundtrip_to_qasm():
+    c = parse_qasm_file("/root/reference/grover_3_18.qasm")
+    c2 = parse_qasm(c.to_qasm())
+    assert c2.num_qubits == c.num_qubits
+    assert len(c2) == len(c)
+    for a, b in zip(c.gates, c2.gates):
+        assert a.name == b.name and a.qubits == b.qubits
+        assert np.allclose(a.params, b.params)
