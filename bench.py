@@ -1,0 +1,67 @@
+"""Benchmark: grover-profile circuit at n=18 vs the reference's best variant.
+
+Reference baseline (BASELINE.md): the "4x4" CUDA variant — its fastest —
+runs an 18-qubit random circuit in 2.589 s (5-run mean, Slides.pptx slide 22
+/ OverallTest.csv).  The sweep circuits aren't committed, so we regenerate a
+deterministic 2445-gate circuit with grover_3_18.qasm's exact gate mix
+(1024 cx / 1212 rz / 174 sx / 35 x — the reference's deepest committed
+workload) at n=18.
+
+Timing protocol: median of 5 timed runs of the full pipeline — fusion passes
++ device execution + device->host copy of the final amplitudes — after one
+untimed warm-up run that pays jit compilation (the analog of the reference
+binaries' one-time nvcc compile; its timed region similarly includes CUDA
+context init but not compilation).  `vs_baseline` = reference_seconds / ours
+(higher is better, 1.0 = parity with the reference's best GPU variant).
+
+Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import time
+
+REFERENCE_BEST_S = 2.589  # 4x4 variant @ n=18, BASELINE.md
+N_QUBITS = 18
+NUM_GATES = 2445
+RUNS = 5
+
+
+def main() -> None:
+    from gpu_quantum_simulator_tpu import models
+    from gpu_quantum_simulator_tpu.config import SimulatorConfig
+    from gpu_quantum_simulator_tpu.engine.simulator import Simulator
+
+    circuit = models.grover_like(N_QUBITS, num_gates=NUM_GATES, seed=318)
+    sim = Simulator(SimulatorConfig(strategy="mxu"))
+
+    sim.run_detailed(circuit)  # warm-up: compile
+
+    times = []
+    for _ in range(RUNS):
+        t0 = time.perf_counter()
+        res = sim.run_detailed(circuit)
+        times.append(time.perf_counter() - t0)
+    t = statistics.median(times)
+
+    import numpy as np
+
+    norm = float(np.abs(np.vdot(res.state, res.state)))
+    assert abs(norm - 1.0) < 1e-3, f"norm drift {norm}"
+
+    print(
+        json.dumps(
+            {
+                "metric": "grover_profile_n18_wallclock",
+                "value": round(t, 4),
+                "unit": "s",
+                "vs_baseline": round(REFERENCE_BEST_S / t, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -49,7 +49,15 @@ def build_megakernel(ops: Sequence[Op], num_qubits: int, real_dtype=jnp.float32)
     fn = _CACHE.get(key)
     if fn is not None:
         return fn
+    fn = jax.jit(build_megakernel_fn(ops, num_qubits, real_dtype))
+    if len(_CACHE) >= _CACHE_LIMIT:
+        _CACHE.pop(next(iter(_CACHE)))
+    _CACHE[key] = fn
+    return fn
 
+
+def build_megakernel_fn(ops: Sequence[Op], num_qubits: int, real_dtype=jnp.float32):
+    """The raw (unjitted) whole-circuit closure — jittable, shard_map-able."""
     n = num_qubits
     # Bake matrices as numpy constants; closure-traced once.
     baked: List = []
@@ -78,8 +86,4 @@ def build_megakernel(ops: Sequence[Op], num_qubits: int, real_dtype=jnp.float32)
                 re, im = apply.apply_kq(re, im, ur, ui, qs, n)
         return re, im
 
-    fn = jax.jit(kernel)
-    if len(_CACHE) >= _CACHE_LIMIT:
-        _CACHE.pop(next(iter(_CACHE)))
-    _CACHE[key] = fn
-    return fn
+    return kernel

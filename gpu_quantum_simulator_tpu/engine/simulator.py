@@ -50,7 +50,7 @@ class Simulator:
 
         perm = None
         work = circuit
-        if cfg.permute or cfg.strategy == "mxu":
+        if cfg.permute or cfg.strategy in ("mxu", "sharded"):
             from ..passes.permute import plan_permutation
 
             perm = plan_permutation(circuit)
