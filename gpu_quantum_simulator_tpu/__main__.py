@@ -1,0 +1,97 @@
+"""CLI: simulate a QASM circuit file.
+
+The reference exposes nine binaries each taking ``<circuit_file>`` (and the
+CPU one ``<num_measurements>``, quantum_simulator.c:39-42), printing elapsed
+seconds to stdout.  Here one CLI covers every strategy:
+
+    python -m gpu_quantum_simulator_tpu circuit.qasm --strategy mxu -m 10
+
+Output: one float (seconds) like the reference, then optional MEASUREMENT
+lines (the reference's sampling loop exists but is commented out,
+quantum_simulator.c:68-73 — here it works).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from .config import STRATEGIES, SimulatorConfig
+from .engine.simulator import Simulator
+from .qasm.parser import parse_qasm_file
+
+
+def _putb(n: int, length: int) -> str:
+    """Binary rendering, MSB first (ref: putb, quantum_simulator.c:285-293)."""
+    return format(n, f"0{length}b")
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="gpu_quantum_simulator_tpu")
+    p.add_argument("circuit", help="OpenQASM 2/3 circuit file")
+    p.add_argument("-m", "--measurements", type=int, default=0)
+    p.add_argument("--strategy", choices=STRATEGIES, default="mxu")
+    p.add_argument("--dtype", choices=["complex64", "complex128"], default="complex64")
+    p.add_argument("--permute", action="store_true", help="qubit-relabeling pass")
+    p.add_argument("--seed", type=int, default=0, help="measurement RNG seed")
+    p.add_argument(
+        "--json", action="store_true", help="emit a structured JSON record instead"
+    )
+    p.add_argument(
+        "--amplitudes", type=int, default=0, metavar="K",
+        help="print the K largest-probability amplitudes",
+    )
+    args = p.parse_args(argv)
+
+    try:
+        circuit = parse_qasm_file(args.circuit)
+    except (OSError, ValueError) as exc:
+        print(f"ERROR while parsing quantum circuit: {exc}", file=sys.stderr)
+        return 1
+
+    cfg = SimulatorConfig(
+        strategy=args.strategy, dtype=args.dtype, permute=args.permute
+    )
+    sim = Simulator(cfg)
+    res = sim.run_detailed(circuit)
+
+    if args.json:
+        print(
+            json.dumps(
+                {
+                    "circuit": args.circuit,
+                    "num_qubits": res.num_qubits,
+                    "num_gates": res.num_gates,
+                    "num_fused_ops": res.num_fused_ops,
+                    "strategy": res.strategy,
+                    "seconds": res.seconds,
+                }
+            )
+        )
+    else:
+        print(f"{res.seconds:.6f}")
+
+    if args.amplitudes:
+        import numpy as np
+
+        p2 = np.abs(res.state) ** 2
+        for idx in np.argsort(-p2)[: args.amplitudes]:
+            amp = res.state[idx]
+            print(
+                f"|{_putb(int(idx), res.num_qubits)}>  p={p2[idx]:.6f}  "
+                f"amp={amp.real:+.6f}{amp.imag:+.6f}i"
+            )
+
+    if args.measurements:
+        from .ref.cpu import sample
+        import numpy as np
+
+        outcomes = sample(res.state, args.measurements, np.random.default_rng(args.seed))
+        for o in outcomes:
+            print(f"MEASUREMENT: {_putb(int(o), res.num_qubits)} ({int(o)})")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

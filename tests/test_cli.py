@@ -1,0 +1,60 @@
+import json
+import subprocess
+import sys
+
+import pytest
+
+
+def _run_cli(*args):
+    env = {"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin:/usr/local/bin"}
+    import os
+
+    full_env = dict(os.environ)
+    full_env["JAX_PLATFORMS"] = "cpu"
+    return subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms','cpu');"
+         "from gpu_quantum_simulator_tpu.__main__ import main; import sys;"
+         f"sys.exit(main({list(args)!r}))"],
+        capture_output=True,
+        text=True,
+        env=full_env,
+        cwd="/root/repo",
+    )
+
+
+def test_cli_seconds_output():
+    r = _run_cli("/root/reference/entanglement.qasm", "--strategy", "megakernel")
+    assert r.returncode == 0, r.stderr
+    float(r.stdout.strip().splitlines()[0])  # one float, like the reference
+
+
+def test_cli_json_and_measurements():
+    r = _run_cli(
+        "/root/reference/entanglement.qasm",
+        "--strategy", "megakernel", "--json", "-m", "20", "--seed", "3",
+    )
+    assert r.returncode == 0, r.stderr
+    lines = r.stdout.strip().splitlines()
+    rec = json.loads(lines[0])
+    assert rec["num_qubits"] == 2 and rec["num_gates"] == 2
+    meas = [l for l in lines if l.startswith("MEASUREMENT:")]
+    assert len(meas) == 20
+    # Bell: only 00 and 11
+    for m in meas:
+        assert m.split()[1] in ("00", "11")
+
+
+def test_cli_amplitudes():
+    r = _run_cli(
+        "/root/reference/entanglement.qasm", "--strategy", "megakernel",
+        "--amplitudes", "2",
+    )
+    assert r.returncode == 0, r.stderr
+    assert "|00>" in r.stdout and "|11>" in r.stdout
+
+
+def test_cli_parse_error():
+    r = _run_cli("/no/such/file.qasm")
+    assert r.returncode == 1
+    assert "ERROR while parsing quantum circuit" in r.stderr
