@@ -19,6 +19,7 @@ STRATEGIES = (
     "megakernel",  # whole fused op-list unrolled into ONE jit (ref: constant/texture)
     "scan",        # recompile-free lax.scan over dense gate tables
     "mxu",         # k-qubit fusion to 128x128 blocks on the MXU (TPU-native flagship)
+    "pallas",      # mxu pipeline with hand-written Pallas kernels (Karatsuba matmul)
     "sharded",     # mesh-sharded state vector, all_to_all qubit swaps
 )
 

@@ -24,6 +24,18 @@ class RunResult:
     strategy: str
 
 
+_UNPERMUTE = None
+
+
+def _unpermute_jit(re, im, perm_tuple):
+    global _UNPERMUTE
+    if _UNPERMUTE is None:
+        import jax
+
+        _UNPERMUTE = jax.jit(A.unpermute_device, static_argnums=(2,))
+    return _UNPERMUTE(re, im, perm_tuple)
+
+
 class Simulator:
     def __init__(self, config: Optional[SimulatorConfig] = None):
         self.config = config or SimulatorConfig()
@@ -50,7 +62,7 @@ class Simulator:
 
         perm = None
         work = circuit
-        if cfg.permute or cfg.strategy in ("mxu", "sharded"):
+        if cfg.permute or cfg.strategy in ("mxu", "pallas", "sharded"):
             from ..passes.permute import plan_permutation
 
             perm = plan_permutation(circuit)
@@ -59,13 +71,22 @@ class Simulator:
             else:
                 work = circuit.relabeled(perm)
 
-        re, im, num_ops = self._execute(work)
+        re, im, num_ops, residual = self._execute(work)
+
+        # Compose the relabeling with any layout the engine left behind, and
+        # undo both with one on-device transpose (the reference's permute
+        # variants skip this and return a scrambled basis — defect #7).
+        total = None
+        if perm is not None and residual is not None:
+            total = residual[perm]
+        elif perm is not None:
+            total = perm
+        elif residual is not None:
+            total = residual
+        if total is not None and not np.array_equal(total, np.arange(circuit.num_qubits)):
+            re, im = _unpermute_jit(re, im, tuple(int(p) for p in total))
+
         state = A.join_state(np.asarray(re), np.asarray(im))
-
-        if perm is not None:
-            from ..passes.permute import unpermute_state
-
-            state = unpermute_state(state, perm)
 
         return RunResult(
             state, circuit.num_qubits, len(circuit), num_ops,
@@ -84,6 +105,8 @@ class Simulator:
             jax.config.update("jax_enable_x64", True)
         n = circuit.num_qubits
         re, im = A.initial_state_parts(n, dtype=real_dtype)
+
+        residual = None
 
         if cfg.strategy == "naive":
             from .naive import run_naive
@@ -126,25 +149,37 @@ class Simulator:
         elif cfg.strategy == "mxu":
             from ..passes.fuse4x4 import fuse_4x4
             from ..passes.fuse_k import fuse_k
-            from .megakernel import build_megakernel
 
             # 4x4 pairing first (cheap, removes structural cx), then widen to
             # MXU-sized dense blocks.
             k = min(cfg.max_fused_qubits, n)
-            ops = fuse_k(fuse_4x4(circuit), max_qubits=k)
-            re, im = build_megakernel(ops, n, real_dtype)(re, im)
+            if n > 7:
+                from .wide import build_wide_program
+
+                ops = fuse_k(fuse_4x4(circuit), max_qubits=k, max_high=2)
+                re, im = build_wide_program(ops, n, real_dtype)(re, im)
+            else:
+                from .megakernel import build_megakernel
+
+                ops = fuse_k(fuse_4x4(circuit), max_qubits=k)
+                re, im = build_megakernel(ops, n, real_dtype)(re, im)
             num_ops = len(ops)
+
+        elif cfg.strategy == "pallas":
+            from .pallas_engine import run_pallas
+
+            re, im, num_ops, residual = run_pallas(circuit, self.config)
 
         elif cfg.strategy == "sharded":
             from ..parallel.sharded import run_sharded
 
-            re, im, num_ops = run_sharded(circuit, self.config)
+            re, im, num_ops, residual = run_sharded(circuit, self.config)
 
         else:  # pragma: no cover
             raise AssertionError(cfg.strategy)
 
         re.block_until_ready()
-        return re, im, num_ops
+        return re, im, num_ops, residual
 
 
 def simulate(circuit: Circuit, strategy: str = "mxu", **kwargs) -> np.ndarray:

@@ -121,6 +121,26 @@ def apply_cnot(re, im, control: int, target: int, num_qubits: int):
     return out[0], out[1]
 
 
+def unpermute_axes(perm) -> list:
+    """Transpose axes that undo a qubit relabeling on a (2,)*n tensor.
+
+    ``perm[q]`` = current bit position of original qubit q (see
+    passes.permute.unpermute_state — this is its device-side twin).
+    """
+    n = len(perm)
+    inv = np.argsort(perm)
+    src_axis_of_orig = {int(inv[b]): n - 1 - b for b in range(n)}
+    return [src_axis_of_orig[n - 1 - j] for j in range(n)]
+
+
+def unpermute_device(re, im, perm):
+    """Undo a qubit relabeling on-device (one fused XLA transpose each)."""
+    n = len(perm)
+    axes = unpermute_axes(perm)
+    f = lambda x: x.reshape((2,) * n).transpose(axes).reshape(-1)
+    return f(re), f(im)
+
+
 def apply_kq(re, im, ur, ui, qubits: Tuple[int, ...], num_qubits: int):
     """Apply a 2^k x 2^k fused block to k STATIC target qubits.
 
@@ -146,9 +166,17 @@ def apply_kq(re, im, ur, ui, qubits: Tuple[int, ...], num_qubits: int):
         nre, nim = _cmul_contract("AB,xBz->xAz", ur, ui, re3, im3)
         return nre.reshape(-1), nim.reshape(-1)
 
-    # Reshape to n axes of 2 (axis j = bit n-1-j, row-major), pull target axes
-    # to the front (in descending bit order to match basis convention), matmul,
-    # then restore.
+    # Lane-friendly path: if at most MAX_HIGH of the block's qubits sit above
+    # the 7 lane bits, widen the matrix over (low 7 lane qubits) + (the high
+    # qubits) and contract with a single MXU matmul.  The only data movement
+    # is a ROW-axis transpose — whole 512-byte rows, which XLA copies at
+    # bandwidth — never a bit-level lane transpose (those run ~100x below
+    # bandwidth on TPU and were the reference-permute analog's real cost).
+    high = [q for q in qubits if q >= LANE_QUBITS]
+    if n > LANE_QUBITS and len(high) <= MAX_HIGH:
+        return _apply_kq_wide(re, im, ur, ui, qubits, n)
+
+    # Fallback: general bit transpose (slow; planner/fusion keep us off it).
     axes_of_bit = [n - 1 - bit for bit in range(n)]  # axis index for each bit
     tgt_axes = [axes_of_bit[q] for q in reversed(qubits)]  # MSB of block first
     rest_axes = [ax for ax in range(n) if ax not in tgt_axes]
@@ -169,3 +197,53 @@ def apply_kq(re, im, ur, ui, qubits: Tuple[int, ...], num_qubits: int):
         return t.reshape((2,) * n).transpose(inv).reshape(-1)
 
     return back(nre), back(nim)
+
+
+LANE_QUBITS = 7   # low qubits living in the 128-lane dimension
+MAX_HIGH = 3      # widen matrices over at most this many row qubits (D<=1024)
+
+
+def _apply_kq_wide(re, im, ur, ui, qubits, n):
+    """Block apply via row-transpose + one (R', D) @ (D, D) matmul.
+
+    D = 2^(7+kh).  The matrix is expanded (host-side, numpy) over the 7 lane
+    qubits plus the block's kh high qubits; the state's row axes are permuted
+    so those kh bits sit adjacent to the lane dim, a pure row shuffle.
+    """
+    from ..ir.oplist import expand_unitary
+
+    high = sorted(q for q in qubits if q >= LANE_QUBITS)
+    kh = len(high)
+    superset = tuple(range(LANE_QUBITS)) + tuple(high)
+    # expand on host if inputs are numpy (megakernel bakes constants); the
+    # jnp fallback works but wastes trace-time constant folding
+    u = np.asarray(ur) + 1j * np.asarray(ui)
+    big = expand_unitary(u.astype(np.complex128), qubits, superset)
+    dt = np.dtype(np.asarray(ur).dtype)
+    bre = np.ascontiguousarray(big.real, dtype=dt)
+    bim = np.ascontiguousarray(big.imag, dtype=dt)
+
+    nrow = n - LANE_QUBITS
+    # row axes: axis j <-> row bit nrow-1-j <-> qubit 7 + (nrow-1-j)
+    axis_of_qubit = {LANE_QUBITS + b: nrow - 1 - b for b in range(nrow)}
+    h_axes = [axis_of_qubit[q] for q in reversed(high)]  # MSB of D-index first
+    rest = [ax for ax in range(nrow) if ax not in h_axes]
+    perm = rest + h_axes
+    inv = np.argsort(perm)
+    D = (1 << kh) * LANES
+    shape_rows = (2,) * nrow
+
+    def fwd(x):
+        t = x.reshape(shape_rows + (LANES,)).transpose(perm + [nrow])
+        return t.reshape(-1, D)
+
+    def bwd(t):
+        t = t.reshape(tuple(2 for _ in perm) + (LANES,))
+        return t.transpose(list(inv) + [nrow]).reshape(-1)
+
+    re_m, im_m = fwd(re), fwd(im)
+    mm = lambda a, b: jnp.matmul(a, b, precision=_PRECISION)
+    # right-multiply: out[r, :] = big @ v[r, :]  ->  v @ big^T
+    nre = mm(re_m, bre.T) - mm(im_m, bim.T)
+    nim = mm(im_m, bre.T) + mm(re_m, bim.T)
+    return bwd(nre), bwd(nim)

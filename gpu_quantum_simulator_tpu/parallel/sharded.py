@@ -105,7 +105,6 @@ def run_sharded(circuit, config):
     """Entry used by the Simulator facade; returns (re, im, num_ops)."""
     from ..passes.fuse4x4 import fuse_4x4
     from ..passes.fuse_k import fuse_k
-    from ..passes.permute import unpermute_state
     from ..passes.shard import plan_sharded
     from .mesh import make_mesh, num_global_qubits
 
@@ -131,13 +130,10 @@ def run_sharded(circuit, config):
 
     kernel = build_sharded_kernel(plan, n, mesh, axis, real_dtype)
     re, im = kernel(re, im)
-    re.block_until_ready()
 
-    # Restore the original qubit order (the plan's swaps leave a permutation).
+    # The plan's swaps leave a layout permutation; the Simulator undoes it
+    # on-device (a global transpose XLA implements with ICI collectives).
     perm = plan.final_position
-    if not np.array_equal(perm, np.arange(n)):
-        state = np.asarray(re) + 1j * np.asarray(im)
-        state = unpermute_state(state, perm)
-        re = jnp.asarray(state.real, dtype=real_dtype)
-        im = jnp.asarray(state.imag, dtype=real_dtype)
-    return re, im, len(plan.items)
+    if np.array_equal(perm, np.arange(n)):
+        perm = None
+    return re, im, len(plan.items), perm

@@ -25,17 +25,29 @@ def fuse_k(
     source: "Circuit | Sequence[Op]",
     max_qubits: int = 7,
     *,
-    min_emit_width: int = 0,
+    max_high: Optional[int] = None,
+    high_threshold: int = 7,
 ) -> List[Op]:
     """Fuse a circuit (or op list) into dense blocks of <= max_qubits qubits.
 
-    ``min_emit_width``: blocks narrower than this are still emitted as-is
-    (no padding here; engines decide how to batch/pad).
+    ``max_high``: if set, a block may contain at most this many qubits >=
+    ``high_threshold``.  The engines map the low 7 qubits to the TPU lane
+    dimension; a block with kh high qubits becomes a 2^(7+kh)-wide matmul
+    whose only data movement is a row shuffle — so capping kh caps both the
+    matrix size and keeps every op off the pathological bit-transpose path.
     """
     if isinstance(source, Circuit):
         ops = circuit_to_ops(source)
     else:
         ops = list(source)
+
+    def ok(union) -> bool:
+        if len(union) > max_qubits:
+            return False
+        if max_high is not None:
+            if sum(1 for q in union if q >= high_threshold) > max_high:
+                return False
+        return True
 
     out: List[Op] = []
     block: Optional[Op] = None
@@ -46,7 +58,7 @@ def fuse_k(
             block = op if op.kind == "u" else _materialize(op)
             continue
         union = qs | set(block.qubits)
-        if len(union) <= max_qubits:
+        if ok(union):
             block = compose(op, block)
         else:
             _emit(out, block)
