@@ -156,12 +156,12 @@ class Simulator:
             if n > 7:
                 from .wide import build_wide_program
 
-                ops = fuse_k(fuse_4x4(circuit), max_qubits=k, max_high=2)
+                ops = _fuse_pipeline(circuit, k, max_high=2)
                 re, im = build_wide_program(ops, n, real_dtype)(re, im)
             else:
                 from .megakernel import build_megakernel
 
-                ops = fuse_k(fuse_4x4(circuit), max_qubits=k)
+                ops = _fuse_pipeline(circuit, k, max_high=None)
                 re, im = build_megakernel(ops, n, real_dtype)(re, im)
             num_ops = len(ops)
 
@@ -180,6 +180,27 @@ class Simulator:
 
         re.block_until_ready()
         return re, im, num_ops, residual
+
+
+_NATIVE_FUSE = None  # tri-state: None unknown, False unavailable, module
+
+
+def _fuse_pipeline(circuit: Circuit, max_qubits: int, max_high):
+    """fuse_4x4 + fuse_k, via the native C++ pipeline when available."""
+    global _NATIVE_FUSE
+    if _NATIVE_FUSE is None:
+        try:
+            from ..passes import native_fuse as nf
+
+            _NATIVE_FUSE = nf if nf.available() else False
+        except Exception:
+            _NATIVE_FUSE = False
+    if _NATIVE_FUSE:
+        return _NATIVE_FUSE.fuse_native(circuit, max_qubits, max_high)
+    from ..passes.fuse4x4 import fuse_4x4
+    from ..passes.fuse_k import fuse_k
+
+    return fuse_k(fuse_4x4(circuit), max_qubits=max_qubits, max_high=max_high)
 
 
 def simulate(circuit: Circuit, strategy: str = "mxu", **kwargs) -> np.ndarray:

