@@ -45,21 +45,26 @@ class Simulator:
         return self.run_detailed(circuit).state
 
     def sample(self, circuit: Circuit, num_samples: int, seed: int = 0) -> np.ndarray:
-        """Measurement sampling (ref: quantum_simulator.c:256-283)."""
+        """Measurement sampling (ref: quantum_simulator.c:256-283).
+
+        For n > 22 the distribution, CDF and inverse-CDF search run on the
+        device (sampling.py) — the 2^n state is never transferred.
+        """
+        if circuit.num_qubits > 22 and self.config.strategy != "reference":
+            from ..sampling import sample_state_device
+
+            re, im, _ = self.run_device(circuit)
+            return sample_state_device(re, im, circuit.num_qubits, num_samples, seed)
         state = self.run(circuit)
         return REF.sample(state, num_samples, np.random.default_rng(seed))
 
-    def run_detailed(self, circuit: Circuit) -> RunResult:
+    def run_device(self, circuit: Circuit):
+        """Run and return DEVICE-resident (re, im) in the original basis.
+
+        The big-n API: nothing of size 2^n crosses the device boundary; use
+        sampling.py helpers (sample/top-k/norm) for measurement results.
+        """
         cfg = self.config
-        t0 = time.perf_counter()
-
-        if cfg.strategy == "reference":
-            state = REF.simulate_reference(circuit)
-            return RunResult(
-                state, circuit.num_qubits, len(circuit), len(circuit),
-                time.perf_counter() - t0, cfg.strategy,
-            )
-
         perm = None
         work = circuit
         if cfg.permute or cfg.strategy in ("mxu", "pallas", "sharded"):
@@ -85,7 +90,20 @@ class Simulator:
             total = residual
         if total is not None and not np.array_equal(total, np.arange(circuit.num_qubits)):
             re, im = _unpermute_jit(re, im, tuple(int(p) for p in total))
+        return re, im, num_ops
 
+    def run_detailed(self, circuit: Circuit) -> RunResult:
+        cfg = self.config
+        t0 = time.perf_counter()
+
+        if cfg.strategy == "reference":
+            state = REF.simulate_reference(circuit)
+            return RunResult(
+                state, circuit.num_qubits, len(circuit), len(circuit),
+                time.perf_counter() - t0, cfg.strategy,
+            )
+
+        re, im, num_ops = self.run_device(circuit)
         state = A.join_state(np.asarray(re), np.asarray(im))
 
         return RunResult(

@@ -1,4 +1,5 @@
 from .circuits import (
+    grover,
     bell,
     ghz,
     qft,
@@ -9,6 +10,7 @@ from .circuits import (
 )
 
 __all__ = [
+    "grover",
     "bell",
     "ghz",
     "qft",

@@ -107,6 +107,94 @@ def grover_like(num_qubits: int, num_gates: int = 2445, seed: int = 318) -> Circ
     return random_circuit(num_qubits, num_gates, seed=seed, profile=GROVER_3_18_PROFILE)
 
 
+def _ccx(c: Circuit, a: int, b: int, t: int) -> None:
+    """Toffoli in the reference gate set (standard T-depth decomposition)."""
+    c.h(t)
+    c.cx(b, t)
+    c.tdg(t)
+    c.cx(a, t)
+    c.t(t)
+    c.cx(b, t)
+    c.tdg(t)
+    c.cx(a, t)
+    c.t(b)
+    c.t(t)
+    c.h(t)
+    c.cx(a, b)
+    c.tdg(b)
+    c.cx(a, b)
+    c.t(a)
+
+
+def _cz(c: Circuit, a: int, b: int) -> None:
+    c.h(b)
+    c.cx(a, b)
+    c.h(b)
+
+
+def _controlled_z_all(c: Circuit, data, anc) -> None:
+    """Phase-flip |1...1> over ``data`` using a clean-ancilla Toffoli ladder."""
+    n = len(data)
+    if n == 1:
+        c.z(data[0])
+        return
+    if n == 2:
+        _cz(c, data[0], data[1])
+        return
+    assert len(anc) >= n - 2
+    _ccx(c, data[0], data[1], anc[0])
+    for i in range(2, n - 1):
+        _ccx(c, data[i], anc[i - 2], anc[i - 1])
+    _cz(c, data[n - 1], anc[n - 3])
+    for i in reversed(range(2, n - 1)):
+        _ccx(c, data[i], anc[i - 2], anc[i - 1])
+    _ccx(c, data[0], data[1], anc[0])
+
+
+def grover(
+    num_data_qubits: int,
+    marked: int,
+    iterations: Optional[int] = None,
+) -> Circuit:
+    """A real Grover search circuit in the reference gate set.
+
+    ``num_data_qubits`` data qubits plus max(0, n-2) clean ancillas for the
+    multi-controlled Z (Toffoli ladder, uncomputed).  The committed
+    grover_3_18.qasm is a 6-qubit instance of this family; this builder
+    scales it to arbitrary n (grover(16) = a 30-qubit circuit — the
+    reference's hardware ceiling was n=22).
+    """
+    n = num_data_qubits
+    if not (0 <= marked < (1 << n)):
+        raise ValueError("marked state out of range")
+    anc = list(range(n, n + max(0, n - 2)))
+    c = Circuit(n + len(anc))
+    data = list(range(n))
+    if iterations is None:
+        iterations = max(1, int(round(math.pi / 4 * math.sqrt(1 << n))))
+
+    for q in data:
+        c.h(q)
+    for _ in range(iterations):
+        # oracle: phase-flip |marked>
+        for q in data:
+            if not (marked >> q) & 1:
+                c.x(q)
+        _controlled_z_all(c, data, anc)
+        for q in data:
+            if not (marked >> q) & 1:
+                c.x(q)
+        # diffusion
+        for q in data:
+            c.h(q)
+            c.x(q)
+        _controlled_z_all(c, data, anc)
+        for q in data:
+            c.x(q)
+            c.h(q)
+    return c
+
+
 _REFERENCE_DIR = "/root/reference"
 
 

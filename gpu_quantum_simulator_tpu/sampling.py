@@ -1,0 +1,83 @@
+"""Measurement sampling — on-device, no full-state transfer.
+
+The reference computes a cumulative distribution and inverse-CDF samples on
+the CPU after copying all 2^n amplitudes back (quantum_simulator.c:256-283,
+loop disabled at :68-73).  That stops working at the scale this framework
+targets: at n=30 the state is 8 GB.  Here the distribution, the CDF and the
+binary search all run on the TPU; only the sampled indices (a few KB) ever
+reach the host.
+
+Two-stage sampling keeps float32 CDFs accurate at large n: a single f32
+cumsum over 2^30 probabilities accumulates ~1e-5 error and biases the tail,
+so for n > STAGE_SPLIT_MIN the state is viewed as (rows, cols); stage 1
+samples a row from the row-mass CDF, stage 2 samples a column within that
+row.  Each cumsum is then over <= 2^15 terms.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+STAGE_SPLIT_MIN = 20
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _sample_direct(re, im, num_qubits, num_samples, key):
+    p = re * re + im * im
+    cdf = jnp.cumsum(p)
+    u = jax.random.uniform(key, (num_samples,), dtype=cdf.dtype, maxval=cdf[-1])
+    return jnp.searchsorted(cdf, u, side="right").astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _sample_two_stage(re, im, num_qubits, num_samples, key):
+    n = num_qubits
+    rows_bits = n // 2
+    rows, cols = 1 << rows_bits, 1 << (n - rows_bits)
+    p = (re * re + im * im).reshape(rows, cols)
+    row_mass = jnp.sum(p, axis=1)
+    row_cdf = jnp.cumsum(row_mass)
+    k1, k2 = jax.random.split(key)
+    u1 = jax.random.uniform(k1, (num_samples,), dtype=row_cdf.dtype, maxval=row_cdf[-1])
+    r = jnp.searchsorted(row_cdf, u1, side="right").astype(jnp.int32)
+    r = jnp.minimum(r, rows - 1)
+    # stage 2: per-sample CDF over the selected row
+    prow = p[r]                                  # (num_samples, cols)
+    col_cdf = jnp.cumsum(prow, axis=1)
+    u2 = jax.random.uniform(
+        k2, (num_samples, 1), dtype=col_cdf.dtype
+    ) * col_cdf[:, -1:]
+    c = jnp.sum(col_cdf < u2, axis=1).astype(jnp.int32)
+    c = jnp.minimum(c, cols - 1)
+    return (r.astype(jnp.int64) << (n - rows_bits)) | c.astype(jnp.int64)
+
+
+def sample_state_device(re, im, num_qubits: int, num_samples: int, seed: int = 0):
+    """Sample basis-state indices from a device-resident (re, im) state."""
+    key = jax.random.PRNGKey(seed)
+    if num_qubits <= STAGE_SPLIT_MIN:
+        idx = _sample_direct(re, im, num_qubits, num_samples, key)
+        return np.asarray(idx).astype(np.int64)
+    return np.asarray(_sample_two_stage(re, im, num_qubits, num_samples, key))
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _probs_topk(re, im, k):
+    p = re * re + im * im
+    vals, idx = jax.lax.top_k(p, k)
+    return vals, idx
+
+
+def top_amplitudes_device(re, im, k: int = 8):
+    """(probabilities, indices) of the k most likely outcomes, on-device."""
+    vals, idx = _probs_topk(re, im, k)
+    return np.asarray(vals), np.asarray(idx).astype(np.int64)
+
+
+@jax.jit
+def norm_device(re, im):
+    return jnp.sum(re * re) + jnp.sum(im * im)

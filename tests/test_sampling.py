@@ -1,0 +1,60 @@
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from gpu_quantum_simulator_tpu import models
+from gpu_quantum_simulator_tpu import sampling as S
+from gpu_quantum_simulator_tpu.config import SimulatorConfig
+from gpu_quantum_simulator_tpu.engine.simulator import Simulator
+from gpu_quantum_simulator_tpu.ops.apply import split_state
+from gpu_quantum_simulator_tpu.ref.cpu import simulate_reference
+
+
+def _device_state(circuit):
+    v = simulate_reference(circuit)
+    return split_state(v)
+
+
+def test_sample_direct_bell():
+    re, im = _device_state(models.bell())
+    s = S.sample_state_device(re, im, 2, 4000, seed=0)
+    assert set(np.unique(s)) <= {0, 3}
+    assert 0.45 < np.mean(s == 0) < 0.55
+
+
+def test_sample_two_stage_matches_distribution():
+    # force the two-stage path on a small, checkable state
+    import gpu_quantum_simulator_tpu.sampling as samp
+
+    c = models.random_circuit(8, 120, seed=2)
+    v = simulate_reference(c)
+    re, im = split_state(v)
+    idx = np.asarray(samp._sample_two_stage(re, im, 8, 20000, __import__("jax").random.PRNGKey(1)))
+    p_emp = np.bincount(idx, minlength=256) / 20000
+    p_true = np.abs(v) ** 2
+    # total-variation distance small
+    assert 0.5 * np.abs(p_emp - p_true).sum() < 0.05
+
+
+def test_top_amplitudes_grover():
+    c = models.load_reference_circuit("grover_3_18")
+    re, im = _device_state(c)
+    vals, idx = S.top_amplitudes_device(re, im, k=2)
+    assert set(idx.tolist()) == {3, 18}
+    assert np.all(vals > 0.49)
+
+
+def test_norm_device():
+    c = models.random_circuit(7, 100, seed=1)
+    re, im = _device_state(c)
+    assert abs(float(S.norm_device(re, im)) - 1.0) < 1e-5
+
+
+def test_simulator_run_device_roundtrip():
+    c = models.random_circuit(8, 80, seed=4)
+    sim = Simulator(SimulatorConfig(strategy="mxu"))
+    re, im, _ = sim.run_device(c)
+    got = np.asarray(re) + 1j * np.asarray(im)
+    want = simulate_reference(c)
+    np.testing.assert_allclose(got, want, atol=2e-5)
