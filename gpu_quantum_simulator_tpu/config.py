@@ -15,6 +15,7 @@ STRATEGIES = (
     "reference",   # NumPy complex128 ground truth (quantum_simulator.c semantics)
     "naive",       # one jitted device call per gate (ref: naive launch-per-gate)
     "fused2x2",    # host-side per-qubit 2x2 accumulation (ref: preproces)
+    "fused3in1",   # flush+flush+CNOT in one dispatch (ref: preproces_3in1, debugged)
     "fused4x4",    # pair state machine -> 4x4 blocks (ref: 4x4, its fastest)
     "megakernel",  # whole fused op-list unrolled into ONE jit (ref: constant/texture)
     "scan",        # recompile-free lax.scan over dense gate tables

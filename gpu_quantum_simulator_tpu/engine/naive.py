@@ -74,3 +74,52 @@ def run_oplist(ops, num_qubits: int, re, im, real_dtype=jnp.float32):
 @partial(jax.jit, static_argnums=(4, 5))
 def _apply_kq_jit(re, im, ur, ui, qubits, n):
     return apply.apply_kq(re, im, ur, ui, qubits, n)
+
+
+@partial(jax.jit, static_argnums=(6, 7, 8))
+def _apply_3in1(re, im, ucr, uci, utr, uti, c: int, t: int, n: int):
+    """flush(control acc) + flush(target acc) + CNOT in ONE dispatch."""
+    re, im = apply.apply_1q(re, im, ucr, uci, c, n)
+    re, im = apply.apply_1q(re, im, utr, uti, t, n)
+    return apply.apply_cnot(re, im, c, t, n)
+
+
+def run_3in1(circuit: Circuit, re, im, real_dtype=jnp.float32):
+    """The reference "preproces_3in1" ablation, done correctly.
+
+    The reference fuses both accumulator flushes and the CNOT into one
+    kernel launch but (a) forgets to reset the target's accumulator
+    (double-apply, quantum_simulator_preproces_3in1.cu:275) and (b) uses
+    block-local __syncthreads() between grid-wide phases (:163-173), so its
+    phases race.  Here the three stages are one traced program — XLA's
+    dataflow ordering makes the race structurally impossible — and both
+    accumulators reset.
+    """
+    n = circuit.num_qubits
+    eye = np.eye(2)
+    acc = [None] * n
+
+    def mats(a):
+        u = eye if a is None else a
+        return (
+            jnp.asarray(u.real, dtype=real_dtype),
+            jnp.asarray(u.imag, dtype=real_dtype),
+        )
+
+    for g in circuit.gates:
+        if g.is_cx:
+            c, t = g.qubits
+            ucr, uci = mats(acc[c])
+            utr, uti = mats(acc[t])
+            re, im = _apply_3in1(re, im, ucr, uci, utr, uti, c, t, n)
+            acc[c] = acc[t] = None
+        else:
+            q = g.qubits[0]
+            m = g.matrix()
+            acc[q] = m if acc[q] is None else m @ acc[q]
+
+    for q in range(n):
+        if acc[q] is not None:
+            ur, ui = mats(acc[q])
+            re, im = _apply_1q(re, im, ur, ui, q, n)
+    return re, im

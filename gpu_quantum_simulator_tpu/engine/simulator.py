@@ -140,6 +140,12 @@ class Simulator:
             re, im = run_oplist(ops, n, re, im, real_dtype)
             num_ops = len(ops)
 
+        elif cfg.strategy == "fused3in1":
+            from .naive import run_3in1
+
+            re, im = run_3in1(circuit, re, im, real_dtype)
+            num_ops = len(circuit)
+
         elif cfg.strategy == "fused4x4":
             from ..passes.fuse4x4 import fuse_4x4
             from .naive import run_oplist

@@ -14,7 +14,7 @@ from gpu_quantum_simulator_tpu.engine.simulator import Simulator
 from gpu_quantum_simulator_tpu.ir.circuit import Circuit
 from gpu_quantum_simulator_tpu.ref import cpu as REF
 
-ENGINES = ["naive", "fused2x2", "fused4x4", "megakernel", "scan", "mxu"]
+ENGINES = ["naive", "fused2x2", "fused3in1", "fused4x4", "megakernel", "scan", "mxu"]
 
 # float32 engines vs float64 ground truth: amplitude tolerance scales with
 # circuit depth; 1e-5 covers the deep (2445-gate) workloads comfortably.
