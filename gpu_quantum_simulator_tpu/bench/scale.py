@@ -37,12 +37,26 @@ def run_one(n: int, num_gates: int, runs: int, strategy: str, samples: int):
         s = sample_state_device(re, im, n, samples, seed=1)
         times.append(time.perf_counter() - t0)
     norm = float(norm_device(re, im))
+
+    # roofline accounting (SURVEY §5: report achieved fraction of the
+    # hardware bound; BASELINE.md targets >= 80% at the kernel level)
+    from ..passes.permute import plan_permutation
+    from ..engine.simulator import _fuse_pipeline
+    from ..utils.roofline import wide_program_cost
+
+    work = circuit.relabeled(plan_permutation(circuit))
+    ops = _fuse_pipeline(work, 7, max_high=2)
+    cost = wide_program_cost(ops, n)
+    med = statistics.median(times)
     return {
         "metric": "grover_profile_scale",
         "num_qubits": n,
         "num_gates": num_gates,
         "num_fused_ops": num_ops,
-        "seconds_median": round(statistics.median(times), 4),
+        "seconds_median": round(med, 4),
+        "roofline_seconds": round(cost.seconds(), 4),
+        "roofline_fraction": round(cost.seconds() / med, 4),
+        "arithmetic_intensity_flop_per_byte": round(cost.arithmetic_intensity, 2),
         "runs": runs,
         "samples": samples,
         "norm": round(norm, 6),

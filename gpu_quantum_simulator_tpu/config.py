@@ -21,6 +21,7 @@ STRATEGIES = (
     "scan",        # recompile-free lax.scan over dense gate tables
     "mxu",         # k-qubit fusion to 128x128 blocks on the MXU (TPU-native flagship)
     "pallas",      # mxu pipeline with hand-written Pallas kernels (Karatsuba matmul)
+    "vmem",        # whole circuit inside chunked Pallas kernels, state VMEM-resident (n<=19)
     "sharded",     # mesh-sharded state vector, all_to_all qubit swaps
 )
 

@@ -67,7 +67,7 @@ class Simulator:
         cfg = self.config
         perm = None
         work = circuit
-        if cfg.permute or cfg.strategy in ("mxu", "pallas", "sharded"):
+        if cfg.permute or cfg.strategy in ("mxu", "pallas", "vmem", "sharded"):
             from ..passes.permute import plan_permutation
 
             perm = plan_permutation(circuit)
@@ -193,6 +193,29 @@ class Simulator:
             from .pallas_engine import run_pallas
 
             re, im, num_ops, residual = run_pallas(circuit, self.config)
+
+        elif cfg.strategy == "vmem":
+            import jax
+
+            from .vmem import VMEM_MAX_QUBITS, build_vmem_program_cached
+
+            if n <= 7:
+                from ..passes.fuse_k import fuse_k
+                from ..passes.fuse4x4 import fuse_4x4
+                from .megakernel import build_megakernel
+
+                ops = fuse_k(fuse_4x4(circuit), max_qubits=n)
+                re, im = build_megakernel(ops, n, real_dtype)(re, im)
+            else:
+                if n > VMEM_MAX_QUBITS:
+                    raise ValueError(
+                        f"vmem strategy holds the state in VMEM: n <= "
+                        f"{VMEM_MAX_QUBITS} (got {n}); use mxu"
+                    )
+                ops = _fuse_pipeline(circuit, min(cfg.max_fused_qubits, 7), max_high=2)
+                interp = jax.default_backend() != "tpu"
+                re, im = build_vmem_program_cached(ops, n, real_dtype, interp)(re, im)
+            num_ops = len(ops)
 
         elif cfg.strategy == "sharded":
             from ..parallel.sharded import run_sharded

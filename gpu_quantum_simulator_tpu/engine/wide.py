@@ -84,53 +84,64 @@ def _apply_wide(re, im, bre, bim, perm, inv, D, nrow):
     return bwd(nre), bwd(nim)
 
 
+# Ops per compiled segment: one monolithic program for deep circuits
+# exhausts the (remote) compiler's memory at large n, so the op stream is
+# split into independently-jitted segments chained on-device — the same
+# shape as the reference's <=1927-op constant-memory rounds
+# (quantum_simulator_preproces_constant_only.cu:312-340).
+SEGMENT_OPS = 128
+
+
 class WideProgram:
     """A compiled wide-matmul circuit program + its device-resident tables."""
 
-    def __init__(self, ops: Sequence[Op], num_qubits: int, real_dtype=jnp.float32):
+    def __init__(self, ops: Sequence[Op], num_qubits: int, real_dtype=jnp.float32,
+                 segment_ops: int = SEGMENT_OPS):
         n = num_qubits
         assert n > LANE_QUBITS
         self.num_qubits = n
         nrow = n - LANE_QUBITS
+        dt = np.dtype(real_dtype)
 
         specs = [_op_spec(op, n) for op in ops]
-        # stack matrices per D so each becomes ONE device input
-        by_d: Dict[int, list] = {}
-        steps = []  # (D, index_within_bucket, perm, inv)
-        for kh, perm, inv, D, bre, bim in specs:
-            bucket = by_d.setdefault(D, [])
-            steps.append((D, len(bucket), tuple(perm), tuple(inv)))
-            bucket.append((bre, bim))
-        self._steps = steps
+        self._segments = []
+        for s0 in range(0, max(len(specs), 1), segment_ops):
+            seg = specs[s0 : s0 + segment_ops]
+            by_d: Dict[int, list] = {}
+            steps = []
+            for kh, perm, inv, D, bre, bim in seg:
+                bucket = by_d.setdefault(D, [])
+                steps.append((D, len(bucket), tuple(perm), tuple(inv)))
+                bucket.append((bre, bim))
+            d_order = sorted(by_d)
+            mats = []
+            for D in d_order:
+                mats.append(jnp.asarray(np.stack([m[0] for m in by_d[D]]).astype(dt)))
+                mats.append(jnp.asarray(np.stack([m[1] for m in by_d[D]]).astype(dt)))
 
-        dt = np.dtype(real_dtype)
-        self._mats = {}
-        for D, mats in by_d.items():
-            bre = np.stack([m[0] for m in mats]).astype(dt)
-            bim = np.stack([m[1] for m in mats]).astype(dt)
-            self._mats[D] = (jnp.asarray(bre), jnp.asarray(bim))
+            def make_kernel(steps=steps, d_order=d_order):
+                def kernel(re, im, *mat_args):
+                    lut = {
+                        D: (mat_args[2 * i], mat_args[2 * i + 1])
+                        for i, D in enumerate(d_order)
+                    }
+                    re = re.reshape(-1, LANES)
+                    im = im.reshape(-1, LANES)
+                    for D, idx, perm, inv in steps:
+                        bre, bim = lut[D]
+                        re, im = _apply_wide(
+                            re, im, bre[idx], bim[idx], list(perm), list(inv), D, nrow
+                        )
+                    return re.reshape(-1), im.reshape(-1)
 
-        d_order = sorted(self._mats)
-        self._d_order = d_order
+                return kernel
 
-        def kernel(re, im, *mat_args):
-            mats = {D: (mat_args[2 * i], mat_args[2 * i + 1]) for i, D in enumerate(d_order)}
-            re = re.reshape(-1, LANES)
-            im = im.reshape(-1, LANES)
-            for D, idx, perm, inv in steps:
-                bre, bim = mats[D]
-                re, im = _apply_wide(
-                    re, im, bre[idx], bim[idx], list(perm), list(inv), D, nrow
-                )
-            return re.reshape(-1), im.reshape(-1)
-
-        self._fn = jax.jit(kernel)
+            self._segments.append((jax.jit(make_kernel()), mats))
 
     def __call__(self, re, im):
-        args = []
-        for D in self._d_order:
-            args.extend(self._mats[D])
-        return self._fn(re, im, *args)
+        for fn, mats in self._segments:
+            re, im = fn(re, im, *mats)
+        return re, im
 
 
 _CACHE: dict = {}
