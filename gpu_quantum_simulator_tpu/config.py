@@ -37,6 +37,10 @@ class SimulatorConfig:
     permute: bool = False
     # max fused block width for the mxu strategy (7 -> 128x128 matrices).
     max_fused_qubits: int = 7
+    # MXU pass precision for f32 matmuls: "highest" (6 bf16 passes, default —
+    # full f32 accuracy) or "high" (3 passes, ~2x MXU throughput, ~1e-6
+    # relative error per op; fine for sampling workloads).
+    precision: str = "highest"
     # scan strategy pads op tables to the next multiple of this bucket size so
     # circuits of similar depth share one compiled executable.
     scan_bucket: int = 256
@@ -53,3 +57,5 @@ class SimulatorConfig:
             raise ValueError("dtype must be complex64 or complex128")
         if not (1 <= self.max_fused_qubits <= 10):
             raise ValueError("max_fused_qubits must be in [1, 10]")
+        if self.precision not in ("highest", "high", "default"):
+            raise ValueError("precision must be highest/high/default")

@@ -181,7 +181,9 @@ class Simulator:
                 from .wide import build_wide_program
 
                 ops = _fuse_pipeline(circuit, k, max_high=2)
-                re, im = build_wide_program(ops, n, real_dtype)(re, im)
+                re, im = build_wide_program(
+                    ops, n, real_dtype, precision=cfg.precision
+                )(re, im)
             else:
                 from .megakernel import build_megakernel
 

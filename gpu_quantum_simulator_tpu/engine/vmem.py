@@ -33,17 +33,6 @@ from .wide import LANE_QUBITS, LANES, _op_spec
 VMEM_MAX_QUBITS = 19
 
 
-def _row_bits_of_spec(perm, nrow, kh):
-    """Recover which row bits the op's high qubits occupy (ascending)."""
-    # perm = rest + h_axes, h_axes = axes of reversed(high);
-    # axis a corresponds to row bit nrow-1-a.
-    if kh == 0:
-        return []
-    h_axes = perm[len(perm) - kh:]
-    bits = sorted(nrow - 1 - a for a in h_axes)
-    return bits
-
-
     # One Pallas kernel per <=CHUNK_OPS-op segment: a single fully-unrolled
     # Mosaic program for a deep circuit exceeds compiler request limits, so
     # the circuit is chunked — the same shape as the reference's <=1927-op
@@ -82,11 +71,11 @@ def _build_vmem_chunk(ops: Sequence[Op], num_qubits: int, real_dtype=jnp.float32
 
     by_d: Dict[int, list] = {}
     steps = []  # (D, idx_in_bucket, row_bits tuple)
-    for kh, perm, inv, D, bre, bim in specs:
+    for kh, row_bits, D, bre, bim in specs:
         if kh > 2:
             raise ValueError("vmem program requires blocks with <= 2 high qubits")
         bucket = by_d.setdefault(D, [])
-        steps.append((D, len(bucket), tuple(_row_bits_of_spec(perm, nrow, kh))))
+        steps.append((D, len(bucket), tuple(row_bits)))
         # store transposed so the kernel right-multiplies with a plain dot
         bucket.append((bre.T.astype(dt), bim.T.astype(dt)))
 

@@ -30,7 +30,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ir.oplist import Op, expand_unitary
-from ..ops.apply import _PRECISION
 
 LANE_QUBITS = 7
 LANES = 1 << LANE_QUBITS
@@ -49,39 +48,67 @@ def _op_spec(op: Op, n: int):
     superset = tuple(range(min(LANE_QUBITS, n))) + tuple(high)
     big = expand_unitary(np.asarray(u, dtype=np.complex128), qs, superset)
 
-    nrow = n - LANE_QUBITS
-    axis_of_qubit = {LANE_QUBITS + b: nrow - 1 - b for b in range(nrow)}
-    h_axes = [axis_of_qubit[q] for q in reversed(high)]
-    rest = [ax for ax in range(nrow) if ax not in h_axes]
-    perm = rest + h_axes
-    inv = list(np.argsort(perm))
+    row_bits = tuple(q - LANE_QUBITS for q in high)  # ascending
     D = (1 << kh) * LANES
-    return kh, perm, inv, D, big.real, big.imag
+    return kh, row_bits, D, big.real, big.imag
 
 
-def _apply_wide(re, im, bre, bim, perm, inv, D, nrow):
-    """One block: rows-shuffle, right-matmul, inverse shuffle (traced)."""
-    identity_perm = perm == list(range(nrow))
-    shape_rows = (2,) * nrow
+def row_shuffles(row_bits, R):
+    """(fwd, bwd) moving the given row bits adjacent to the lane dim.
 
-    def fwd(x):
-        if identity_perm:
-            return x.reshape(-1, D)
-        t = x.reshape(shape_rows + (LANES,)).transpose(perm + [nrow])
-        return t.reshape(-1, D)
+    Low-rank forms (rank <= 6) — a generic (2,)*nrow transpose is rank-18 at
+    n=24 and blows up both XLA compile memory and runtime.  fwd flattens to
+    (-1, D); bwd restores (R, LANES).  D-index bit 7+j <-> row_bits[j]
+    (ascending), matching _op_spec's superset ordering.
+    """
+    kh = len(row_bits)
+    if kh == 0:
+        return (lambda x: x.reshape(-1, LANES)), (lambda t: t.reshape(R, LANES))
+    if kh == 1:
+        b1 = row_bits[0]
+        g, st = R >> (b1 + 1), 1 << b1
 
-    def bwd(t):
-        if identity_perm:
-            return t.reshape(-1, LANES)
-        t = t.reshape(tuple(2 for _ in perm) + (LANES,))
-        return t.transpose(inv + [nrow]).reshape(-1, LANES)
+        def fwd(x):
+            t = x.reshape(g, 2, st, LANES).transpose(0, 2, 1, 3)
+            return t.reshape(-1, 2 * LANES)
 
+        def bwd(t):
+            t = t.reshape(g, st, 2, LANES).transpose(0, 2, 1, 3)
+            return t.reshape(R, LANES)
+
+        return fwd, bwd
+    b1, b2 = row_bits
+    g = R >> (b2 + 1)
+    m = 1 << (b2 - b1 - 1)
+    st = 1 << b1
+
+    def fwd2(x):
+        t = x.reshape(g, 2, m, 2, st, LANES).transpose(0, 2, 4, 1, 3, 5)
+        return t.reshape(-1, 4 * LANES)
+
+    def bwd2(t):
+        t = t.reshape(g, m, st, 2, 2, LANES).transpose(0, 3, 1, 4, 2, 5)
+        return t.reshape(R, LANES)
+
+    return fwd2, bwd2
+
+
+def _apply_wide_karatsuba(re, im, m1, m2, m3, row_bits, D, R, precision):
+    """One block: rows-shuffle, 3-matmul complex right-multiply, inverse.
+
+    m1/m2/m3 are the host-precomputed (already transposed) Karatsuba
+    combinations  m1 = M_re^T,  m2 = (M_im - M_re)^T,  m3 = (M_re + M_im)^T,
+    giving  out = v @ M^T  with 3 MXU matmuls instead of 4:
+        t1 = (v_re + v_im) @ m1;  t2 = v_re @ m2;  t3 = v_im @ m3
+        out_re = t1 - t3;         out_im = t1 + t2
+    """
+    fwd, bwd = row_shuffles(row_bits, R)
     re_m, im_m = fwd(re), fwd(im)
-    mm = lambda a, b: jnp.matmul(a, b, precision=_PRECISION)
-    bret, bimt = bre.T, bim.T
-    nre = mm(re_m, bret) - mm(im_m, bimt)
-    nim = mm(im_m, bret) + mm(re_m, bimt)
-    return bwd(nre), bwd(nim)
+    mm = lambda a, b: jnp.matmul(a, b, precision=precision)
+    t1 = mm(re_m + im_m, m1)
+    t2 = mm(re_m, m2)
+    t3 = mm(im_m, m3)
+    return bwd(t1 - t3), bwd(t1 + t2)
 
 
 # Ops per compiled segment: one monolithic program for deep circuits
@@ -96,11 +123,11 @@ class WideProgram:
     """A compiled wide-matmul circuit program + its device-resident tables."""
 
     def __init__(self, ops: Sequence[Op], num_qubits: int, real_dtype=jnp.float32,
-                 segment_ops: int = SEGMENT_OPS):
+                 segment_ops: int = SEGMENT_OPS, precision: str = "highest"):
         n = num_qubits
         assert n > LANE_QUBITS
         self.num_qubits = n
-        nrow = n - LANE_QUBITS
+        R = 1 << (n - LANE_QUBITS)
         dt = np.dtype(real_dtype)
 
         specs = [_op_spec(op, n) for op in ops]
@@ -109,28 +136,37 @@ class WideProgram:
             seg = specs[s0 : s0 + segment_ops]
             by_d: Dict[int, list] = {}
             steps = []
-            for kh, perm, inv, D, bre, bim in seg:
+            for kh, row_bits, D, bre, bim in seg:
                 bucket = by_d.setdefault(D, [])
-                steps.append((D, len(bucket), tuple(perm), tuple(inv)))
-                bucket.append((bre, bim))
+                steps.append((D, len(bucket), tuple(row_bits)))
+                bucket.append(
+                    (
+                        np.ascontiguousarray(bre.T),
+                        np.ascontiguousarray((bim - bre).T),
+                        np.ascontiguousarray((bre + bim).T),
+                    )
+                )
             d_order = sorted(by_d)
             mats = []
             for D in d_order:
-                mats.append(jnp.asarray(np.stack([m[0] for m in by_d[D]]).astype(dt)))
-                mats.append(jnp.asarray(np.stack([m[1] for m in by_d[D]]).astype(dt)))
+                for c in range(3):
+                    mats.append(
+                        jnp.asarray(np.stack([m[c] for m in by_d[D]]).astype(dt))
+                    )
 
             def make_kernel(steps=steps, d_order=d_order):
                 def kernel(re, im, *mat_args):
                     lut = {
-                        D: (mat_args[2 * i], mat_args[2 * i + 1])
+                        D: (mat_args[3 * i], mat_args[3 * i + 1], mat_args[3 * i + 2])
                         for i, D in enumerate(d_order)
                     }
-                    re = re.reshape(-1, LANES)
-                    im = im.reshape(-1, LANES)
-                    for D, idx, perm, inv in steps:
-                        bre, bim = lut[D]
-                        re, im = _apply_wide(
-                            re, im, bre[idx], bim[idx], list(perm), list(inv), D, nrow
+                    re = re.reshape(R, LANES)
+                    im = im.reshape(R, LANES)
+                    for D, idx, row_bits in steps:
+                        m1, m2, m3 = lut[D]
+                        re, im = _apply_wide_karatsuba(
+                            re, im, m1[idx], m2[idx], m3[idx],
+                            row_bits, D, R, precision,
                         )
                     return re.reshape(-1), im.reshape(-1)
 
@@ -148,8 +184,9 @@ _CACHE: dict = {}
 _CACHE_LIMIT = 16
 
 
-def build_wide_program(ops: Sequence[Op], num_qubits: int, real_dtype=jnp.float32):
-    h = hashlib.sha256(f"{num_qubits}|{real_dtype}".encode())
+def build_wide_program(ops: Sequence[Op], num_qubits: int, real_dtype=jnp.float32,
+                       precision: str = "highest"):
+    h = hashlib.sha256(f"{num_qubits}|{real_dtype}|{precision}".encode())
     for op in ops:
         h.update(op.kind.encode())
         h.update(np.asarray(op.qubits, dtype=np.int64).tobytes())
@@ -158,7 +195,7 @@ def build_wide_program(ops: Sequence[Op], num_qubits: int, real_dtype=jnp.float3
     key = h.hexdigest()
     prog = _CACHE.get(key)
     if prog is None:
-        prog = WideProgram(ops, num_qubits, real_dtype)
+        prog = WideProgram(ops, num_qubits, real_dtype, precision=precision)
         if len(_CACHE) >= _CACHE_LIMIT:
             _CACHE.pop(next(iter(_CACHE)))
         _CACHE[key] = prog
