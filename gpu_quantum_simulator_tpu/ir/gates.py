@@ -27,7 +27,12 @@ from typing import Dict
 import numpy as np
 
 # Gate names with a 2x2 matrix (single-qubit). "cx" is handled structurally.
-SINGLE_QUBIT_GATES = ("id", "x", "sx", "z", "s", "sdg", "t", "tdg", "rz", "h")
+# The reference set is the first ten + cx; y/ry/rx/u/p are front-end
+# extensions (engines are matrix-driven, so they cost nothing).
+SINGLE_QUBIT_GATES = (
+    "id", "x", "sx", "z", "s", "sdg", "t", "tdg", "rz", "h",
+    "y", "ry", "rx", "u", "p",
+)
 TWO_QUBIT_GATES = ("cx",)
 ALL_GATES = SINGLE_QUBIT_GATES + TWO_QUBIT_GATES
 
@@ -45,6 +50,7 @@ _FIXED: Dict[str, np.ndarray] = {
     "t": np.array([[1, 0], [0, np.exp(1j * math.pi / 4)]], dtype=np.complex128),
     "tdg": np.array([[1, 0], [0, np.exp(-1j * math.pi / 4)]], dtype=np.complex128),
     "h": np.array([[_SQRT1_2, _SQRT1_2], [_SQRT1_2, -_SQRT1_2]], dtype=np.complex128),
+    "y": np.array([[0, -1j], [1j, 0]], dtype=np.complex128),
 }
 
 # The 4x4 CNOT in little-endian bit order for qubit pair (control=c, target=t):
@@ -67,9 +73,28 @@ CNOT_CONTROL_HIGH = np.array(
 
 def matrix_1q(name: str, params: tuple = ()) -> np.ndarray:
     """Return the 2x2 complex128 matrix for a single-qubit gate."""
-    if name == "rz":
+    if name in ("rz", "p"):
+        # reference phase convention: diag(1, e^{i theta})
         (theta,) = params
         return np.array([[1, 0], [0, np.exp(1j * theta)]], dtype=np.complex128)
+    if name == "ry":
+        (theta,) = params
+        c, s = math.cos(theta / 2), math.sin(theta / 2)
+        return np.array([[c, -s], [s, c]], dtype=np.complex128)
+    if name == "rx":
+        (theta,) = params
+        c, s = math.cos(theta / 2), math.sin(theta / 2)
+        return np.array([[c, -1j * s], [-1j * s, c]], dtype=np.complex128)
+    if name == "u":
+        theta, phi, lam = params
+        c, s = math.cos(theta / 2), math.sin(theta / 2)
+        return np.array(
+            [
+                [c, -np.exp(1j * lam) * s],
+                [np.exp(1j * phi) * s, np.exp(1j * (phi + lam)) * c],
+            ],
+            dtype=np.complex128,
+        )
     try:
         return _FIXED[name]
     except KeyError:

@@ -107,29 +107,7 @@ def grover_like(num_qubits: int, num_gates: int = 2445, seed: int = 318) -> Circ
     return random_circuit(num_qubits, num_gates, seed=seed, profile=GROVER_3_18_PROFILE)
 
 
-def _ccx(c: Circuit, a: int, b: int, t: int) -> None:
-    """Toffoli in the reference gate set (standard T-depth decomposition)."""
-    c.h(t)
-    c.cx(b, t)
-    c.tdg(t)
-    c.cx(a, t)
-    c.t(t)
-    c.cx(b, t)
-    c.tdg(t)
-    c.cx(a, t)
-    c.t(b)
-    c.t(t)
-    c.h(t)
-    c.cx(a, b)
-    c.tdg(b)
-    c.cx(a, b)
-    c.t(a)
-
-
-def _cz(c: Circuit, a: int, b: int) -> None:
-    c.h(b)
-    c.cx(a, b)
-    c.h(b)
+from ..ir.decompose import emit_ccx as _ccx, emit_cz as _cz  # shared decompositions
 
 
 def _controlled_z_all(c: Circuit, data, anc) -> None:

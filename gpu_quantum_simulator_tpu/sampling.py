@@ -81,3 +81,24 @@ def top_amplitudes_device(re, im, k: int = 8):
 @jax.jit
 def norm_device(re, im):
     return jnp.sum(re * re) + jnp.sum(im * im)
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _expectation_z(re, im, zmask, num_qubits):
+    p = re * re + im * im
+    idx = jnp.arange(1 << num_qubits, dtype=jnp.uint32)
+    # parity of the Z-string bits: +1 for even, -1 for odd
+    bits = idx & jnp.uint32(zmask)
+    par = bits
+    for shift in (16, 8, 4, 2, 1):
+        par = par ^ (par >> shift)
+    sign = 1.0 - 2.0 * (par & 1).astype(p.dtype)
+    return jnp.sum(p * sign)
+
+
+def expectation_z(re, im, qubits, num_qubits: int) -> float:
+    """<Z_{q1} Z_{q2} ...> of a device-resident state (no state transfer)."""
+    zmask = 0
+    for q in qubits:
+        zmask |= 1 << q
+    return float(_expectation_z(re, im, zmask, num_qubits))

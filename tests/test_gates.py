@@ -15,10 +15,12 @@ from gpu_quantum_simulator_tpu.ir.oplist import (
 )
 
 
+_TEST_PARAMS = {"rz": (0.7,), "p": (0.7,), "ry": (0.7,), "rx": (0.7,), "u": (0.7, 0.3, -1.1)}
+
+
 @pytest.mark.parametrize("name", G.SINGLE_QUBIT_GATES)
 def test_unitarity(name):
-    params = (0.7,) if name == "rz" else ()
-    u = G.matrix_1q(name, params)
+    u = G.matrix_1q(name, _TEST_PARAMS.get(name, ()))
     assert np.allclose(u @ u.conj().T, np.eye(2), atol=1e-14)
 
 
