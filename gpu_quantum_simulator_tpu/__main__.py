@@ -42,6 +42,8 @@ def main(argv=None) -> int:
         "--amplitudes", type=int, default=0, metavar="K",
         help="print the K largest-probability amplitudes",
     )
+    p.add_argument("--save-state", metavar="PATH", help="checkpoint the final state (.npz)")
+    p.add_argument("--load-state", metavar="PATH", help="resume from a checkpointed state")
     args = p.parse_args(argv)
 
     try:
@@ -50,11 +52,32 @@ def main(argv=None) -> int:
         print(f"ERROR while parsing quantum circuit: {exc}", file=sys.stderr)
         return 1
 
+    initial = None
+    if args.load_state:
+        from .utils.checkpoint import load_state
+
+        re0, im0, meta = load_state(args.load_state)
+        if meta["num_qubits"] != circuit.num_qubits:
+            print(
+                f"ERROR: checkpoint has {meta['num_qubits']} qubits, "
+                f"circuit has {circuit.num_qubits}", file=sys.stderr,
+            )
+            return 1
+        initial = re0 + 1j * im0
+
     cfg = SimulatorConfig(
         strategy=args.strategy, dtype=args.dtype, permute=args.permute
     )
     sim = Simulator(cfg)
-    res = sim.run_detailed(circuit)
+    res = sim.run_detailed(circuit, initial=initial)
+
+    if args.save_state:
+        from .utils.checkpoint import save_state
+
+        save_state(
+            args.save_state, res.state.real, res.state.imag, res.num_qubits,
+            meta={"circuit": args.circuit, "strategy": res.strategy},
+        )
 
     if args.json:
         print(

@@ -41,8 +41,8 @@ class Simulator:
         self.config = config or SimulatorConfig()
 
     # ------------------------------------------------------------------ API
-    def run(self, circuit: Circuit) -> np.ndarray:
-        return self.run_detailed(circuit).state
+    def run(self, circuit: Circuit, initial=None) -> np.ndarray:
+        return self.run_detailed(circuit, initial=initial).state
 
     def sample(self, circuit: Circuit, num_samples: int, seed: int = 0) -> np.ndarray:
         """Measurement sampling (ref: quantum_simulator.c:256-283).
@@ -58,11 +58,14 @@ class Simulator:
         state = self.run(circuit)
         return REF.sample(state, num_samples, np.random.default_rng(seed))
 
-    def run_device(self, circuit: Circuit):
+    def run_device(self, circuit: Circuit, initial=None):
         """Run and return DEVICE-resident (re, im) in the original basis.
 
         The big-n API: nothing of size 2^n crosses the device boundary; use
         sampling.py helpers (sample/top-k/norm) for measurement results.
+
+        ``initial``: optional complex state vector (original basis) to resume
+        from — e.g. a utils.checkpoint snapshot — instead of |0...0>.
         """
         cfg = self.config
         perm = None
@@ -76,7 +79,22 @@ class Simulator:
             else:
                 work = circuit.relabeled(perm)
 
-        re, im, num_ops, residual = self._execute(work)
+        initial_parts = None
+        if initial is not None:
+            iv = np.asarray(initial)
+            if iv.shape != (1 << circuit.num_qubits,):
+                raise ValueError("initial state has wrong length")
+            if perm is not None:
+                from ..passes.permute import unpermute_state
+
+                # map original-basis amplitudes into the relabeled basis
+                iv = unpermute_state(iv, np.argsort(perm))
+            initial_parts = (
+                np.ascontiguousarray(iv.real),
+                np.ascontiguousarray(iv.imag),
+            )
+
+        re, im, num_ops, residual = self._execute(work, initial_parts)
 
         # Compose the relabeling with any layout the engine left behind, and
         # undo both with one on-device transpose (the reference's permute
@@ -92,18 +110,18 @@ class Simulator:
             re, im = _unpermute_jit(re, im, tuple(int(p) for p in total))
         return re, im, num_ops
 
-    def run_detailed(self, circuit: Circuit) -> RunResult:
+    def run_detailed(self, circuit: Circuit, initial=None) -> RunResult:
         cfg = self.config
         t0 = time.perf_counter()
 
         if cfg.strategy == "reference":
-            state = REF.simulate_reference(circuit)
+            state = REF.simulate_reference(circuit, initial=initial)
             return RunResult(
                 state, circuit.num_qubits, len(circuit), len(circuit),
                 time.perf_counter() - t0, cfg.strategy,
             )
 
-        re, im, num_ops = self.run_device(circuit)
+        re, im, num_ops = self.run_device(circuit, initial=initial)
         state = A.join_state(np.asarray(re), np.asarray(im))
 
         return RunResult(
@@ -112,7 +130,7 @@ class Simulator:
         )
 
     # ------------------------------------------------------------- dispatch
-    def _execute(self, circuit: Circuit):
+    def _execute(self, circuit: Circuit, initial_parts=None):
         import jax.numpy as jnp
 
         cfg = self.config
@@ -122,7 +140,15 @@ class Simulator:
 
             jax.config.update("jax_enable_x64", True)
         n = circuit.num_qubits
-        re, im = A.initial_state_parts(n, dtype=real_dtype)
+        if initial_parts is not None:
+            if cfg.strategy in ("pallas", "sharded"):
+                raise NotImplementedError(
+                    f"initial-state resume is not wired into {cfg.strategy} yet"
+                )
+            re = jnp.asarray(initial_parts[0], dtype=real_dtype)
+            im = jnp.asarray(initial_parts[1], dtype=real_dtype)
+        else:
+            re, im = A.initial_state_parts(n, dtype=real_dtype)
 
         residual = None
 
