@@ -134,10 +134,92 @@ def unpermute_axes(perm) -> list:
 
 
 def unpermute_device(re, im, perm):
-    """Undo a qubit relabeling on-device (one fused XLA transpose each)."""
+    """Undo a qubit relabeling on-device.
+
+    For small n this is one fused transpose.  For large n a rank-n tensor of
+    2s is catastrophic — XLA pads the minor (2, 2) dims to (8, 128) tiles, a
+    64x memory blow-up (16 GB for a 256 MB state at n=26) — so the
+    permutation decomposes into bit transpositions, each executed in a
+    low-rank, tile-friendly form:
+
+      * row <-> row bit:   rank<=6 reshape/swapaxes (whole 512 B rows move)
+      * lane <-> lane bit: one 128x128 permutation matmul (exact in f32)
+      * lane <-> row bit:  rank-4 row shuffle + one 256x256 permutation matmul
+
+    At most n transpositions -> <= n HBM passes, once per run.
+    """
     n = len(perm)
-    axes = unpermute_axes(perm)
-    f = lambda x: x.reshape((2,) * n).transpose(axes).reshape(-1)
+    if n <= 14:  # 64x padding of a 2^14 array is 4 MB — the dense path is fine
+        axes = unpermute_axes(perm)
+        f = lambda x: x.reshape((2,) * n).transpose(axes).reshape(-1)
+        return f(re), f(im)
+
+    # position -> original qubit currently there (state given in relabeled
+    # basis: original q sits at position perm[q])
+    inv = np.argsort(np.asarray(perm))
+    qubit_at = [int(inv[p]) for p in range(n)]
+    pos_of = [int(p) for p in np.asarray(perm)]
+    for q in range(n):
+        p = pos_of[q]
+        if p == q:
+            continue
+        re, im = _swap_bits_device(re, im, q, p, n)
+        ql = qubit_at[q]
+        qubit_at[q], qubit_at[p] = q, ql
+        pos_of[q], pos_of[ql] = q, p
+    return re, im
+
+
+def _bitswap_perm_matrix(dim_bits: int, a: int, b: int, dtype=np.float32) -> np.ndarray:
+    idx = np.arange(1 << dim_bits)
+    ba, bb = (idx >> a) & 1, (idx >> b) & 1
+    swapped = (idx & ~((1 << a) | (1 << b))) | (bb << a) | (ba << b)
+    m = np.zeros((1 << dim_bits, 1 << dim_bits), dtype=dtype)
+    m[swapped, idx] = 1.0
+    return m
+
+
+def _swap_bits_device(re, im, a: int, b: int, n: int):
+    """Exchange bits a and b of the basis index (a < b) on (2^n,) arrays."""
+    assert a < b
+    R = 1 << (n - LANE_QUBITS)
+
+    if a >= LANE_QUBITS:  # row <-> row
+        rb1, rb2 = a - LANE_QUBITS, b - LANE_QUBITS
+        g = R >> (rb2 + 1)
+        m = 1 << (rb2 - rb1 - 1)
+        s = 1 << rb1
+
+        def f(x):
+            t = x.reshape(g, 2, m, 2, s, LANES)
+            return jnp.swapaxes(t, 1, 3).reshape(-1)
+
+        return f(re), f(im)
+
+    if b < LANE_QUBITS:  # lane <-> lane: 128x128 permutation matmul
+        p128 = _bitswap_perm_matrix(LANE_QUBITS, a, b)
+
+        def f(x):
+            # 'highest' is required for exactness: a plain bf16 pass would
+            # round the f32 amplitudes even against a 0/1 matrix
+            return jnp.matmul(
+                x.reshape(R, LANES), p128.T, precision=_PRECISION
+            ).reshape(-1)
+
+        return f(re), f(im)
+
+    # mixed: bring row bit adjacent to lanes (rank-4 shuffle), swap via a
+    # 256x256 permutation on (lane bit a) <-> (D bit 7), shuffle back
+    rb = b - LANE_QUBITS
+    g, s = R >> (rb + 1), 1 << rb
+    p256 = _bitswap_perm_matrix(LANE_QUBITS + 1, a, LANE_QUBITS)
+
+    def f(x):
+        t = x.reshape(g, 2, s, LANES).transpose(0, 2, 1, 3).reshape(-1, 2 * LANES)
+        t = jnp.matmul(t, p256.T, precision=_PRECISION)
+        t = t.reshape(g, s, 2, LANES).transpose(0, 2, 1, 3)
+        return t.reshape(-1)
+
     return f(re), f(im)
 
 
@@ -200,6 +282,7 @@ def apply_kq(re, im, ur, ui, qubits: Tuple[int, ...], num_qubits: int):
 
 
 LANE_QUBITS = 7   # low qubits living in the 128-lane dimension
+LANES = 1 << LANE_QUBITS
 MAX_HIGH = 3      # widen matrices over at most this many row qubits (D<=1024)
 
 
