@@ -169,50 +169,79 @@ void mm4(const double ar[16], const double ai[16], const double br[16],
 struct Emitter;  // fwd
 
 // k-fusion consumer of the 4x4 stage's output stream.
+//
+// Keeps a WINDOW of open blocks: an incoming op may be absorbed into an
+// older block B_i when its qubit support is disjoint from every block newer
+// than B_i (disjoint support => the op commutes past them), which packs
+// far more gates per block on wide circuits than single-block chaining.
+// Blocks are emitted in open order, so the product of the emitted list
+// equals the original gate stream.
 struct Emitter {
   FuseState* st;
-  Block block;
-  bool open = false;
+  std::vector<Block> blocks;  // open blocks, oldest first
+  int window = 4;
 
-  bool fits(const int* qs, int w) const {
-    if (!open) return false;
+  static bool fits(const FuseState* st, const Block& b, const int* qs, int w) {
     int extra = 0, high = 0;
-    for (int i = 0; i < block.width; ++i)
-      if (block.qubits[i] >= st->high_threshold) ++high;
+    for (int i = 0; i < b.width; ++i)
+      if (b.qubits[i] >= st->high_threshold) ++high;
     for (int i = 0; i < w; ++i) {
-      if (block.bit_of(qs[i]) < 0) {
+      if (b.bit_of(qs[i]) < 0) {
         ++extra;
         if (qs[i] >= st->high_threshold) ++high;
       }
     }
-    if (block.width + extra > st->max_qubits) return false;
+    if (b.width + extra > st->max_qubits) return false;
     if (st->max_high >= 0 && high > st->max_high) return false;
     return true;
   }
 
-  void flush() {
-    if (open && !is_identity(block)) st->out.push_back(block);
-    open = false;
+  static bool disjoint(const Block& b, const int* qs, int w) {
+    for (int i = 0; i < w; ++i)
+      if (b.bit_of(qs[i]) >= 0) return false;
+    return true;
   }
 
-  void push(const int* qs, int w, const double* ur, const double* ui) {
-    if (!open || !fits(qs, w)) {
-      if (open) flush();
-      if (!open) {
-        block.width = 0;
-        block.re.assign(1, 1.0);
-        block.im.assign(1, 0.0);
-        open = true;
-      }
-    }
+  void emit(const Block& b) {
+    if (!is_identity(b)) st->out.push_back(b);
+  }
+
+  void flush() {
+    for (const Block& b : blocks) emit(b);
+    blocks.clear();
+  }
+
+  static void absorb(Block& b, const int* qs, int w, const double* ur,
+                     const double* ui) {
     for (int i = 0; i < w; ++i)
-      if (block.bit_of(qs[i]) < 0) grow(block, qs[i]);
+      if (b.bit_of(qs[i]) < 0) grow(b, qs[i]);
     if (w == 1) {
-      absorb_1q(block, block.bit_of(qs[0]), ur, ui);
+      absorb_1q(b, b.bit_of(qs[0]), ur, ui);
     } else {
       const int a = qs[0] < qs[1] ? qs[0] : qs[1];
       const int b2 = qs[0] < qs[1] ? qs[1] : qs[0];
-      absorb_2q(block, block.bit_of(a), block.bit_of(b2), ur, ui);
+      absorb_2q(b, b.bit_of(a), b.bit_of(b2), ur, ui);
+    }
+  }
+
+  void push(const int* qs, int w, const double* ur, const double* ui) {
+    // newest -> oldest; absorb into the first candidate the op can reach
+    for (int i = (int)blocks.size() - 1; i >= 0; --i) {
+      if (fits(st, blocks[i], qs, w)) {
+        absorb(blocks[i], qs, w, ur, ui);
+        return;
+      }
+      if (!disjoint(blocks[i], qs, w)) break;  // cannot commute past B_i
+    }
+    Block b;
+    b.width = 0;
+    b.re.assign(1, 1.0);
+    b.im.assign(1, 0.0);
+    absorb(b, qs, w, ur, ui);
+    blocks.push_back(std::move(b));
+    if ((int)blocks.size() > window) {
+      emit(blocks.front());
+      blocks.erase(blocks.begin());
     }
   }
 };
@@ -395,14 +424,15 @@ const char* qsf_error() { return g_err.c_str(); }
 // Returns an opaque handle or null.
 void* qsf_fuse(int num_qubits, long long num_gates, const double* u_re,
                const double* u_im, const int* target, const int* control,
-               int max_qubits, int max_high, int high_threshold) {
+               int max_qubits, int max_high, int high_threshold, int window) {
   g_err.clear();
-  if (num_qubits < 1 || max_qubits < 2 || max_qubits > kMaxWidth) {
+  if (num_qubits < 1 || max_qubits < 2 || max_qubits > kMaxWidth || window < 1) {
     g_err = "bad arguments";
     return nullptr;
   }
   auto* p = new Pipeline();
   p->init(num_qubits, max_qubits, max_high, high_threshold);
+  p->em.window = window;
   for (long long g = 0; g < num_gates; ++g) {
     if (control[g] >= 0)
       p->push_cx(control[g], target[g]);

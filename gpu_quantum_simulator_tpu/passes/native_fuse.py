@@ -60,7 +60,7 @@ def get_lib() -> ctypes.CDLL:
             np.ctypeslib.ndpointer(dtype=np.float64),
             np.ctypeslib.ndpointer(dtype=np.int32),
             np.ctypeslib.ndpointer(dtype=np.int32),
-            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ]
         lib.qsf_num_ops.restype = ctypes.c_longlong
         lib.qsf_num_ops.argtypes = [ctypes.c_void_p]
@@ -93,12 +93,17 @@ def fuse_native(
     max_qubits: int = 7,
     max_high: Optional[int] = None,
     high_threshold: int = 7,
+    window: int = 8,
 ) -> List[Op]:
+    """Native fusion.  ``window``: number of concurrently-open blocks; an op
+    is absorbed into an older block when its support is disjoint from every
+    newer one (commutation-aware packing; window=1 = plain chaining)."""
     lib = get_lib()
     u_re, u_im, target, control = circuit.to_soa()
     h = lib.qsf_fuse(
         circuit.num_qubits, len(circuit), u_re, u_im, target, control,
         max_qubits, -1 if max_high is None else max_high, high_threshold,
+        window,
     )
     if not h:
         raise RuntimeError(lib.qsf_error().decode())

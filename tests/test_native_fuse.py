@@ -45,6 +45,26 @@ def test_native_fuse_matches_python_on_grover():
     )
 
 
+@pytest.mark.parametrize("window", [1, 2, 4, 16])
+@pytest.mark.parametrize("seed", [0, 3])
+def test_windowed_fusion_equivalence(window, seed):
+    # the commutation rule (absorb into older blocks past disjoint newer
+    # ones) must preserve the circuit unitary for ANY window
+    n = 6
+    c = models.random_circuit(n, 120, seed=seed)
+    want = _dense(circuit_to_ops(c), n)
+    ops = NF.fuse_native(c, max_qubits=4, max_high=2, high_threshold=3, window=window)
+    got = _dense(ops, n)
+    np.testing.assert_allclose(got, want, atol=1e-9)
+
+
+def test_window_reduces_op_count():
+    c = models.grover_like(18, 2445, seed=318)
+    n1 = len(NF.fuse_native(c, 7, 2, window=1))
+    n8 = len(NF.fuse_native(c, 7, 2, window=8))
+    assert n8 < n1
+
+
 def test_native_fuse_compresses():
     c = models.grover_like(10, 600, seed=3)
     ops = NF.fuse_native(c, max_qubits=7, max_high=2)
