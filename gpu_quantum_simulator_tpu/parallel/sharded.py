@@ -117,7 +117,11 @@ def run_sharded(circuit, config):
     local_n = n - d
 
     k = min(config.max_fused_qubits, local_n, n)
-    ops = fuse_k(fuse_4x4(circuit), max_qubits=k)
+    # cap blocks at 2 qubits above the lane region so the per-device apply
+    # keeps to wide matmuls (local positions >= 7 otherwise fall into
+    # apply_kq's slow dense path at large local_n)
+    max_high = 2 if local_n > 7 else None
+    ops = fuse_k(fuse_4x4(circuit), max_qubits=k, max_high=max_high)
     plan = plan_sharded(ops, n, d)
 
     real_dtype = jnp.float32 if config.dtype == "complex64" else jnp.float64

@@ -72,9 +72,11 @@ def plan_sharded(ops: Sequence[Op], num_qubits: int, num_global: int) -> ShardPl
             p = pos_of[q]
             if p < local_n:
                 continue
-            # q is global: swap with the coldest local position not used by op
+            # q is global: swap with the coldest local position not used by
+            # the op, preferring lane-region slots (< 7) so the per-device
+            # apply stays on the wide-matmul fast path
             cands = [l for l in range(local_n) if qubit_at[l] not in qs]
-            victim = min(cands, key=lambda l: (remaining[qubit_at[l]], l))
+            victim = min(cands, key=lambda l: (remaining[qubit_at[l]], l >= 7, l))
             items.append(SwapItem(p, victim))
             num_swaps += 1
             ql = qubit_at[victim]
