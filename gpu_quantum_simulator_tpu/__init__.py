@@ -25,6 +25,13 @@ from .ir import gates
 from .qasm.parser import parse_qasm, parse_qasm_file
 from .engine.simulator import Simulator, simulate
 from .config import SimulatorConfig
+from . import models
+from .sampling import (
+    expectation_z,
+    norm_device,
+    sample_state_device,
+    top_amplitudes_device,
+)
 
 __version__ = "0.1.0"
 
@@ -32,9 +39,14 @@ __all__ = [
     "Gate",
     "Circuit",
     "gates",
+    "models",
     "parse_qasm",
     "parse_qasm_file",
     "Simulator",
     "simulate",
     "SimulatorConfig",
+    "sample_state_device",
+    "top_amplitudes_device",
+    "expectation_z",
+    "norm_device",
 ]

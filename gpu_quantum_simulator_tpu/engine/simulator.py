@@ -110,6 +110,106 @@ class Simulator:
             re, im = _unpermute_jit(re, im, tuple(int(p) for p in total))
         return re, im, num_ops
 
+    def run_device_iterated(
+        self,
+        body: Circuit,
+        repetitions: int,
+        prefix: Optional[Circuit] = None,
+        suffix: Optional[Circuit] = None,
+    ):
+        """Run ``prefix; body^repetitions; suffix`` compiling each part ONCE.
+
+        Structured deep circuits (Grover iterations, Trotter steps, QAOA
+        layers) repeat one block many times; compiling the unrolled circuit
+        costs `repetitions` times more than compiling the block.  Here the
+        body program is built once and iterated over device-resident state
+        (one ~0.5 ms dispatch per repetition).  All parts share one qubit
+        relabeling so no basis shuffling happens between repetitions.
+
+        Supported strategies: the program-building ones (mxu, vmem,
+        megakernel).  Returns device (re, im) in the original basis.
+        """
+        cfg = self.config
+        if cfg.strategy not in ("mxu", "vmem", "megakernel"):
+            raise ValueError(
+                f"run_device_iterated supports mxu/vmem/megakernel, "
+                f"not {cfg.strategy!r}"
+            )
+        n = body.num_qubits
+        for part in (prefix, suffix):
+            if part is not None and part.num_qubits != n:
+                raise ValueError("all parts must have the same qubit count")
+
+        # one relabeling across all parts (usage summed)
+        perm = None
+        if cfg.permute or cfg.strategy in ("mxu", "vmem"):
+            from ..passes.permute import plan_permutation
+
+            merged = Circuit(n)
+            for part in (prefix, body, suffix):
+                if part is not None:
+                    merged.gates.extend(part.gates)
+            perm = plan_permutation(merged)
+            if np.array_equal(perm, np.arange(n)):
+                perm = None
+
+        def relabel(part):
+            if part is None or perm is None:
+                return part
+            return part.relabeled(perm)
+
+        import jax.numpy as jnp
+
+        real_dtype = jnp.float32 if cfg.dtype == "complex64" else jnp.float64
+        re, im = A.initial_state_parts(n, dtype=real_dtype)
+        total_ops = 0
+        programs = []
+        for part, reps in (
+            (relabel(prefix), 1),
+            (relabel(body), repetitions),
+            (relabel(suffix), 1),
+        ):
+            if part is None or reps == 0:
+                continue
+            fn, nops = self._build_program(part, real_dtype)
+            programs.append((fn, reps, nops))
+            total_ops += nops * reps
+        for fn, reps, _ in programs:
+            for _ in range(reps):
+                re, im = fn(re, im)
+
+        if perm is not None:
+            re, im = _unpermute_jit(re, im, tuple(int(p) for p in perm))
+        return re, im, total_ops
+
+    def _build_program(self, circuit: Circuit, real_dtype):
+        """(compiled (re,im)->(re,im) program, num_ops) for program strategies."""
+        cfg = self.config
+        n = circuit.num_qubits
+        if cfg.strategy == "megakernel" or n <= 7:
+            from ..passes.fuse4x4 import fuse_4x4
+            from .megakernel import build_megakernel
+
+            ops = fuse_4x4(circuit) if cfg.strategy == "megakernel" else (
+                _fuse_pipeline(circuit, min(cfg.max_fused_qubits, n), max_high=None)
+            )
+            return build_megakernel(ops, n, real_dtype), len(ops)
+        if cfg.strategy == "vmem":
+            import jax
+
+            from .vmem import VMEM_MAX_QUBITS, build_vmem_program_cached
+
+            if n > VMEM_MAX_QUBITS:
+                raise ValueError(f"vmem requires n <= {VMEM_MAX_QUBITS}")
+            ops = _fuse_pipeline(circuit, min(cfg.max_fused_qubits, 7), max_high=2)
+            interp = jax.default_backend() != "tpu"
+            return build_vmem_program_cached(ops, n, real_dtype, interp), len(ops)
+        # mxu
+        from .wide import build_wide_program
+
+        ops = _fuse_pipeline(circuit, min(cfg.max_fused_qubits, n), max_high=2)
+        return build_wide_program(ops, n, real_dtype, precision=cfg.precision), len(ops)
+
     def run_detailed(self, circuit: Circuit, initial=None) -> RunResult:
         cfg = self.config
         t0 = time.perf_counter()

@@ -47,7 +47,7 @@ def build_vmem_program(ops: Sequence[Op], num_qubits: int, real_dtype=jnp.float3
     # every request under the compiler's size limit; arrays stay on device
     # between chunk dispatches (~0.5 ms each)
     chunks = [
-        jax.jit(_build_vmem_chunk(ops[i : i + chunk_ops], num_qubits, real_dtype, interpret))
+        jax.jit(_build_vmem_chunk(ops[i : i + chunk_ops], num_qubits, real_dtype, interpret), donate_argnums=(0, 1))
         for i in range(0, len(ops), chunk_ops)
     ]
 

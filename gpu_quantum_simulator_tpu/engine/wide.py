@@ -172,7 +172,11 @@ class WideProgram:
 
                 return kernel
 
-            self._segments.append((jax.jit(make_kernel()), mats))
+            # donate the state pair: XLA reuses the buffers across the
+            # segment chain, halving live HBM (decisive at n >= 28)
+            self._segments.append(
+                (jax.jit(make_kernel(), donate_argnums=(0, 1)), mats)
+            )
 
     def __call__(self, re, im):
         for fn, mats in self._segments:

@@ -1,5 +1,6 @@
 from .circuits import (
     grover,
+    grover_parts,
     bell,
     ghz,
     qft,
@@ -11,6 +12,7 @@ from .circuits import (
 
 __all__ = [
     "grover",
+    "grover_parts",
     "bell",
     "ghz",
     "qft",

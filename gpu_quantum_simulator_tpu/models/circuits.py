@@ -129,6 +129,48 @@ def _controlled_z_all(c: Circuit, data, anc) -> None:
     _ccx(c, data[0], data[1], anc[0])
 
 
+def grover_parts(
+    num_data_qubits: int,
+    marked: int,
+    iterations: Optional[int] = None,
+):
+    """(prefix, body, iterations) for Grover search — body is ONE iteration.
+
+    Use with ``Simulator.run_device_iterated(body, iterations, prefix=...)``
+    so the iteration block compiles once regardless of depth.
+    """
+    n = num_data_qubits
+    if not (0 <= marked < (1 << n)):
+        raise ValueError("marked state out of range")
+    anc = list(range(n, n + max(0, n - 2)))
+    data = list(range(n))
+    if iterations is None:
+        iterations = max(1, int(round(math.pi / 4 * math.sqrt(1 << n))))
+
+    prefix = Circuit(n + len(anc))
+    for q in data:
+        prefix.h(q)
+
+    body = Circuit(n + len(anc))
+    # oracle: phase-flip |marked>
+    for q in data:
+        if not (marked >> q) & 1:
+            body.x(q)
+    _controlled_z_all(body, data, anc)
+    for q in data:
+        if not (marked >> q) & 1:
+            body.x(q)
+    # diffusion
+    for q in data:
+        body.h(q)
+        body.x(q)
+    _controlled_z_all(body, data, anc)
+    for q in data:
+        body.x(q)
+        body.h(q)
+    return prefix, body, iterations
+
+
 def grover(
     num_data_qubits: int,
     marked: int,
@@ -142,34 +184,10 @@ def grover(
     scales it to arbitrary n (grover(16) = a 30-qubit circuit — the
     reference's hardware ceiling was n=22).
     """
-    n = num_data_qubits
-    if not (0 <= marked < (1 << n)):
-        raise ValueError("marked state out of range")
-    anc = list(range(n, n + max(0, n - 2)))
-    c = Circuit(n + len(anc))
-    data = list(range(n))
-    if iterations is None:
-        iterations = max(1, int(round(math.pi / 4 * math.sqrt(1 << n))))
-
-    for q in data:
-        c.h(q)
+    prefix, body, iterations = grover_parts(num_data_qubits, marked, iterations)
+    c = Circuit(prefix.num_qubits, list(prefix.gates))
     for _ in range(iterations):
-        # oracle: phase-flip |marked>
-        for q in data:
-            if not (marked >> q) & 1:
-                c.x(q)
-        _controlled_z_all(c, data, anc)
-        for q in data:
-            if not (marked >> q) & 1:
-                c.x(q)
-        # diffusion
-        for q in data:
-            c.h(q)
-            c.x(q)
-        _controlled_z_all(c, data, anc)
-        for q in data:
-            c.x(q)
-            c.h(q)
+        c.gates.extend(body.gates)
     return c
 
 
