@@ -163,7 +163,6 @@ class Simulator:
         real_dtype = jnp.float32 if cfg.dtype == "complex64" else jnp.float64
         re, im = A.initial_state_parts(n, dtype=real_dtype)
         total_ops = 0
-        programs = []
         for part, reps in (
             (relabel(prefix), 1),
             (relabel(body), repetitions),
@@ -172,11 +171,14 @@ class Simulator:
             if part is None or reps == 0:
                 continue
             fn, nops = self._build_program(part, real_dtype)
-            programs.append((fn, reps, nops))
             total_ops += nops * reps
-        for fn, reps, _ in programs:
-            for _ in range(reps):
-                re, im = fn(re, im)
+            if reps > 1 and cfg.strategy == "mxu" and hasattr(fn, "pure_chain"):
+                # loop ON DEVICE: one dispatch and one compile for all
+                # repetitions (per-dispatch latency otherwise dominates)
+                re, im = _scan_program(fn, reps)(re, im)
+            else:
+                for _ in range(reps):
+                    re, im = fn(re, im)
 
         if perm is not None:
             re, im = _unpermute_jit(re, im, tuple(int(p) for p in perm))
@@ -355,6 +357,37 @@ class Simulator:
 
         re.block_until_ready()
         return re, im, num_ops, residual
+
+
+def _scan_program(prog, reps: int):
+    """Wrap a WideProgram in an on-device lax.scan over `reps` applications.
+
+    Compiled once per (program, reps); cached on the program object (which
+    build_wide_program itself caches by op-list fingerprint).
+    """
+    cache = getattr(prog, "_scan_cache", None)
+    if cache is None:
+        cache = prog._scan_cache = {}
+    entry = cache.get(reps)
+    if entry is not None:
+        return entry
+
+    import jax
+
+    fn_pure, mats = prog.pure_chain()
+
+    @jax.jit
+    def scanned(re, im, *mat_args):
+        def step(carry, _):
+            r, i = carry
+            return fn_pure(r, i, *mat_args), None
+
+        (re, im), _ = jax.lax.scan(step, (re, im), None, length=reps)
+        return re, im
+
+    fn = lambda re, im: scanned(re, im, *mats)
+    cache[reps] = fn
+    return fn
 
 
 _NATIVE_FUSE = None  # tri-state: None unknown, False unavailable, module

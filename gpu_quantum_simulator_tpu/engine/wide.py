@@ -174,14 +174,32 @@ class WideProgram:
 
             # donate the state pair: XLA reuses the buffers across the
             # segment chain, halving live HBM (decisive at n >= 28)
-            self._segments.append(
-                (jax.jit(make_kernel(), donate_argnums=(0, 1)), mats)
-            )
+            kern = make_kernel()
+            self._raw_segments = getattr(self, "_raw_segments", [])
+            self._raw_segments.append((kern, mats))
+            self._segments.append((jax.jit(kern, donate_argnums=(0, 1)), mats))
 
     def __call__(self, re, im):
         for fn, mats in self._segments:
             re, im = fn(re, im, *mats)
         return re, im
+
+    def pure_chain(self):
+        """(unjitted fn(re, im, *all_mats), flat mats list) applying every
+        segment — for embedding the whole program in lax.scan/other traces.
+        Intended for modest op counts (e.g. one algorithm iteration)."""
+        kernels = [k for k, _ in self._raw_segments]
+        counts = [len(m) for _, m in self._raw_segments]
+        flat = [a for _, m in self._raw_segments for a in m]
+
+        def fn(re, im, *mats):
+            i = 0
+            for kern, cnt in zip(kernels, counts):
+                re, im = kern(re, im, *mats[i : i + cnt])
+                i += cnt
+            return re, im
+
+        return fn, flat
 
 
 _CACHE: dict = {}
