@@ -93,11 +93,17 @@ def fuse_native(
     max_qubits: int = 7,
     max_high: Optional[int] = None,
     high_threshold: int = 7,
-    window: int = 8,
+    window: int = 1,
 ) -> List[Op]:
     """Native fusion.  ``window``: number of concurrently-open blocks; an op
     is absorbed into an older block when its support is disjoint from every
-    newer one (commutation-aware packing; window=1 = plain chaining)."""
+    newer one (commutation-aware packing; window=1 = plain chaining).
+
+    Default is 1: wider windows cut the op count (~-25%) but shift the mix
+    toward maximal-D blocks, which measured SLOWER at n=18 (0.21 -> 0.37 s)
+    under the wide-matmul engine — packing density is not free when block
+    cost scales 4x with each extra high qubit.  Revisit with a cost model
+    (docs/ROADMAP.md #5)."""
     lib = get_lib()
     u_re, u_im, target, control = circuit.to_soa()
     h = lib.qsf_fuse(
