@@ -158,9 +158,7 @@ class Simulator:
                 return part
             return part.relabeled(perm)
 
-        import jax.numpy as jnp
-
-        real_dtype = jnp.float32 if cfg.dtype == "complex64" else jnp.float64
+        real_dtype = _init_real_dtype(cfg)
         re, im = A.initial_state_parts(n, dtype=real_dtype)
         total_ops = 0
         for part, reps in (
@@ -236,11 +234,7 @@ class Simulator:
         import jax.numpy as jnp
 
         cfg = self.config
-        real_dtype = jnp.float32 if cfg.dtype == "complex64" else jnp.float64
-        if cfg.dtype == "complex128":
-            import jax
-
-            jax.config.update("jax_enable_x64", True)
+        real_dtype = _init_real_dtype(cfg)
         n = circuit.num_qubits
         if initial_parts is not None:
             if cfg.strategy in ("pallas", "sharded"):
@@ -359,6 +353,17 @@ class Simulator:
         return re, im, num_ops, residual
 
 
+def _init_real_dtype(cfg: SimulatorConfig):
+    """Resolve cfg.dtype to the real component dtype, enabling x64 if needed."""
+    import jax
+    import jax.numpy as jnp
+
+    if cfg.dtype == "complex128":
+        jax.config.update("jax_enable_x64", True)
+        return jnp.float64
+    return jnp.float32
+
+
 def _scan_program(prog, reps: int):
     """Wrap a WideProgram in an on-device lax.scan over `reps` applications.
 
@@ -403,6 +408,9 @@ def _fuse_pipeline(circuit: Circuit, max_qubits: int, max_high):
             _NATIVE_FUSE = nf if nf.available() else False
         except Exception:
             _NATIVE_FUSE = False
+    # The native fuser requires max_qubits >= 2 (csrc/qsim_fuse.cpp rejects
+    # smaller); clamping is harmless since fused blocks never exceed n qubits.
+    max_qubits = max(2, max_qubits)
     if _NATIVE_FUSE:
         return _NATIVE_FUSE.fuse_native(circuit, max_qubits, max_high)
     from ..passes.fuse4x4 import fuse_4x4

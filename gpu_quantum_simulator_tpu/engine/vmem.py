@@ -153,7 +153,7 @@ def _build_vmem_chunk(ops: Sequence[Op], num_qubits: int, real_dtype=jnp.float32
                 a_re, a_im = fwd2(vre), fwd2(vim)
 
             dot = lambda a, m2: jnp.dot(
-                a, m2, preferred_element_type=jnp.float32,
+                a, m2, preferred_element_type=dt,
                 precision=jax.lax.Precision.HIGHEST,
             )
             o_re = dot(a_re, mret) - dot(a_im, mimt)

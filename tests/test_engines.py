@@ -72,6 +72,37 @@ def test_permute_option_returns_original_basis(strategy):
     np.testing.assert_allclose(got, want, atol=TOL_F32)
 
 
+@pytest.mark.parametrize("strategy", ENGINES)
+def test_single_qubit_circuit(strategy):
+    # regression: the native fuser rejects max_qubits < 2; the pipeline must
+    # clamp rather than crash on 1-qubit circuits (ADVICE r1 #1)
+    c = Circuit(1).h(0).t(0).h(0)
+    got = _run(strategy, c)
+    want = REF.simulate_reference(c)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_max_fused_qubits_one():
+    c = models.random_circuit(4, 40, seed=5)
+    got = _run("mxu", c, max_fused_qubits=1)
+    np.testing.assert_allclose(got, REF.simulate_reference(c), atol=1e-6)
+
+
+def test_iterated_complex128_actually_f64():
+    # regression: run_device_iterated with complex128 must enable x64 like
+    # _execute does (ADVICE r1 #3)
+    sim = Simulator(SimulatorConfig(strategy="mxu", dtype="complex128"))
+    body = models.random_circuit(4, 20, seed=9)
+    re, im, _ = sim.run_device_iterated(body, repetitions=2)
+    assert np.asarray(re).dtype == np.float64
+    merged = Circuit(4)
+    merged.gates.extend(body.gates)
+    merged.gates.extend(body.gates)
+    want = REF.simulate_reference(merged)
+    got = np.asarray(re) + 1j * np.asarray(im)
+    np.testing.assert_allclose(got, want, atol=1e-9)
+
+
 def test_cnot_nonadjacent_and_reversed():
     for (ctl, tgt) in [(0, 3), (3, 0), (1, 4), (4, 2)]:
         c = Circuit(5).x(ctl).cx(ctl, tgt)
