@@ -20,6 +20,7 @@ STRATEGIES = (
     "megakernel",  # whole fused op-list unrolled into ONE jit (ref: constant/texture)
     "scan",        # recompile-free lax.scan over dense gate tables
     "mxu",         # k-qubit fusion to 128x128 blocks on the MXU (TPU-native flagship)
+    "prefetch",    # recompile-free: one Pallas kernel per (n, cap), runtime op tables
     "pallas",      # mxu pipeline with hand-written Pallas kernels (Karatsuba matmul)
     "vmem",        # whole circuit inside chunked Pallas kernels, state VMEM-resident (n<=19)
     "sharded",     # mesh-sharded state vector, all_to_all qubit swaps

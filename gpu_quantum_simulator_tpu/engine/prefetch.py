@@ -1,0 +1,624 @@
+"""Prefetch engine: recompile-free execution from runtime op tables.
+
+The reference's only recompile-free design is the constant-memory re-upload
+loop: one fixed kernel, new gate tables uploaded per round
+(quantum_simulator_preproces_constant_only.cu:312-340).  Its first XLA
+analog here (engine/scan.py) pays ~100x for dynamic per-amplitude gathers.
+This engine is that idea at MXU speed — compiled ONCE per (n, capacity,
+depth-bucket), never per circuit:
+
+* State pair: (R2, 256) float32, R2 = 2^(n-8).  The low 7 qubits are lanes,
+  qubit 7 the column-half bit: qubits 0..7 form the MATMUL WINDOW on which
+  any gate block is a dense 256x256 matrix applied as ``rows @ M^T`` per
+  row tile — one MXU contraction (two tiles) per fused op.
+* One Pallas kernel call executes a BLOCK of up to ``CAP_STEPS`` steps per
+  state round-trip: the state streams through VMEM in (T, 256) tiles and
+  the whole step list runs on each tile.  A step (SMEM-scalar encoded) is
+    - ``mat``:   multiply by runtime table slot midx[j] (VMEM-resident),
+    - ``tswap``: exchange qubit 7 with qubit 7+k, k <= log2 T — the pair
+      lives INSIDE the tile, a pure VMEM shuffle, no HBM traffic,
+    - ``perm``:  exchange lane qubit v with qubit 7 — a 256x256 0/1 matrix
+      from a PROCESS-WIDE constant table (7 matrices, uploaded once ever).
+* Swaps with qubits ABOVE the tile span ride the next block's input DMA:
+  the input index map (scalar-prefetch driven) reads each (T, 128) column
+  half through the swap permutation, so even the coldest-qubit swaps cost
+  zero extra passes and zero extra dispatches.
+* The whole circuit executes as lax.scan chains over stacked block tables
+  (greedy power-of-2 chunks), so a 2445-gate circuit is a handful of
+  dispatches and every executable is reused by ANY later circuit at the
+  same width — the TPU-scale version of re-uploading ``__constant__``
+  tables, with none of the reference's 1927-op ceiling.
+
+The planner is the corrected generalization of the reference's relabeling
+histogram (quantum_simulator_preproces_permute.cu:388-413; defects #5-#7
+fixed): exact remaining-use victim choice, results restored to the original
+basis by the Simulator via ``final_position``.
+
+Complex multiply is the 3-matmul Karatsuba form; tables ship as
+(M_re^T, M_im^T) and the two combinations are formed on the VPU in-kernel
+(65K adds vs 33M MACs per op-tile), keeping H2D at 512 KB per op.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass, field
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ir.oplist import Op, op_matrix
+
+LANE_QUBITS = 7
+LANES = 1 << LANE_QUBITS
+LOCAL_QUBITS = 8              # matmul window: lanes + the column-half qubit 7
+DVIEW = 1 << LOCAL_QUBITS     # 256
+TILE_ROWS = 512               # state rows of 256 per grid step
+CAP_STEPS = 48                # steps (mats + tswaps + perms) per block
+CAP_MATS = 12                 # 2 tables x 12 x 256 KB = 6 MB VMEM
+MIN_QUBITS = 9                # below this the megakernel path is used
+
+
+def tile_rows(n: int) -> int:
+    return min(TILE_ROWS, 1 << (n - LOCAL_QUBITS))
+
+
+_EXPAND_CACHE: dict = {}
+
+
+def _expand_index(positions: Tuple[int, ...]):
+    """(flat gather index, float mask) for embedding over ``positions``."""
+    got = _EXPAND_CACHE.get(positions)
+    if got is not None:
+        return got
+    idx = np.arange(DVIEW)
+    m = np.zeros(DVIEW, dtype=np.int64)
+    used = 0
+    for j, p in enumerate(positions):
+        m |= ((idx >> p) & 1) << j
+        used |= 1 << p
+    h = np.zeros(DVIEW, dtype=np.int64)
+    shift = 0
+    for p in range(LOCAL_QUBITS):
+        if not (used >> p) & 1:
+            h |= ((idx >> p) & 1) << shift
+            shift += 1
+    dim = 1 << len(positions)
+    # transposed embedding: out_T[i2, i1] = u[m(i1), m(i2)]
+    flat = (m[None, :] * dim + m[:, None]).astype(np.int32)
+    mask = (h[:, None] == h[None, :]).astype(np.float32)
+    if len(_EXPAND_CACHE) > 1024:
+        _EXPAND_CACHE.clear()
+    _EXPAND_CACHE[positions] = (flat, mask)
+    return flat, mask
+
+
+def _expand_local_into(
+    u: np.ndarray, positions: Sequence[int], out_re: np.ndarray, out_im: np.ndarray
+) -> None:
+    """Write (M_re^T, M_im^T) of ``u`` embedded in the 8-bit window into
+    preallocated float32 views (no fresh 256x256 temporaries — planning a
+    deep circuit writes hundreds of MB of tables, so every avoided copy and
+    page fault counts on the host).
+
+    Vectorized replacement for expand_unitary+permute_basis (whose rank-16
+    reshapes copied ~1 MB/op and dominated planning): with
+    m(i) = sum_j bit_{positions[j]}(i) << j and h(i) the remaining bits,
+    M[i1, i2] = u[m(i1), m(i2)] * (h(i1) == h(i2)).  ``positions`` may be
+    unsorted — that folds the basis reordering in for free.
+    """
+    flat, mask = _expand_index(tuple(positions))
+    ur = np.ascontiguousarray(u.real, dtype=out_re.dtype)
+    ui = np.ascontiguousarray(u.imag, dtype=out_im.dtype)
+    np.take(ur.ravel(), flat, out=out_re)
+    out_re *= mask
+    np.take(ui.ravel(), flat, out=out_im)
+    out_im *= mask
+
+
+def _perm_matrix_256(a: int, b: int) -> np.ndarray:
+    """0/1 matrix exchanging bits a and b of the window index (symmetric)."""
+    idx = np.arange(DVIEW)
+    ba, bb = (idx >> a) & 1, (idx >> b) & 1
+    swapped = (idx & ~((1 << a) | (1 << b))) | (bb << a) | (ba << b)
+    m = np.zeros((DVIEW, DVIEW), dtype=np.float32)
+    m[swapped, idx] = 1.0
+    return m
+
+
+_PERM_TABLE: dict = {}
+
+
+def perm_table(real_dtype) -> jnp.ndarray:
+    """(7, 256, 256) lane<->qubit-7 exchange matrices; one H2D per process."""
+    dt = np.dtype(real_dtype)
+    tab = _PERM_TABLE.get(dt.str)
+    if tab is None:
+        tab = jnp.asarray(
+            np.stack([_perm_matrix_256(v, LANE_QUBITS) for v in range(LANE_QUBITS)]),
+            dtype=dt,
+        )
+        _PERM_TABLE[dt.str] = tab
+    return tab
+
+
+# --------------------------------------------------------------------- plan
+@dataclass
+class _Block:
+    kinds: List[int] = field(default_factory=list)   # 0 mat, 1..logt tswap, logt+1 perm
+    midx: List[int] = field(default_factory=list)    # mat slot / perm lane
+    # deferred matrix specs (u, window positions); expanded straight into
+    # the stacked device tables at materialization time
+    mats: List[Tuple[np.ndarray, Tuple[int, ...]]] = field(default_factory=list)
+    # pending cross-tile swap applied to this block's INPUT: (tmask, shift)
+    prologue: Optional[Tuple[int, int]] = None
+
+
+@dataclass
+class PrefetchPlan:
+    blocks: List[_Block]
+    final_position: np.ndarray
+    num_ops: int
+    num_tswaps: int
+    num_xswaps: int
+    num_perms: int
+    logt: int
+
+
+def plan_prefetch(
+    ops: Sequence[Op],
+    num_qubits: int,
+    cap_steps: int = CAP_STEPS,
+    cap_mats: int = CAP_MATS,
+) -> PrefetchPlan:
+    """Lower fused ops to uniform kernel blocks.
+
+    Placement: a qubit at position p >= 8 is brought to position 7 by a
+    tswap step (p <= 7+log2 T) or by the next block's input-prologue swap.
+    If position 7 is pinned by the op itself, a lane victim is freed first
+    with a perm step (a 3-cycle: victim -> p, old 7 -> victim, target -> 7).
+    Victim = coldest by exact remaining-use count (the corrected reference
+    histogram, cf. defect #5).
+    """
+    n = num_qubits
+    if n < MIN_QUBITS:
+        raise ValueError(f"prefetch plan needs n >= {MIN_QUBITS}")
+    widest = max((op.width for op in ops), default=1)
+    if widest > LOCAL_QUBITS:
+        raise ValueError(f"op touches {widest} qubits > window {LOCAL_QUBITS}")
+    logt = int(np.log2(tile_rows(n)))
+    kind_perm = logt + 1
+
+    pos_of = list(range(n))
+    qubit_at = list(range(n))
+    remaining = np.zeros(n, dtype=np.int64)
+    for op in ops:
+        for q in op.qubits:
+            remaining[q] += 1
+
+    blocks: List[_Block] = [_Block()]
+    num_tswaps = num_xswaps = num_perms = 0
+
+    def cur() -> _Block:
+        return blocks[-1]
+
+    def fresh() -> _Block:
+        if not cur().kinds and cur().prologue is None:
+            return cur()
+        blocks.append(_Block())
+        return cur()
+
+    def room(extra_steps: int, extra_mats: int) -> _Block:
+        b = cur()
+        if len(b.kinds) + extra_steps > cap_steps or len(b.mats) + extra_mats > cap_mats:
+            b = fresh()
+        return b
+
+    def add_mat(u: np.ndarray, positions: Tuple[int, ...]) -> None:
+        b = room(1, 1)
+        b.kinds.append(0)
+        b.midx.append(len(b.mats))
+        b.mats.append((u, positions))
+
+    def add_perm(v: int) -> None:
+        b = room(1, 0)
+        b.kinds.append(kind_perm)
+        b.midx.append(v)
+
+    def add_tswap(k: int) -> None:
+        b = room(1, 0)
+        b.kinds.append(k)
+        b.midx.append(0)
+
+    def add_xswap(bit: int) -> None:
+        # becomes the NEXT block's input prologue: tile-index XOR on the
+        # swapped row bit + column-half steering (see get_block_kernel)
+        b = fresh()
+        shift = (bit - 1) - logt
+        b.prologue = (1 << shift, shift)
+
+    for op in ops:
+        qs = op.qubits
+        for q in qs:
+            p = pos_of[q]
+            if p < LOCAL_QUBITS:
+                continue
+            k = p - LANE_QUBITS  # >= 1
+            pinned = qubit_at[LANE_QUBITS] in qs
+            # The swap always evicts position 7's occupant to position p.
+            # For cross-tile swaps p is a COLD slot (rarely revisited), so
+            # evicting a hot qubit there forces a bounce-back later: rotate
+            # the coldest lane occupant into position 7 first (one free
+            # in-block perm step) whenever 7 is pinned or holds a hotter
+            # qubit than the coldest lane.
+            if pinned or k > logt:
+                cands = [l for l in range(LANE_QUBITS) if qubit_at[l] not in qs]
+                v = min(cands, key=lambda l: (remaining[qubit_at[l]], l))
+                if pinned or remaining[qubit_at[v]] < remaining[qubit_at[LANE_QUBITS]]:
+                    add_perm(v)
+                    num_perms += 1
+                    x, y = qubit_at[v], qubit_at[LANE_QUBITS]
+                    qubit_at[v], qubit_at[LANE_QUBITS] = y, x
+                    pos_of[x], pos_of[y] = LANE_QUBITS, v
+            if k <= logt:
+                add_tswap(k)
+                num_tswaps += 1
+            else:
+                add_xswap(k)
+                num_xswaps += 1
+            ql = qubit_at[LANE_QUBITS]
+            qubit_at[LANE_QUBITS], qubit_at[p] = q, ql
+            pos_of[q], pos_of[ql] = LANE_QUBITS, p
+
+        u, sorted_qs = op_matrix(op)
+        add_mat(u, tuple(pos_of[q] for q in sorted_qs))
+        for q in qs:
+            remaining[q] -= 1
+
+    if not blocks[-1].kinds and blocks[-1].prologue is None:
+        blocks.pop()
+    return PrefetchPlan(
+        blocks, np.asarray(pos_of), len(ops), num_tswaps, num_xswaps, num_perms, logt
+    )
+
+
+# ------------------------------------------------------------------ kernel
+_KERNEL_CACHE: dict = {}
+_CHAIN_CACHE: dict = {}
+
+
+def _precision(name: str):
+    return {
+        "highest": jax.lax.Precision.HIGHEST,
+        "high": jax.lax.Precision.HIGH,
+        "default": jax.lax.Precision.DEFAULT,
+    }[name]
+
+
+def get_block_kernel(n: int, real_dtype, precision: str, interpret: bool,
+                     cap_steps: int = CAP_STEPS, cap_mats: int = CAP_MATS):
+    """The circuit-independent pallas_call: one block of steps, one state
+    round-trip.  Returns f(scal, re, im, a_tab, b_tab, p_tab) -> (re, im)
+    on (R2, DVIEW) arrays; ``scal`` = int32[4 + 2*cap_steps]:
+    [nsteps, pro_active, pro_tmask, pro_shift, kinds..., midx...].
+    """
+    dt = np.dtype(real_dtype)
+    key = (n, cap_steps, cap_mats, dt.str, precision, interpret)
+    fn = _KERNEL_CACHE.get(key)
+    if fn is not None:
+        return fn
+
+    R2 = 1 << (n - LOCAL_QUBITS)
+    T = tile_rows(n)
+    logt = int(np.log2(T))
+    prec = _precision(precision)
+
+    def kernel(scal_ref, rea_ref, reb_ref, ima_ref, imb_ref,
+               a_ref, b_ref, p_ref, ore_ref, oim_ref):
+        def mat_step(j, sre, sim):
+            a = a_ref[scal_ref[4 + cap_steps + j]]  # M_re^T
+            b = b_ref[scal_ref[4 + cap_steps + j]]  # M_im^T
+            dot = lambda x, m: jnp.dot(x, m, preferred_element_type=dt, precision=prec)
+            t1 = dot(sre + sim, a)
+            t2 = dot(sre, b - a)
+            t3 = dot(sim, a + b)
+            return t1 - t3, t1 + t2
+
+        def make_tswap(k):
+            # exchange column bit 7 (qubit 7) with tile-row bit k-1 (qubit 7+k)
+            def f(j, sre, sim):
+                def one(x):
+                    t = x.reshape(T >> k, 2, 1 << (k - 1), 2, LANES)
+                    return jnp.swapaxes(t, 1, 3).reshape(T, DVIEW)
+
+                return one(sre), one(sim)
+
+            return f
+
+        def perm_step(j, sre, sim):
+            p = p_ref[scal_ref[4 + cap_steps + j]]  # symmetric 0/1 matrix
+            dot = lambda x, m: jnp.dot(
+                x, m, preferred_element_type=dt,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            return dot(sre, p), dot(sim, p)
+
+        branches = (
+            [mat_step] + [make_tswap(k) for k in range(1, logt + 1)] + [perm_step]
+        )
+
+        def step(j, carry):
+            sre, sim = carry
+            return jax.lax.switch(
+                scal_ref[4 + j], [partial(b, j) for b in branches], sre, sim
+            )
+
+        sre = jnp.concatenate([rea_ref[:], reb_ref[:]], axis=1)
+        sim = jnp.concatenate([ima_ref[:], imb_ref[:]], axis=1)
+        sre, sim = jax.lax.fori_loop(0, scal_ref[0], step, (sre, sim))
+        ore_ref[:] = sre
+        oim_ref[:] = sim
+
+    # input index maps: the block's pending cross-tile swap (exchange column
+    # bit 7 with tile-index bit `shift`) is folded into which (T, 128)
+    # column-half block each stream reads — the swap rides the input DMA.
+    def map_half(lo: bool):
+        def f(i, scal):
+            active = scal[1]
+            tmask = scal[2]
+            rb = (i >> scal[3]) & 1
+            row = jnp.where(active == 1, (i & ~tmask) if lo else (i | tmask), i)
+            col = jnp.where(active == 1, rb, 0 if lo else 1)
+            return row, col
+
+        return f
+
+    half = lambda lo: pl.BlockSpec((T, LANES), map_half(lo), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((T, DVIEW), lambda i, scal: (i, 0), memory_space=pltpu.VMEM)
+    tab = lambda m: pl.BlockSpec(
+        (m, DVIEW, DVIEW), lambda i, scal: (0, 0, 0), memory_space=pltpu.VMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(R2 // T,),
+        in_specs=[half(True), half(False), half(True), half(False),
+                  tab(cap_mats), tab(cap_mats), tab(LANE_QUBITS)],
+        out_specs=[out_spec, out_spec],
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((R2, DVIEW), dt)] * 2,
+        cost_estimate=pl.CostEstimate(
+            flops=3 * 2 * R2 * DVIEW * DVIEW * cap_steps,
+            bytes_accessed=dt.itemsize
+            * (4 * R2 * DVIEW + 2 * cap_mats * DVIEW * DVIEW),
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+    def fn(scal, re, im, a_tab, b_tab, p_tab):
+        return call(scal, re, re, im, im, a_tab, b_tab, p_tab)
+
+    _KERNEL_CACHE[key] = fn
+    return fn
+
+
+def get_block_chain(n: int, real_dtype, precision: str, interpret: bool,
+                    num_blocks: int,
+                    cap_steps: int = CAP_STEPS, cap_mats: int = CAP_MATS):
+    """jitted lax.scan of ``num_blocks`` kernel calls over stacked tables.
+
+    One compile per (n, capacity, num_blocks) — executables are shared by
+    every circuit whose plan chunks to the same power-of-2 sizes.
+    """
+    dt = np.dtype(real_dtype)
+    key = (n, cap_steps, cap_mats, dt.str, precision, interpret, num_blocks)
+    fn = _CHAIN_CACHE.get(key)
+    if fn is not None:
+        return fn
+    kernel = get_block_kernel(n, dt, precision, interpret, cap_steps, cap_mats)
+
+    @partial(jax.jit, donate_argnums=(0, 1), static_argnums=())
+    def chain(re, im, scal, a_tab, b_tab, p_tab):
+        def body(carry, x):
+            r, i = carry
+            s, a, b = x
+            return kernel(s, r, i, a, b, p_tab), None
+
+        (re, im), _ = jax.lax.scan(body, (re, im), (scal, a_tab, b_tab))
+        return re, im
+
+    _CHAIN_CACHE[key] = fn = chain
+    return fn
+
+
+def _chunks(total: int) -> List[int]:
+    """Greedy descending power-of-2 chunk sizes covering ``total`` blocks."""
+    out = []
+    while total > 0:
+        c = 1 << (total.bit_length() - 1)
+        out.append(c)
+        total -= c
+    return out
+
+
+# ------------------------------------------------------------------ program
+class PrefetchProgram:
+    """Device tables + shared executables for one planned circuit.
+
+    Construction compiles NOTHING new once the (n, capacity, chunk) chains
+    exist — only numpy planning plus one H2D of the stacked tables.
+    ``__call__`` maps flat (2^n,) state parts through the chain; output is
+    in PHYSICAL positions (undo ``final_position``).
+    """
+
+    def __init__(
+        self,
+        ops: Sequence[Op],
+        num_qubits: int,
+        real_dtype=jnp.float32,
+        precision: str = "highest",
+        interpret: Optional[bool] = None,
+        cap_steps: int = CAP_STEPS,
+        cap_mats: int = CAP_MATS,
+    ):
+        n = num_qubits
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        dt = np.dtype(real_dtype)
+        plan = plan_prefetch(ops, n, cap_steps, cap_mats)
+        self.num_qubits = n
+        self.final_position = plan.final_position
+        self.num_ops = plan.num_ops
+        self.num_tswaps = plan.num_tswaps
+        self.num_xswaps = plan.num_xswaps
+        self.num_blocks = len(plan.blocks)
+        self._R2 = 1 << (n - LOCAL_QUBITS)
+        self._ptab = perm_table(dt)
+
+        # Two block classes keep table H2D near the real content volume:
+        # swap-forced blocks carry ~1-2 matrices, so padding them to
+        # cap_mats would ship mostly zeros.  Short thin runs are promoted
+        # to full so class changes don't fragment the scan chains.
+        THIN = 2
+        cls = [THIN if len(b.mats) <= THIN else cap_mats for b in plan.blocks]
+        i = 0
+        while i < len(cls):
+            if cls[i] == THIN:
+                j = i
+                while j < len(cls) and cls[j] == THIN:
+                    j += 1
+                if j - i < 8:
+                    for t in range(i, j):
+                        cls[t] = cap_mats
+                i = j
+            else:
+                i += 1
+
+        groups: List[Tuple[int, List[_Block]]] = []
+        for c, blk in zip(cls, plan.blocks):
+            if groups and groups[-1][0] == c:
+                groups[-1][1].append(blk)
+            else:
+                groups.append((c, [blk]))
+
+        # greedy power-of-2 chunking per group: few dispatches, executables
+        # shared across circuits (no per-depth compiles, minimal padding)
+        self._chain_parts = []
+        for cap, blks in groups:
+            B = len(blks)
+            scal = np.zeros((B, 4 + 2 * cap_steps), dtype=np.int32)
+            a_tab = np.zeros((B, cap, DVIEW, DVIEW), dtype=dt)
+            b_tab = np.zeros((B, cap, DVIEW, DVIEW), dtype=dt)
+            for i, blk in enumerate(blks):
+                k = len(blk.kinds)
+                scal[i, 0] = k
+                if blk.prologue is not None:
+                    scal[i, 1] = 1
+                    scal[i, 2] = blk.prologue[0]
+                    scal[i, 3] = blk.prologue[1]
+                scal[i, 4 : 4 + k] = blk.kinds
+                scal[i, 4 + cap_steps : 4 + cap_steps + k] = blk.midx
+                for s, (u, positions) in enumerate(blk.mats):
+                    _expand_local_into(u, positions, a_tab[i, s], b_tab[i, s])
+            off = 0
+            for c in _chunks(B):
+                self._chain_parts.append(
+                    (
+                        get_block_chain(n, dt, precision, interpret, c, cap_steps, cap),
+                        jnp.asarray(scal[off : off + c]),
+                        jnp.asarray(a_tab[off : off + c]),
+                        jnp.asarray(b_tab[off : off + c]),
+                    )
+                )
+                off += c
+
+    def __call__(self, re, im):
+        re = re.reshape(self._R2, DVIEW)
+        im = im.reshape(self._R2, DVIEW)
+        for chain, scal, a_tab, b_tab in self._chain_parts:
+            re, im = chain(re, im, scal, a_tab, b_tab, self._ptab)
+        return re.reshape(-1), im.reshape(-1)
+
+
+_PROGRAM_CACHE: dict = {}
+_PROGRAM_CACHE_LIMIT = 16
+
+
+def build_prefetch_program(
+    ops: Sequence[Op],
+    num_qubits: int,
+    real_dtype=jnp.float32,
+    precision: str = "highest",
+    interpret: Optional[bool] = None,
+    cap_steps: int = CAP_STEPS,
+    cap_mats: int = CAP_MATS,
+) -> PrefetchProgram:
+    h = hashlib.sha256(
+        f"p|{num_qubits}|{np.dtype(real_dtype)}|{precision}|{cap_steps}|{cap_mats}".encode()
+    )
+    for op in ops:
+        h.update(op.kind.encode())
+        h.update(np.asarray(op.qubits, dtype=np.int64).tobytes())
+        if op.u is not None:
+            h.update(np.ascontiguousarray(op.u).tobytes())
+    key = h.hexdigest()
+    prog = _PROGRAM_CACHE.get(key)
+    if prog is None:
+        prog = PrefetchProgram(
+            ops, num_qubits, real_dtype, precision, interpret, cap_steps, cap_mats
+        )
+        if len(_PROGRAM_CACHE) >= _PROGRAM_CACHE_LIMIT:
+            _PROGRAM_CACHE.pop(next(iter(_PROGRAM_CACHE)))
+        _PROGRAM_CACHE[key] = prog
+    return prog
+
+
+def run_prefetch(circuit, config, initial_parts=None):
+    """Simulator facade entry; returns (re, im, num_items, residual_perm)."""
+    from ..ops.apply import initial_state_parts
+    from .simulator import _fuse_pipeline
+
+    n = circuit.num_qubits
+    if config.dtype != "complex64":
+        raise ValueError(
+            "the prefetch strategy is float32-only (Mosaic kernels); use "
+            "mxu/reference for complex128 parity checks"
+        )
+    real_dtype = jnp.float32
+
+    def start():
+        if initial_parts is not None:
+            return (
+                jnp.asarray(initial_parts[0], dtype=real_dtype),
+                jnp.asarray(initial_parts[1], dtype=real_dtype),
+            )
+        return initial_state_parts(n, dtype=real_dtype)
+
+    if n < MIN_QUBITS:
+        from ..passes.fuse4x4 import fuse_4x4
+        from ..passes.fuse_k import fuse_k
+        from .megakernel import build_megakernel
+
+        ops = fuse_k(fuse_4x4(circuit), max_qubits=min(config.max_fused_qubits, n))
+        re, im = start()
+        re, im = build_megakernel(ops, n, real_dtype)(re, im)
+        return re, im, len(ops), None
+
+    ops = _fuse_pipeline(circuit, min(config.max_fused_qubits, LANE_QUBITS), max_high=2)
+    prog = build_prefetch_program(ops, n, real_dtype, precision=config.precision)
+    re, im = start()
+    re, im = prog(re, im)
+
+    perm = prog.final_position
+    if np.array_equal(perm, np.arange(n)):
+        perm = None
+    return re, im, prog.num_ops + prog.num_tswaps + prog.num_xswaps, perm

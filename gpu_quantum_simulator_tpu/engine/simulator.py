@@ -70,7 +70,7 @@ class Simulator:
         cfg = self.config
         perm = None
         work = circuit
-        if cfg.permute or cfg.strategy in ("mxu", "pallas", "vmem", "sharded"):
+        if cfg.permute or cfg.strategy in ("mxu", "pallas", "vmem", "sharded", "prefetch"):
             from ..passes.permute import plan_permutation
 
             perm = plan_permutation(circuit)
@@ -317,6 +317,13 @@ class Simulator:
             from .pallas_engine import run_pallas
 
             re, im, num_ops, residual = run_pallas(circuit, self.config)
+
+        elif cfg.strategy == "prefetch":
+            from .prefetch import run_prefetch
+
+            re, im, num_ops, residual = run_prefetch(
+                circuit, self.config, initial_parts=initial_parts
+            )
 
         elif cfg.strategy == "vmem":
             import jax

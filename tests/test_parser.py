@@ -72,3 +72,48 @@ def test_roundtrip_to_qasm():
     for a, b in zip(c.gates, c2.gates):
         assert a.name == b.name and a.qubits == b.qubits
         assert np.allclose(a.params, b.params)
+
+
+# ------------------------------------------- parameter expression evaluator
+def test_param_expressions():
+    """The rz parameter language is evaluated by a recursive-descent parser
+    (no eval): nested parens, unary chains, precedence, constants."""
+    import math
+
+    from gpu_quantum_simulator_tpu.qasm.parser import _eval_param
+
+    cases = {
+        "pi/2": math.pi / 2,
+        "-3*pi/4": -3 * math.pi / 4,
+        "(pi+1)/2": (math.pi + 1) / 2,
+        "--2": 2.0,
+        "-(-(2))": 2.0,
+        "1+2*3": 7.0,
+        "(1+2)*3": 9.0,
+        ".5": 0.5,
+        "2e3": 2000.0,
+        "1-2-3": -4.0,
+        "8/2/2": 2.0,
+        "tau/4": math.tau / 4,
+    }
+    for expr, want in cases.items():
+        assert abs(_eval_param(expr) - want) < 1e-12, expr
+
+
+def test_param_expression_errors():
+    import pytest
+
+    from gpu_quantum_simulator_tpu.qasm.parser import QasmError, _eval_param
+
+    for bad in ["", "pi/0", "2**3", "foo", "(pi", "1 2", "import os", "__x__"]:
+        with pytest.raises(QasmError):
+            _eval_param(bad)
+
+
+def test_no_eval_in_package():
+    """Security regression guard: the QASM front-end must not use eval."""
+    import gpu_quantum_simulator_tpu.qasm.parser as P
+    import inspect
+
+    src = inspect.getsource(P)
+    assert "eval(" not in src.replace("_eval_param(", "")

@@ -1,0 +1,176 @@
+"""Prefetch engine: parity, planning invariants, recompile-free property.
+
+The prefetch strategy must produce reference-exact amplitudes through every
+mechanism it composes: in-window 256x256 matmuls, in-tile row swaps
+(tswaps), lane<->window permutation steps, cross-tile input-prologue swaps
+(xswaps), and the scan chains over stacked tables.  CPU runs use
+interpret-mode Pallas (hermetic, no TPU).
+"""
+
+import numpy as np
+import pytest
+
+from gpu_quantum_simulator_tpu import models
+from gpu_quantum_simulator_tpu.config import SimulatorConfig
+from gpu_quantum_simulator_tpu.engine.simulator import Simulator, _fuse_pipeline
+from gpu_quantum_simulator_tpu.engine import prefetch as PF
+from gpu_quantum_simulator_tpu.passes.fuse4x4 import fuse_4x4
+from gpu_quantum_simulator_tpu.passes.fuse_k import fuse_k
+from gpu_quantum_simulator_tpu.passes.permute import unpermute_state
+from gpu_quantum_simulator_tpu.ref.cpu import simulate_reference
+
+TOL = 2e-5
+
+
+def _run_prefetch(circuit):
+    return Simulator(SimulatorConfig(strategy="prefetch")).run(circuit)
+
+
+@pytest.mark.parametrize("n,gates,seed", [(9, 120, 0), (11, 300, 3), (12, 400, 7)])
+def test_parity_random(n, gates, seed):
+    c = models.grover_like(n, num_gates=gates, seed=seed)
+    got = _run_prefetch(c)
+    want = simulate_reference(c)
+    assert np.max(np.abs(got - want)) < TOL
+
+
+def test_parity_small_n_fallback():
+    # n < MIN_QUBITS routes through the megakernel path
+    c = models.grover_like(6, num_gates=80, seed=2)
+    got = _run_prefetch(c)
+    want = simulate_reference(c)
+    assert np.max(np.abs(got - want)) < TOL
+
+
+def test_parity_bell_and_ghz():
+    got = _run_prefetch(models.ghz(10))
+    assert abs(got[0] - 1 / np.sqrt(2)) < TOL
+    assert abs(got[-1] - 1 / np.sqrt(2)) < TOL
+
+
+def test_tiny_caps_force_flushes():
+    """Capacity-1 blocks exercise every flush path yet stay exact."""
+    n = 10
+    c = models.grover_like(n, num_gates=200, seed=5)
+    ops = _fuse_pipeline(c, 7, max_high=2)
+    prog = PF.PrefetchProgram(ops, n, cap_steps=3, cap_mats=1, interpret=True)
+    import jax.numpy as jnp
+    from gpu_quantum_simulator_tpu.ops.apply import initial_state_parts, join_state
+
+    re, im = initial_state_parts(n, dtype=jnp.float32)
+    re, im = prog(re, im)
+    state = join_state(np.asarray(re), np.asarray(im))
+    state = unpermute_state(state, prog.final_position)
+    want = simulate_reference(c)
+    assert np.max(np.abs(state - want)) < TOL
+
+
+def test_xswap_prologue_path():
+    """Small tile (cap on TILE via small n is impossible) — instead force
+    cross-tile swaps by planning at a qubit count whose top bits exceed the
+    tile span: n=18 has R2=1024 rows and T=512, so position 17 swaps must
+    ride the input prologue.  Plan-level check only (no 2^18 execution)."""
+    n = 18
+    c = models.grover_like(n, num_gates=400, seed=11)
+    ops = _fuse_pipeline(c, 7, max_high=2)
+    plan = PF.plan_prefetch(ops, n)
+    assert plan.num_xswaps > 0
+    assert any(b.prologue is not None for b in plan.blocks)
+    # prologue shift/tmask target the single above-tile bit
+    logt = plan.logt
+    for b in plan.blocks:
+        if b.prologue is not None:
+            tmask, shift = b.prologue
+            assert tmask == 1 << shift
+            assert shift >= 0
+
+
+def test_xswap_execution_parity():
+    """Execute a plan that contains real prologue swaps, via a shrunken
+    TILE: monkeypatch TILE_ROWS so even n=12 has cross-tile bits."""
+    n = 12
+    old = PF.TILE_ROWS
+    PF.TILE_ROWS = 4  # R2 = 16 rows -> 4 tiles, bits above 2 are cross-tile
+    try:
+        PF._KERNEL_CACHE.clear()
+        PF._CHAIN_CACHE.clear()
+        c = models.grover_like(n, num_gates=300, seed=13)
+        ops = _fuse_pipeline(c, 7, max_high=2)
+        plan = PF.plan_prefetch(ops, n)
+        assert plan.num_xswaps > 0, "test needs the prologue path exercised"
+        prog = PF.PrefetchProgram(ops, n, interpret=True)
+        import jax.numpy as jnp
+        from gpu_quantum_simulator_tpu.ops.apply import initial_state_parts, join_state
+
+        re, im = initial_state_parts(n, dtype=jnp.float32)
+        re, im = prog(re, im)
+        state = unpermute_state(
+            join_state(np.asarray(re), np.asarray(im)), prog.final_position
+        )
+        want = simulate_reference(c)
+        assert np.max(np.abs(state - want)) < TOL
+    finally:
+        PF.TILE_ROWS = old
+        PF._KERNEL_CACHE.clear()
+        PF._CHAIN_CACHE.clear()
+
+
+def test_recompile_free_across_circuits():
+    """Two different circuits of the same width share every executable."""
+    n = 11
+    c1 = models.grover_like(n, num_gates=250, seed=21)
+    c2 = models.grover_like(n, num_gates=260, seed=22)
+    got1 = _run_prefetch(c1)
+    kernels_after_first = dict(PF._KERNEL_CACHE)
+    chains_after_first = set(PF._CHAIN_CACHE)
+    got2 = _run_prefetch(c2)
+    # no new kernel compiles for the second circuit; chains may add only
+    # power-of-2 sizes not seen yet
+    assert dict(PF._KERNEL_CACHE) == kernels_after_first
+    new_chains = set(PF._CHAIN_CACHE) - chains_after_first
+    assert all(isinstance(k[-1], int) for k in new_chains)
+    assert np.max(np.abs(got1 - simulate_reference(c1))) < TOL
+    assert np.max(np.abs(got2 - simulate_reference(c2))) < TOL
+
+
+def test_expand_local_matches_expand_unitary():
+    from gpu_quantum_simulator_tpu.ir.oplist import expand_unitary, permute_basis
+
+    rng = np.random.default_rng(0)
+    for k in (1, 2, 3):
+        q, _ = np.linalg.qr(
+            rng.standard_normal((1 << k, 1 << k))
+            + 1j * rng.standard_normal((1 << k, 1 << k))
+        )
+        positions = tuple(int(p) for p in rng.permutation(8)[:k])
+        out_re = np.zeros((256, 256), dtype=np.float32)
+        out_im = np.zeros((256, 256), dtype=np.float32)
+        PF._expand_local_into(q, positions, out_re, out_im)
+        # reference: sort positions, permute basis, expand over window
+        order = np.argsort(positions)
+        sp = tuple(int(positions[i]) for i in order)
+        u_sorted = permute_basis(q, list(positions), list(sp))
+        big = expand_unitary(u_sorted, sp, tuple(range(8)))
+        np.testing.assert_allclose(out_re, big.real.T.astype(np.float32), atol=1e-6)
+        np.testing.assert_allclose(out_im, big.imag.T.astype(np.float32), atol=1e-6)
+
+
+def test_initial_state_resume():
+    """prefix then resume must equal the full run (checkpoint parity)."""
+    n = 10
+    full = models.grover_like(n, num_gates=200, seed=31)
+    first = models.circuits.Circuit(n)
+    second = models.circuits.Circuit(n)
+    first.gates = full.gates[:100]
+    second.gates = full.gates[100:]
+    sim = Simulator(SimulatorConfig(strategy="prefetch"))
+    mid = sim.run(first)
+    got = sim.run(second, initial=mid)
+    want = simulate_reference(full)
+    assert np.max(np.abs(got - want)) < TOL
+
+
+def test_complex128_rejected():
+    c = models.grover_like(10, num_gates=50, seed=1)
+    with pytest.raises(ValueError, match="float32-only"):
+        Simulator(SimulatorConfig(strategy="prefetch", dtype="complex128")).run(c)
