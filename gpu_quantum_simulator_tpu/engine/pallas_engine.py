@@ -85,7 +85,7 @@ def build_pallas_kernel(
     return fn
 
 
-def run_pallas(circuit, config):
+def run_pallas(circuit, config, initial_parts=None):
     """Entry used by the Simulator facade; returns (re, im, num_items)."""
     from ..ops.apply import initial_state_parts
     from ..passes.fuse4x4 import fuse_4x4
@@ -95,12 +95,20 @@ def run_pallas(circuit, config):
     n = circuit.num_qubits
     real_dtype = jnp.float32 if config.dtype == "complex64" else jnp.float64
 
+    def start():
+        if initial_parts is not None:
+            return (
+                jnp.asarray(initial_parts[0], dtype=real_dtype),
+                jnp.asarray(initial_parts[1], dtype=real_dtype),
+            )
+        return initial_state_parts(n, dtype=real_dtype)
+
     if n <= PK.LANE_QUBITS:
         # state is a single 128-lane row (or less): megakernel handles it
         from .megakernel import build_megakernel
 
         ops = fuse_k(fuse_4x4(circuit), max_qubits=min(config.max_fused_qubits, n))
-        re, im = initial_state_parts(n, dtype=real_dtype)
+        re, im = start()
         re, im = build_megakernel(ops, n, real_dtype)(re, im)
         return re, im, len(ops), None
 
@@ -108,7 +116,7 @@ def run_pallas(circuit, config):
     ops = fuse_k(fuse_4x4(circuit), max_qubits=k)
     plan = plan_sharded(ops, n, n - PK.LANE_QUBITS)
 
-    re, im = initial_state_parts(n, dtype=real_dtype)
+    re, im = start()
     fn = build_pallas_kernel(plan, n, real_dtype)
     re, im = fn(re, im)
 

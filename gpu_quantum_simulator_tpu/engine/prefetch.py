@@ -68,31 +68,49 @@ def tile_rows(n: int) -> int:
     return min(TILE_ROWS, 1 << (n - LOCAL_QUBITS))
 
 
+_WINDOW_CACHE: dict = {}
 _EXPAND_CACHE: dict = {}
 
 
-def _expand_index(positions: Tuple[int, ...]):
-    """(flat gather index, float mask) for embedding over ``positions``."""
-    got = _EXPAND_CACHE.get(positions)
+def _window_vectors(positions: Tuple[int, ...]) -> Tuple[np.ndarray, np.ndarray]:
+    """(m, h) int32[256]: window index -> factor index / untouched-bit key.
+
+    m(i) = sum_j bit_{positions[j]}(i) << j; h(i) packs the remaining window
+    bits.  The embedded matrix is M[i1, i2] = u[m(i1), m(i2)] * (h(i1) ==
+    h(i2)); unsorted ``positions`` fold the basis reordering in for free.
+    """
+    got = _WINDOW_CACHE.get(positions)
     if got is not None:
         return got
     idx = np.arange(DVIEW)
-    m = np.zeros(DVIEW, dtype=np.int64)
+    m = np.zeros(DVIEW, dtype=np.int32)
     used = 0
     for j, p in enumerate(positions):
-        m |= ((idx >> p) & 1) << j
+        m |= (((idx >> p) & 1) << j).astype(np.int32)
         used |= 1 << p
-    h = np.zeros(DVIEW, dtype=np.int64)
+    h = np.zeros(DVIEW, dtype=np.int32)
     shift = 0
     for p in range(LOCAL_QUBITS):
         if not (used >> p) & 1:
-            h |= ((idx >> p) & 1) << shift
+            h |= (((idx >> p) & 1) << shift).astype(np.int32)
             shift += 1
+    if len(_WINDOW_CACHE) > 4096:
+        _WINDOW_CACHE.clear()
+    _WINDOW_CACHE[positions] = (m, h)
+    return m, h
+
+
+def _expand_index(positions: Tuple[int, ...]):
+    """(flat gather index, float mask) for host-side embedding."""
+    got = _EXPAND_CACHE.get(positions)
+    if got is not None:
+        return got
+    m, h = _window_vectors(positions)
     dim = 1 << len(positions)
     # transposed embedding: out_T[i2, i1] = u[m(i1), m(i2)]
-    flat = (m[None, :] * dim + m[:, None]).astype(np.int32)
+    flat = (m[None, :].astype(np.int64) * dim + m[:, None]).astype(np.int32)
     mask = (h[:, None] == h[None, :]).astype(np.float32)
-    if len(_EXPAND_CACHE) > 1024:
+    if len(_EXPAND_CACHE) > 512:
         _EXPAND_CACHE.clear()
     _EXPAND_CACHE[positions] = (flat, mask)
     return flat, mask
@@ -102,9 +120,8 @@ def _expand_local_into(
     u: np.ndarray, positions: Sequence[int], out_re: np.ndarray, out_im: np.ndarray
 ) -> None:
     """Write (M_re^T, M_im^T) of ``u`` embedded in the 8-bit window into
-    preallocated float32 views (no fresh 256x256 temporaries — planning a
-    deep circuit writes hundreds of MB of tables, so every avoided copy and
-    page fault counts on the host).
+    preallocated float32 views (host-side twin of the device expansion in
+    ``_get_expander``; used by tests and small programs).
 
     Vectorized replacement for expand_unitary+permute_basis (whose rank-16
     reshapes copied ~1 MB/op and dominated planning): with
@@ -119,6 +136,44 @@ def _expand_local_into(
     out_re *= mask
     np.take(ui.ravel(), flat, out=out_im)
     out_im *= mask
+
+
+_EXPANDER_CACHE: dict = {}
+UPAD = 128  # factor matrices ship padded to (128, 128); m indexes 128-stride
+
+
+def _get_expander(C: int, cap: int, real_dtype):
+    """Device-side table expansion: (C, cap, 128, 128) factors + (C, cap,
+    256) index/equivalence vectors -> (C, cap, 256, 256) transposed tables.
+
+    Tables ship over the (slow) host link as compact factors — a width-7 op
+    is 2x64 KB instead of 2x256 KB, and the 256x256 writes happen at HBM
+    bandwidth on device instead of on the host: out_T[i, j] =
+    u[m(j), m(i)] * (h(i) == h(j)).
+    """
+    dt = np.dtype(real_dtype)
+    key = (C, cap, dt.str)
+    fn = _EXPANDER_CACHE.get(key)
+    if fn is not None:
+        return fn
+
+    hi = jax.lax.Precision.HIGHEST  # 0/1 selections: exact in f32 only then
+
+    @jax.jit
+    def expand(u_re, u_im, mvec, hvec):
+        sel = (mvec[..., :, None] == jnp.arange(UPAD, dtype=mvec.dtype)).astype(dt)
+        mask = (hvec[..., None, :] == hvec[..., :, None]).astype(dt)
+
+        def one(u):
+            # out_T[w, v] = u[m(v), m(w)] = sum_{k,l} sel[w,k] u[l,k] sel[v,l]
+            t = jnp.einsum("bswk,bslk->bswl", sel, u, precision=hi)
+            t = jnp.einsum("bswl,bsvl->bswv", t, sel, precision=hi)
+            return t * mask
+
+        return one(u_re), one(u_im)
+
+    _EXPANDER_CACHE[key] = expand
+    return expand
 
 
 def _perm_matrix_256(a: int, b: int) -> np.ndarray:
@@ -425,25 +480,41 @@ def get_block_chain(n: int, real_dtype, precision: str, interpret: bool,
     if fn is not None:
         return fn
     kernel = get_block_kernel(n, dt, precision, interpret, cap_steps, cap_mats)
+    R2 = 1 << (n - LOCAL_QUBITS)
 
     @partial(jax.jit, donate_argnums=(0, 1), static_argnums=())
     def chain(re, im, scal, a_tab, b_tab, p_tab):
+        re = re.reshape(R2, DVIEW)
+        im = im.reshape(R2, DVIEW)
+
         def body(carry, x):
             r, i = carry
             s, a, b = x
             return kernel(s, r, i, a, b, p_tab), None
 
         (re, im), _ = jax.lax.scan(body, (re, im), (scal, a_tab, b_tab))
-        return re, im
+        return re.reshape(-1), im.reshape(-1)
 
     _CHAIN_CACHE[key] = fn = chain
     return fn
 
 
 def _chunks(total: int) -> List[int]:
-    """Greedy descending power-of-2 chunk sizes covering ``total`` blocks."""
+    """Power-of-2 chunk sizes covering ``total`` blocks, padding allowed.
+
+    Each chunk is one dispatch, and a dispatch over the axon tunnel costs
+    ~30 ms — far more than a padded no-op block (one state pass, ~us, with
+    all-zero scalars).  So round UP to one chunk whenever padding stays
+    under ~25% of the real blocks; otherwise split greedily and recurse.
+    The returned sizes may sum to more than ``total``: callers pad tables
+    with zero rows (nsteps=0, inactive prologue = identity block).
+    """
     out = []
     while total > 0:
+        up = 1 << (total - 1).bit_length()  # smallest pow2 >= total
+        if up - total <= max(total // 4, 2):
+            out.append(up)
+            return out
         c = 1 << (total.bit_length() - 1)
         out.append(c)
         total -= c
@@ -515,9 +586,16 @@ class PrefetchProgram:
         self._chain_parts = []
         for cap, blks in groups:
             B = len(blks)
-            scal = np.zeros((B, 4 + 2 * cap_steps), dtype=np.int32)
-            a_tab = np.zeros((B, cap, DVIEW, DVIEW), dtype=dt)
-            b_tab = np.zeros((B, cap, DVIEW, DVIEW), dtype=dt)
+            sizes = _chunks(B)
+            Bp = sum(sizes)  # may exceed B: zero rows = identity blocks
+            scal = np.zeros((Bp, 4 + 2 * cap_steps), dtype=np.int32)
+            # tables ship as COMPACT factors (u <= 128x128 + two 256-entry
+            # vectors per op, ~4x less host-link traffic than the expanded
+            # 256x256 tables) and are expanded on device per chunk
+            u_re = np.zeros((Bp, cap, UPAD, UPAD), dtype=dt)
+            u_im = np.zeros((Bp, cap, UPAD, UPAD), dtype=dt)
+            mvec = np.zeros((Bp, cap, DVIEW), dtype=np.int32)
+            hvec = np.zeros((Bp, cap, DVIEW), dtype=np.int32)
             for i, blk in enumerate(blks):
                 k = len(blk.kinds)
                 scal[i, 0] = k
@@ -528,25 +606,35 @@ class PrefetchProgram:
                 scal[i, 4 : 4 + k] = blk.kinds
                 scal[i, 4 + cap_steps : 4 + cap_steps + k] = blk.midx
                 for s, (u, positions) in enumerate(blk.mats):
-                    _expand_local_into(u, positions, a_tab[i, s], b_tab[i, s])
+                    d = u.shape[0]
+                    u_re[i, s, :d, :d] = u.real
+                    u_im[i, s, :d, :d] = u.imag
+                    m, h = _window_vectors(tuple(positions))
+                    mvec[i, s] = m
+                    hvec[i, s] = h
             off = 0
-            for c in _chunks(B):
+            for c in sizes:
+                expander = _get_expander(c, cap, dt)
+                a_tab, b_tab = expander(
+                    jnp.asarray(u_re[off : off + c]),
+                    jnp.asarray(u_im[off : off + c]),
+                    jnp.asarray(mvec[off : off + c]),
+                    jnp.asarray(hvec[off : off + c]),
+                )
                 self._chain_parts.append(
                     (
                         get_block_chain(n, dt, precision, interpret, c, cap_steps, cap),
                         jnp.asarray(scal[off : off + c]),
-                        jnp.asarray(a_tab[off : off + c]),
-                        jnp.asarray(b_tab[off : off + c]),
+                        a_tab,
+                        b_tab,
                     )
                 )
                 off += c
 
     def __call__(self, re, im):
-        re = re.reshape(self._R2, DVIEW)
-        im = im.reshape(self._R2, DVIEW)
         for chain, scal, a_tab, b_tab in self._chain_parts:
             re, im = chain(re, im, scal, a_tab, b_tab, self._ptab)
-        return re.reshape(-1), im.reshape(-1)
+        return re, im
 
 
 _PROGRAM_CACHE: dict = {}

@@ -127,12 +127,14 @@ class Simulator:
         relabeling so no basis shuffling happens between repetitions.
 
         Supported strategies: the program-building ones (mxu, vmem,
-        megakernel).  Returns device (re, im) in the original basis.
+        megakernel, sharded).  Returns device (re, im) in the original basis.
+        For ``sharded``, every part is planned layout-closed
+        (passes.shard restore_layout) so repetitions compose on the mesh.
         """
         cfg = self.config
-        if cfg.strategy not in ("mxu", "vmem", "megakernel"):
+        if cfg.strategy not in ("mxu", "vmem", "megakernel", "sharded"):
             raise ValueError(
-                f"run_device_iterated supports mxu/vmem/megakernel, "
+                f"run_device_iterated supports mxu/vmem/megakernel/sharded, "
                 f"not {cfg.strategy!r}"
             )
         n = body.num_qubits
@@ -142,7 +144,7 @@ class Simulator:
 
         # one relabeling across all parts (usage summed)
         perm = None
-        if cfg.permute or cfg.strategy in ("mxu", "vmem"):
+        if cfg.permute or cfg.strategy in ("mxu", "vmem", "sharded"):
             from ..passes.permute import plan_permutation
 
             merged = Circuit(n)
@@ -160,6 +162,11 @@ class Simulator:
 
         real_dtype = _init_real_dtype(cfg)
         re, im = A.initial_state_parts(n, dtype=real_dtype)
+        if cfg.strategy == "sharded":
+            from ..parallel.sharded import ShardedProgram
+
+            probe = ShardedProgram(Circuit(n), self.config)
+            re, im = probe.init_state()
         total_ops = 0
         for part, reps in (
             (relabel(prefix), 1),
@@ -204,6 +211,12 @@ class Simulator:
             ops = _fuse_pipeline(circuit, min(cfg.max_fused_qubits, 7), max_high=2)
             interp = jax.default_backend() != "tpu"
             return build_vmem_program_cached(ops, n, real_dtype, interp), len(ops)
+        if cfg.strategy == "sharded":
+            from ..parallel.sharded import ShardedProgram
+
+            # layout-closed plan: repetitions compose with no residual
+            prog = ShardedProgram(circuit, cfg, restore_layout=True)
+            return prog, len(prog.plan.items)
         # mxu
         from .wide import build_wide_program
 
@@ -237,10 +250,6 @@ class Simulator:
         real_dtype = _init_real_dtype(cfg)
         n = circuit.num_qubits
         if initial_parts is not None:
-            if cfg.strategy in ("pallas", "sharded"):
-                raise NotImplementedError(
-                    f"initial-state resume is not wired into {cfg.strategy} yet"
-                )
             re = jnp.asarray(initial_parts[0], dtype=real_dtype)
             im = jnp.asarray(initial_parts[1], dtype=real_dtype)
         else:
@@ -316,7 +325,9 @@ class Simulator:
         elif cfg.strategy == "pallas":
             from .pallas_engine import run_pallas
 
-            re, im, num_ops, residual = run_pallas(circuit, self.config)
+            re, im, num_ops, residual = run_pallas(
+                circuit, self.config, initial_parts=initial_parts
+            )
 
         elif cfg.strategy == "prefetch":
             from .prefetch import run_prefetch
@@ -351,7 +362,9 @@ class Simulator:
         elif cfg.strategy == "sharded":
             from ..parallel.sharded import run_sharded
 
-            re, im, num_ops, residual = run_sharded(circuit, self.config)
+            re, im, num_ops, residual = run_sharded(
+                circuit, self.config, initial_parts=initial_parts
+            )
 
         else:  # pragma: no cover
             raise AssertionError(cfg.strategy)

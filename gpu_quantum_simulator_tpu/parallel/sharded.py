@@ -29,7 +29,27 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ir.oplist import Op
 from ..ops import apply as A
-from ..passes.shard import ShardPlan, SwapItem
+from ..passes.shard import LocalSwapItem, ShardPlan, SwapItem
+
+
+def _local_swap(re, im, a: int, b: int, local_n: int):
+    """Exchange two LOCAL bit positions of the per-device block (no ICI).
+
+    local_n >= 8 uses the tile-friendly low-rank forms (lane bits cross via
+    exact 0/1 permutation matmuls, ops/apply._swap_bits_device); smaller
+    blocks use a rank-5 transpose.
+    """
+    if a > b:
+        a, b = b, a
+    if local_n >= 8:
+        return A._swap_bits_device(re, im, a, b, local_n)
+    s_hi, s_mid, s_lo = 1 << (local_n - b - 1), 1 << (b - a - 1), 1 << a
+
+    def one(x):
+        v = x.reshape(s_hi, 2, s_mid, 2, s_lo)
+        return jnp.swapaxes(v, 1, 3).reshape(-1)
+
+    return one(re), one(im)
 
 
 def _swap_halves(block, axis_index, gb: int, l: int, local_n: int, axis: str):
@@ -65,6 +85,8 @@ def build_sharded_kernel(
     for item in plan.items:
         if isinstance(item, SwapItem):
             baked.append(("swap", item.pos_a - local_n, item.pos_b, None, None))
+        elif isinstance(item, LocalSwapItem):
+            baked.append(("lswap", item.pos_a, item.pos_b, None, None))
         elif item.kind == "cx":
             baked.append(("cx", item.qubits[0], item.qubits[1], None, None))
         else:
@@ -85,6 +107,8 @@ def build_sharded_kernel(
             if kind == "swap":
                 re = _swap_halves(re, idx, a, b, local_n, axis)
                 im = _swap_halves(im, idx, a, b, local_n, axis)
+            elif kind == "lswap":
+                re, im = _local_swap(re, im, a, b, local_n)
             elif kind == "cx":
                 re, im = A.apply_cnot(re, im, a, b, local_n)
             elif len(a) == 1:
@@ -101,43 +125,76 @@ def build_sharded_kernel(
     return jax.jit(mapped)
 
 
-def run_sharded(circuit, config):
-    """Entry used by the Simulator facade; returns (re, im, num_ops)."""
-    from ..passes.fuse4x4 import fuse_4x4
-    from ..passes.fuse_k import fuse_k
-    from ..passes.shard import plan_sharded
-    from .mesh import make_mesh, num_global_qubits
+class ShardedProgram:
+    """A compiled sharded plan bound to a mesh: callable on flat (re, im).
 
-    n = circuit.num_qubits
-    axis = config.mesh_axis_names[0]
-    mesh = make_mesh(config.mesh_shape, config.mesh_axis_names)
-    d = num_global_qubits(mesh, axis)
-    if d >= n:
-        raise ValueError(f"{n}-qubit state cannot shard over 2^{d} devices")
-    local_n = n - d
+    Used both by run_sharded (one-shot) and run_device_iterated (the body
+    is planned layout-closed via restore_layout so repetitions compose).
+    """
 
-    k = min(config.max_fused_qubits, local_n, n)
-    # cap blocks at 2 qubits above the lane region so the per-device apply
-    # keeps to wide matmuls (local positions >= 7 otherwise fall into
-    # apply_kq's slow dense path at large local_n)
-    max_high = 2 if local_n > 7 else None
-    ops = fuse_k(fuse_4x4(circuit), max_qubits=k, max_high=max_high)
-    plan = plan_sharded(ops, n, d)
+    def __init__(self, circuit, config, restore_layout: bool = False):
+        from ..passes.fuse4x4 import fuse_4x4
+        from ..passes.fuse_k import fuse_k
+        from ..passes.shard import plan_sharded
+        from .mesh import make_mesh, num_global_qubits
 
-    real_dtype = jnp.float32 if config.dtype == "complex64" else jnp.float64
-    sharding = NamedSharding(mesh, P(axis))
-    size = 1 << n
-    re = jnp.zeros(size, dtype=real_dtype).at[0].set(1.0)
-    im = jnp.zeros(size, dtype=real_dtype)
-    re = jax.device_put(re, sharding)
-    im = jax.device_put(im, sharding)
+        n = circuit.num_qubits
+        axis = config.mesh_axis_names[0]
+        mesh = make_mesh(config.mesh_shape, config.mesh_axis_names)
+        d = num_global_qubits(mesh, axis)
+        if d >= n:
+            raise ValueError(f"{n}-qubit state cannot shard over 2^{d} devices")
+        local_n = n - d
 
-    kernel = build_sharded_kernel(plan, n, mesh, axis, real_dtype)
-    re, im = kernel(re, im)
+        k = min(config.max_fused_qubits, local_n, n)
+        # two-level planning: cap fused blocks at 2 logical qubits above the
+        # lane region AND have the planner relocate crowded device-high
+        # positions (LocalSwapItem) so the per-device apply keeps to wide
+        # matmuls at any local_n
+        max_high = 2 if local_n > 7 else None
+        ops = fuse_k(fuse_4x4(circuit), max_qubits=k, max_high=max_high)
+        plan = plan_sharded(
+            ops, n, d,
+            max_local_high=2 if local_n > 7 else None,
+            restore_layout=restore_layout,
+        )
 
+        self.num_qubits = n
+        self.mesh = mesh
+        self.plan = plan
+        self.real_dtype = jnp.float32 if config.dtype == "complex64" else jnp.float64
+        self.sharding = NamedSharding(mesh, P(axis))
+        self._kernel = build_sharded_kernel(plan, n, mesh, axis, self.real_dtype)
+
+    def init_state(self, initial_parts=None):
+        size = 1 << self.num_qubits
+        if initial_parts is not None:
+            re = jnp.asarray(initial_parts[0], dtype=self.real_dtype)
+            im = jnp.asarray(initial_parts[1], dtype=self.real_dtype)
+        else:
+            re = jnp.zeros(size, dtype=self.real_dtype).at[0].set(1.0)
+            im = jnp.zeros(size, dtype=self.real_dtype)
+        return jax.device_put(re, self.sharding), jax.device_put(im, self.sharding)
+
+    def __call__(self, re, im):
+        # no-op when already laid out P('amp'); reshards replicated inputs
+        re = jax.device_put(re, self.sharding)
+        im = jax.device_put(im, self.sharding)
+        return self._kernel(re, im)
+
+    @property
+    def residual(self):
+        perm = self.plan.final_position
+        if np.array_equal(perm, np.arange(self.num_qubits)):
+            return None
+        return perm
+
+
+def run_sharded(circuit, config, initial_parts=None):
+    """Entry used by the Simulator facade; returns (re, im, num_ops, perm)."""
+    prog = ShardedProgram(circuit, config)
+    re, im = prog.init_state(initial_parts)
+    re, im = prog(re, im)
     # The plan's swaps leave a layout permutation; the Simulator undoes it
     # on-device (a global transpose XLA implements with ICI collectives).
-    perm = plan.final_position
-    if np.array_equal(perm, np.arange(n)):
-        perm = None
-    return re, im, len(plan.items), perm
+    return re, im, len(prog.plan.items), prog.residual

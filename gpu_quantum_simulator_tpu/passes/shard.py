@@ -8,7 +8,14 @@ are embarrassingly parallel; a gate touching a GLOBAL qubit is preceded by a
 planned swap of that global qubit with a cold local qubit — a pairwise
 device exchange that rides ICI (lax.ppermute), after which the gate is local.
 
-Victim choice: the local physical position whose logical qubit has the
+TWO-LEVEL planning: within a shard the low 7 positions are the TPU lane
+region; per-device applies on positions >= 7 leave the wide-matmul fast path
+once more than ``max_local_high`` of them appear in one op.  The planner
+therefore also relocates crowded device-high qubits down into cold lanes via
+LocalSwapItem — a device-local bit transpose, no ICI traffic — the same
+relabeling trick applied recursively one level down.
+
+Victim choice at both levels: the position whose logical qubit has the
 fewest remaining uses (exact remaining-use counts — the correct version of
 the reference's usage histogram, cf. defect #5).
 """
@@ -16,7 +23,7 @@ the reference's usage histogram, cf. defect #5).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Sequence, Tuple, Union
+from typing import List, Optional, Sequence, Tuple, Union
 
 import numpy as np
 
@@ -31,7 +38,17 @@ class SwapItem:
     pos_b: int  # local physical position (< local_n)
 
 
-PlanItem = Union[Op, SwapItem]
+@dataclass(frozen=True)
+class LocalSwapItem:
+    """Exchange two LOCAL positions — a device-local transpose, no ICI."""
+
+    pos_a: int
+    pos_b: int
+
+
+PlanItem = Union[Op, SwapItem, LocalSwapItem]
+
+LANE_REGION = 7  # local positions < 7 live on the 128-lane dimension
 
 
 @dataclass
@@ -40,10 +57,28 @@ class ShardPlan:
     # final_position[q] = physical position of original/logical qubit q at the end
     final_position: np.ndarray
     num_swaps: int
+    num_local_swaps: int = 0
 
 
-def plan_sharded(ops: Sequence[Op], num_qubits: int, num_global: int) -> ShardPlan:
-    """Rewrite an op list over logical qubits into physical-position items."""
+def plan_sharded(
+    ops: Sequence[Op],
+    num_qubits: int,
+    num_global: int,
+    max_local_high: Optional[int] = None,
+    initial_layout: Optional[Sequence[int]] = None,
+    restore_layout: bool = False,
+) -> ShardPlan:
+    """Rewrite an op list over logical qubits into physical-position items.
+
+    ``max_local_high``: if set, ops are additionally rewritten to touch at
+    most this many local positions >= 7 (LocalSwapItem relocations keep the
+    per-device apply on the wide-matmul path).
+    ``initial_layout``: position of each logical qubit at entry (default
+    identity) — lets multi-part programs (prefix/body/suffix) chain plans.
+    ``restore_layout``: append swaps returning every qubit to its initial
+    position, making the plan layout-closed (required for on-device
+    iteration of a repeated block).
+    """
     n, d = num_qubits, num_global
     local_n = n - d
     if local_n < 1:
@@ -54,9 +89,17 @@ def plan_sharded(ops: Sequence[Op], num_qubits: int, num_global: int) -> ShardPl
             f"an op touches {widest} qubits but only {local_n} are local; "
             f"lower max_fused_qubits or use fewer mesh devices"
         )
+    if max_local_high is not None and widest > LANE_REGION + max_local_high:
+        max_local_high = widest - LANE_REGION  # cannot do better than width
 
-    pos_of = list(range(n))    # logical qubit -> physical position
-    qubit_at = list(range(n))  # physical position -> logical qubit
+    if initial_layout is None:
+        pos_of = list(range(n))
+    else:
+        pos_of = [int(p) for p in initial_layout]
+    qubit_at = [0] * n
+    for q, p in enumerate(pos_of):
+        qubit_at[p] = q
+    entry_layout = list(pos_of)
 
     remaining = np.zeros(n, dtype=np.int64)
     for op in ops:
@@ -65,6 +108,23 @@ def plan_sharded(ops: Sequence[Op], num_qubits: int, num_global: int) -> ShardPl
 
     items: List[PlanItem] = []
     num_swaps = 0
+    num_local_swaps = 0
+
+    def do_swap(p_global: int, p_local: int) -> None:
+        nonlocal num_swaps
+        items.append(SwapItem(p_global, p_local))
+        num_swaps += 1
+        qg, ql = qubit_at[p_global], qubit_at[p_local]
+        qubit_at[p_local], qubit_at[p_global] = qg, ql
+        pos_of[qg], pos_of[ql] = p_local, p_global
+
+    def do_local_swap(pa: int, pb: int) -> None:
+        nonlocal num_local_swaps
+        items.append(LocalSwapItem(pa, pb))
+        num_local_swaps += 1
+        qa, qb = qubit_at[pa], qubit_at[pb]
+        qubit_at[pa], qubit_at[pb] = qb, qa
+        pos_of[qa], pos_of[qb] = pb, pa
 
     for op in ops:
         qs = op.qubits
@@ -76,12 +136,24 @@ def plan_sharded(ops: Sequence[Op], num_qubits: int, num_global: int) -> ShardPl
             # the op, preferring lane-region slots (< 7) so the per-device
             # apply stays on the wide-matmul fast path
             cands = [l for l in range(local_n) if qubit_at[l] not in qs]
-            victim = min(cands, key=lambda l: (remaining[qubit_at[l]], l >= 7, l))
-            items.append(SwapItem(p, victim))
-            num_swaps += 1
-            ql = qubit_at[victim]
-            qubit_at[victim], qubit_at[p] = q, ql
-            pos_of[q], pos_of[ql] = victim, p
+            victim = min(
+                cands, key=lambda l: (remaining[qubit_at[l]], l >= LANE_REGION, l)
+            )
+            do_swap(p, victim)
+
+        if max_local_high is not None and local_n > LANE_REGION:
+            # second level: too many device-high positions in one op -> move
+            # the overflow into cold lanes (local transposes, no ICI)
+            while sum(1 for q in qs if pos_of[q] >= LANE_REGION) > max_local_high:
+                q_high = max(
+                    (q for q in qs if pos_of[q] >= LANE_REGION),
+                    key=lambda q: pos_of[q],
+                )
+                cands = [
+                    l for l in range(LANE_REGION) if qubit_at[l] not in qs
+                ]
+                victim = min(cands, key=lambda l: (remaining[qubit_at[l]], l))
+                do_local_swap(victim, pos_of[q_high])
 
         new_ps = tuple(pos_of[q] for q in qs)
         if op.kind == "cx":
@@ -97,4 +169,27 @@ def plan_sharded(ops: Sequence[Op], num_qubits: int, num_global: int) -> ShardPl
         for q in qs:
             remaining[q] -= 1
 
-    return ShardPlan(items, np.asarray(pos_of), num_swaps)
+    if restore_layout:
+        # make the plan layout-closed: return every qubit to entry_layout.
+        # Transpositions: local-local -> LocalSwapItem; global-local ->
+        # SwapItem; global-global -> 3 SwapItems through a local bridge.
+        for q in range(n):
+            want = entry_layout[q]
+            cur_p = pos_of[q]
+            if cur_p == want:
+                continue
+            a, b = cur_p, want  # move q from a to b (displacing whoever is at b)
+            if a < local_n and b < local_n:
+                do_local_swap(a, b)
+            elif a >= local_n and b >= local_n:
+                bridge = 0  # any local slot works; it is restored below
+                do_swap(a, bridge)
+                do_swap(b, bridge)
+                do_swap(a, bridge)
+            elif a >= local_n:
+                do_swap(a, b)
+            else:
+                do_swap(b, a)
+        assert list(pos_of) == entry_layout
+
+    return ShardPlan(items, np.asarray(pos_of), num_swaps, num_local_swaps)

@@ -98,3 +98,89 @@ def test_permute_reduces_swaps():
     opt = plan_sharded(circuit_to_ops(relabeled), n, d)
     assert opt.num_swaps < base.num_swaps
     assert opt.num_swaps <= 2
+
+
+# ------------------------------------------------- round-2 coverage (VERDICT)
+def test_deep_circuit_many_swaps_n12():
+    """2445 gates at n=12 over 4 devices: hundreds of planned ICI swaps plus
+    two-level LocalSwapItem relocations, end-to-end parity."""
+    c = models.grover_like(12, num_gates=2445, seed=0)
+    got = _run(c, mesh_shape=(4,))
+    want = REF.simulate_reference(c)
+    np.testing.assert_allclose(got, want, atol=TOL)
+
+
+def test_two_level_local_swaps_planned():
+    """At local_n > 7 the planner must emit LocalSwapItems whenever an op
+    would touch 3+ device-high positions."""
+    from gpu_quantum_simulator_tpu.engine.simulator import _fuse_pipeline
+    from gpu_quantum_simulator_tpu.passes.shard import LocalSwapItem
+
+    c = models.grover_like(12, num_gates=2445, seed=0)
+    ops = _fuse_pipeline(c, 7, max_high=2)
+    plan = plan_sharded(ops, 12, 2, max_local_high=2)
+    for item in plan.items:
+        if hasattr(item, "kind") and item.kind == "u":
+            assert sum(1 for p in item.qubits if p >= 7) <= 2
+    assert plan.num_local_swaps > 0
+
+
+def test_auto_mesh():
+    """mesh_shape=None must build the largest power-of-two mesh."""
+    c = models.random_circuit(9, 80, seed=3)
+    got = _run(c, mesh_shape=None)
+    want = REF.simulate_reference(c)
+    np.testing.assert_allclose(got, want, atol=TOL)
+
+
+def test_non_power_of_two_devices():
+    """A mesh built from 5 devices must truncate to 4 and stay correct."""
+    import jax as _jax
+
+    from gpu_quantum_simulator_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(None, ("amp",), devices=_jax.devices()[:5])
+    assert mesh.shape["amp"] == 4
+
+
+def test_restore_layout_roundtrip():
+    """restore_layout plans end at the entry layout (needed for iteration)."""
+    from gpu_quantum_simulator_tpu.engine.simulator import _fuse_pipeline
+
+    c = models.grover_like(10, num_gates=400, seed=9)
+    ops = _fuse_pipeline(c, 5, max_high=2)
+    plan = plan_sharded(ops, 10, 3, max_local_high=2, restore_layout=True)
+    np.testing.assert_array_equal(plan.final_position, np.arange(10))
+
+
+def test_initial_state_resume_sharded():
+    """Split a circuit in two; resume from the midpoint state (checkpoint
+    parity through the sharded engine)."""
+    from gpu_quantum_simulator_tpu.ir.circuit import Circuit
+
+    n = 10
+    full = models.grover_like(n, num_gates=300, seed=17)
+    first, second = Circuit(n), Circuit(n)
+    first.gates = full.gates[:150]
+    second.gates = full.gates[150:]
+    sim = Simulator(SimulatorConfig(strategy="sharded", mesh_shape=(4,)))
+    mid = sim.run(first)
+    got = sim.run(second, initial=mid)
+    want = REF.simulate_reference(full)
+    np.testing.assert_allclose(got, want, atol=TOL)
+
+
+def test_run_device_iterated_sharded():
+    """Grover-style prefix + body^k through the sharded engine."""
+    from gpu_quantum_simulator_tpu.ops.apply import join_state
+
+    n = 5
+    prefix, body, _iters = models.grover_parts(n, marked=3)
+    sim = Simulator(SimulatorConfig(strategy="sharded", mesh_shape=(4,)))
+    reps = 3
+    re, im, _ = sim.run_device_iterated(body, reps, prefix=prefix)
+    got = join_state(np.asarray(re), np.asarray(im))
+
+    merged = models.grover(n, marked=3, iterations=reps)
+    want = REF.simulate_reference(merged)
+    np.testing.assert_allclose(got, want, atol=TOL)
