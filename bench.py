@@ -35,7 +35,10 @@ def main() -> None:
     from gpu_quantum_simulator_tpu.engine.simulator import Simulator
 
     circuit = models.grover_like(N_QUBITS, num_gates=NUM_GATES, seed=318)
-    sim = Simulator(SimulatorConfig(strategy="mxu"))
+    # prefetch: the recompile-free scan-chain engine (engine/prefetch.py) —
+    # faster than mxu AND zero per-circuit compilation; the warm-up pays the
+    # one-time-per-(n, capacity) kernel compiles only on the first-ever run
+    sim = Simulator(SimulatorConfig(strategy="prefetch"))
 
     sim.run_detailed(circuit)  # warm-up: compile
 

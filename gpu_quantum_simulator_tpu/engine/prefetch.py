@@ -230,6 +230,7 @@ def plan_prefetch(
     num_qubits: int,
     cap_steps: int = CAP_STEPS,
     cap_mats: int = CAP_MATS,
+    final_layout: Optional[Sequence[int]] = None,
 ) -> PrefetchPlan:
     """Lower fused ops to uniform kernel blocks.
 
@@ -334,6 +335,46 @@ def plan_prefetch(
         add_mat(u, tuple(pos_of[q] for q in sorted_qs))
         for q in qs:
             remaining[q] -= 1
+
+    if final_layout is not None:
+        # Route every qubit to its requested position with in-plan steps —
+        # position-transpositions built from the existing gadgets (3 perm
+        # steps for lane-lane, 1-3 for lane/window, 3 row swaps for
+        # row-row).  A handful of extra near-free blocks replaces the
+        # Simulator's generic device unpermute, whose bit-swap chain costs
+        # one ~30 ms tunnel dispatch per transposition.
+        def transpose_positions(pa: int, pb: int) -> None:
+            if pa > pb:
+                pa, pb = pb, pa
+            seq: List[Tuple[str, int]] = []
+            if pb < LANE_QUBITS:
+                seq = [("perm", pa), ("perm", pb), ("perm", pa)]
+            elif pb == LANE_QUBITS:
+                seq = [("perm", pa)]
+            elif pa == LANE_QUBITS:
+                seq = [("swap", pb - LANE_QUBITS)]
+            elif pa < LANE_QUBITS:
+                seq = [("perm", pa), ("swap", pb - LANE_QUBITS), ("perm", pa)]
+            else:
+                k1, k2 = pa - LANE_QUBITS, pb - LANE_QUBITS
+                seq = [("swap", k1), ("swap", k2), ("swap", k1)]
+            for kind, v in seq:
+                if kind == "perm":
+                    add_perm(v)
+                else:
+                    if v <= logt:
+                        add_tswap(v)
+                    else:
+                        add_xswap(v)
+            qa, qb = qubit_at[pa], qubit_at[pb]
+            qubit_at[pa], qubit_at[pb] = qb, qa
+            pos_of[qa], pos_of[qb] = pb, pa
+
+        want = [int(p) for p in final_layout]
+        for q in range(n):
+            if pos_of[q] != want[q]:
+                transpose_positions(pos_of[q], want[q])
+        assert [pos_of[q] for q in range(n)] == want
 
     if not blocks[-1].kinds and blocks[-1].prologue is None:
         blocks.pop()
@@ -482,8 +523,7 @@ def get_block_chain(n: int, real_dtype, precision: str, interpret: bool,
     kernel = get_block_kernel(n, dt, precision, interpret, cap_steps, cap_mats)
     R2 = 1 << (n - LOCAL_QUBITS)
 
-    @partial(jax.jit, donate_argnums=(0, 1), static_argnums=())
-    def chain(re, im, scal, a_tab, b_tab, p_tab):
+    def chain_pure(re, im, scal, a_tab, b_tab, p_tab):
         re = re.reshape(R2, DVIEW)
         im = im.reshape(R2, DVIEW)
 
@@ -495,8 +535,10 @@ def get_block_chain(n: int, real_dtype, precision: str, interpret: bool,
         (re, im), _ = jax.lax.scan(body, (re, im), (scal, a_tab, b_tab))
         return re.reshape(-1), im.reshape(-1)
 
-    _CHAIN_CACHE[key] = fn = chain
-    return fn
+    chain = jax.jit(chain_pure, donate_argnums=(0, 1))
+    chain.pure = chain_pure  # undonated trace for embedding/compile checks
+    _CHAIN_CACHE[key] = chain
+    return chain
 
 
 def _chunks(total: int) -> List[int]:
@@ -540,12 +582,13 @@ class PrefetchProgram:
         interpret: Optional[bool] = None,
         cap_steps: int = CAP_STEPS,
         cap_mats: int = CAP_MATS,
+        final_layout: Optional[Sequence[int]] = None,
     ):
         n = num_qubits
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         dt = np.dtype(real_dtype)
-        plan = plan_prefetch(ops, n, cap_steps, cap_mats)
+        plan = plan_prefetch(ops, n, cap_steps, cap_mats, final_layout=final_layout)
         self.num_qubits = n
         self.final_position = plan.final_position
         self.num_ops = plan.num_ops
@@ -649,9 +692,11 @@ def build_prefetch_program(
     interpret: Optional[bool] = None,
     cap_steps: int = CAP_STEPS,
     cap_mats: int = CAP_MATS,
+    final_layout: Optional[Sequence[int]] = None,
 ) -> PrefetchProgram:
     h = hashlib.sha256(
-        f"p|{num_qubits}|{np.dtype(real_dtype)}|{precision}|{cap_steps}|{cap_mats}".encode()
+        f"p|{num_qubits}|{np.dtype(real_dtype)}|{precision}|{cap_steps}|{cap_mats}"
+        f"|{None if final_layout is None else list(final_layout)}".encode()
     )
     for op in ops:
         h.update(op.kind.encode())
@@ -662,12 +707,28 @@ def build_prefetch_program(
     prog = _PROGRAM_CACHE.get(key)
     if prog is None:
         prog = PrefetchProgram(
-            ops, num_qubits, real_dtype, precision, interpret, cap_steps, cap_mats
+            ops, num_qubits, real_dtype, precision, interpret, cap_steps, cap_mats,
+            final_layout=final_layout,
         )
         if len(_PROGRAM_CACHE) >= _PROGRAM_CACHE_LIMIT:
             _PROGRAM_CACHE.pop(next(iter(_PROGRAM_CACHE)))
         _PROGRAM_CACHE[key] = prog
     return prog
+
+
+_RUN_CACHE: dict = {}
+_RUN_CACHE_LIMIT = 8
+
+
+def _circuit_fingerprint(circuit) -> str:
+    """Cheap hash over the gate stream (vs hashing 100s of MB of fused
+    matrices): names, qubits, params, qubit count."""
+    h = hashlib.sha256(f"c|{circuit.num_qubits}".encode())
+    for g in circuit.gates:
+        h.update(g.name.encode())
+        h.update(np.asarray(g.qubits, dtype=np.int32).tobytes())
+        h.update(np.asarray(g.params, dtype=np.float64).tobytes())
+    return h.hexdigest()
 
 
 def run_prefetch(circuit, config, initial_parts=None):
@@ -701,12 +762,45 @@ def run_prefetch(circuit, config, initial_parts=None):
         re, im = build_megakernel(ops, n, real_dtype)(re, im)
         return re, im, len(ops), None
 
-    ops = _fuse_pipeline(circuit, min(config.max_fused_qubits, LANE_QUBITS), max_high=2)
-    prog = build_prefetch_program(ops, n, real_dtype, precision=config.precision)
+    # relabel hot qubits low (the corrected reference permute pass) and have
+    # the plan itself route the state back to the ORIGINAL basis: the
+    # returned residual is always None
+    from ..passes.permute import plan_permutation, unpermute_state
+
+    perm = plan_permutation(circuit)
+    if np.array_equal(perm, np.arange(n)):
+        perm = None
+
+    run_key = (
+        _circuit_fingerprint(circuit), config.precision,
+        config.max_fused_qubits, str(np.dtype(real_dtype)),
+    )
+    cached = _RUN_CACHE.get(run_key)
+    if cached is not None:
+        prog = cached
+    else:
+        if perm is None:
+            work = circuit
+            final_layout = np.arange(n)  # still route back to identity
+        else:
+            work = circuit.relabeled(perm)
+            final_layout = np.argsort(perm)
+        ops = _fuse_pipeline(work, min(config.max_fused_qubits, LANE_QUBITS), max_high=2)
+        prog = build_prefetch_program(
+            ops, n, real_dtype, precision=config.precision, final_layout=final_layout
+        )
+        if len(_RUN_CACHE) >= _RUN_CACHE_LIMIT:
+            _RUN_CACHE.pop(next(iter(_RUN_CACHE)))
+        _RUN_CACHE[run_key] = prog
+
+    if perm is not None and initial_parts is not None:
+        iv = np.asarray(initial_parts[0]) + 1j * np.asarray(initial_parts[1])
+        iv = unpermute_state(iv, np.argsort(perm))
+        initial_parts = (np.ascontiguousarray(iv.real), np.ascontiguousarray(iv.imag))
+
     re, im = start()
     re, im = prog(re, im)
 
-    perm = prog.final_position
-    if np.array_equal(perm, np.arange(n)):
-        perm = None
-    return re, im, prog.num_ops + prog.num_tswaps + prog.num_xswaps, perm
+    # the plan ends with relabeled qubit j at position argsort(perm)[j] —
+    # the ORIGINAL basis exactly — so there is never a residual to undo
+    return re, im, prog.num_ops + prog.num_tswaps + prog.num_xswaps, None

@@ -70,7 +70,10 @@ class Simulator:
         cfg = self.config
         perm = None
         work = circuit
-        if cfg.permute or cfg.strategy in ("mxu", "pallas", "vmem", "sharded", "prefetch"):
+        # prefetch is absent: it relabels internally and routes the state
+        # back to the ORIGINAL basis inside its own plan (near-free in-plan
+        # steps vs one ~30 ms tunnel dispatch per bit transposition here)
+        if cfg.permute or cfg.strategy in ("mxu", "pallas", "vmem", "sharded"):
             from ..passes.permute import plan_permutation
 
             perm = plan_permutation(circuit)

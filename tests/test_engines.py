@@ -16,9 +16,19 @@ from gpu_quantum_simulator_tpu.ref import cpu as REF
 
 ENGINES = ["naive", "fused2x2", "fused3in1", "fused4x4", "megakernel", "scan", "mxu"]
 
-# float32 engines vs float64 ground truth: amplitude tolerance scales with
-# circuit depth; 1e-5 covers the deep (2445-gate) workloads comfortably.
-TOL_F32 = 2e-5
+# float32 engines vs float64 ground truth.  The WIDE-FUSED engines (mxu /
+# prefetch) compose gate products in f64 on the host and apply only a few
+# hundred f32 contractions: measured error at the FULL reference depth
+# (2445 gates) is ~5e-8 on both CPU-XLA f32 and real TPU f32 with
+# precision='highest' — an order of magnitude under the BASELINE.md 1e-6
+# parity bar, gated at 1e-6 below.  The PER-GATE ablation replicas (naive /
+# fused2x2 / 3in1 / 4x4 / megakernel / scan) round the state 2445 times in
+# f32, exactly like the reference's GPU variants, and sit at 2-3e-6 on the
+# deep workload: gated at the f32 random-walk bound 5e-6 (the 1e-6 bar is
+# the flagship's; docs/PERFORMANCE.md "Accuracy").
+TOL_F32 = 1e-6
+TOL_F32_PER_GATE_DEEP = 5e-6
+FUSED_ENGINES = ("mxu", "prefetch")
 
 
 def _run(strategy, circuit, **kw):
@@ -47,12 +57,13 @@ def test_random_full_gateset(strategy, seed):
     np.testing.assert_allclose(got, want, atol=TOL_F32)
 
 
-@pytest.mark.parametrize("strategy", ENGINES)
+@pytest.mark.parametrize("strategy", ENGINES + ["prefetch"])
 def test_grover_3_18_parity(strategy):
     c = models.load_reference_circuit("grover_3_18")
     got = _run(strategy, c)
     want = REF.simulate_reference(c)
-    np.testing.assert_allclose(got, want, atol=TOL_F32)
+    tol = TOL_F32 if strategy in FUSED_ENGINES else TOL_F32_PER_GATE_DEEP
+    np.testing.assert_allclose(got, want, atol=tol)
 
 
 @pytest.mark.parametrize("strategy", ["megakernel", "mxu"])
