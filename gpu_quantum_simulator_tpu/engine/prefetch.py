@@ -31,8 +31,9 @@ depth-bucket), never per circuit:
 
 The planner is the corrected generalization of the reference's relabeling
 histogram (quantum_simulator_preproces_permute.cu:388-413; defects #5-#7
-fixed): exact remaining-use victim choice, results restored to the original
-basis by the Simulator via ``final_position``.
+fixed): exact remaining-use victim choice, and — via ``final_layout`` —
+the plan itself routes the state back to the ORIGINAL qubit basis with
+near-free in-plan steps, so no device unpermute pass ever runs.
 
 Complex multiply is the 3-matmul Karatsuba form; tables ship as
 (M_re^T, M_im^T) and the two combinations are formed on the VPU in-kernel
@@ -785,7 +786,9 @@ def run_prefetch(circuit, config, initial_parts=None):
         else:
             work = circuit.relabeled(perm)
             final_layout = np.argsort(perm)
-        ops = _fuse_pipeline(work, min(config.max_fused_qubits, LANE_QUBITS), max_high=2)
+        ops = _fuse_pipeline(
+            work, min(config.max_fused_qubits, LANE_QUBITS), max_high=2, window=8
+        )
         prog = build_prefetch_program(
             ops, n, real_dtype, precision=config.precision, final_layout=final_layout
         )

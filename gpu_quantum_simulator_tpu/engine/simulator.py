@@ -421,8 +421,16 @@ def _scan_program(prog, reps: int):
 _NATIVE_FUSE = None  # tri-state: None unknown, False unavailable, module
 
 
-def _fuse_pipeline(circuit: Circuit, max_qubits: int, max_high):
-    """fuse_4x4 + fuse_k, via the native C++ pipeline when available."""
+def _fuse_pipeline(circuit: Circuit, max_qubits: int, max_high, window: int = 1):
+    """fuse_4x4 + fuse_k, via the native C++ pipeline when available.
+
+    ``window`` > 1 enables the commutation-aware packing in the native
+    emitter (csrc/qsim_fuse.cpp).  The prefetch engine uses window=8 (every
+    op costs one uniform 256-matmul there, so fewer ops is a pure win:
+    measured -16%% ops/swaps/blocks on the deep workload); the wide engine
+    stays at 1 because packing shifts the kh mix toward 4x-cost D=512
+    blocks (round-1 regression 0.21 -> 0.37 s).
+    """
     global _NATIVE_FUSE
     if _NATIVE_FUSE is None:
         try:
@@ -435,7 +443,7 @@ def _fuse_pipeline(circuit: Circuit, max_qubits: int, max_high):
     # smaller); clamping is harmless since fused blocks never exceed n qubits.
     max_qubits = max(2, max_qubits)
     if _NATIVE_FUSE:
-        return _NATIVE_FUSE.fuse_native(circuit, max_qubits, max_high)
+        return _NATIVE_FUSE.fuse_native(circuit, max_qubits, max_high, window=window)
     from ..passes.fuse4x4 import fuse_4x4
     from ..passes.fuse_k import fuse_k
 
