@@ -1,0 +1,70 @@
+"""Parameter-shift gradients vs central finite differences (f64 reference)."""
+
+import numpy as np
+import pytest
+
+from gpu_quantum_simulator_tpu import gradients as GR
+from gpu_quantum_simulator_tpu.config import SimulatorConfig
+from gpu_quantum_simulator_tpu.ir.circuit import Circuit, Gate
+
+
+def _vqe_circuit(n=4, seed=0):
+    rng = np.random.default_rng(seed)
+    c = Circuit(n)
+    for q in range(n):
+        c.append("h", q)
+    for layer in range(2):
+        for q in range(n):
+            c.append("rz", q, params=(float(rng.uniform(-np.pi, np.pi)),))
+            c.append("ry", q, params=(float(rng.uniform(-np.pi, np.pi)),))
+        for q in range(n - 1):
+            c.append("cx", q, q + 1)
+    return c
+
+
+def _fd_grad(circuit, z_qubits, idxs, eps=1e-5):
+    cfg = SimulatorConfig(strategy="reference")
+    out = []
+    for i in idxs:
+        ep = GR.expectation(GR._shifted(circuit, i, eps), z_qubits, cfg)
+        em = GR.expectation(GR._shifted(circuit, i, -eps), z_qubits, cfg)
+        out.append((ep - em) / (2 * eps))
+    return np.asarray(out)
+
+
+def test_parameter_shift_matches_finite_differences():
+    c = _vqe_circuit()
+    idxs = GR.parameterized_gates(c)[:6]  # keep runtime bounded
+    cfg = SimulatorConfig(strategy="reference")
+    got, got_idx = GR.parameter_shift(c, [0, 1], cfg, gate_indices=idxs)
+    want = _fd_grad(c, [0, 1], idxs)
+    assert got_idx == idxs
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_parameter_shift_through_f32_engine():
+    """The shift rule through a float32 engine stays within f32 noise."""
+    c = _vqe_circuit(n=5, seed=3)
+    idxs = GR.parameterized_gates(c)[:4]
+    got, _ = GR.parameter_shift(c, [0, 2], SimulatorConfig(strategy="mxu"),
+                                gate_indices=idxs)
+    want = _fd_grad(c, [0, 2], idxs)
+    np.testing.assert_allclose(got, want, atol=5e-6)
+
+
+def test_parameterized_gate_discovery():
+    c = Circuit(2)
+    c.append("h", 0)
+    c.append("rz", 0, params=(0.3,))
+    c.append("cx", 0, 1)
+    c.append("rx", 1, params=(0.7,))
+    assert GR.parameterized_gates(c) == [1, 3]
+
+
+def test_nonrotation_gates_excluded():
+    c = Circuit(1)
+    c.append("h", 0)
+    c.append("t", 0)
+    assert GR.parameterized_gates(c) == []
+    grads, idxs = GR.parameter_shift(c, [0], SimulatorConfig(strategy="reference"))
+    assert len(grads) == 0 and idxs == []
