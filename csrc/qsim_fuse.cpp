@@ -36,8 +36,18 @@ struct Block {
 struct FuseState {
   int n = 0;
   int max_qubits = 7;
+  int max_low = -1;        // -1 = cap TOTAL width by max_qubits (legacy);
+                           // >=0 = cap low (< high_threshold) qubits by
+                           // max_low and high qubits by max_high SEPARATELY.
+                           // The wide engine expands every block over the
+                           // full lane superset anyway (engine/wide.py
+                           // _op_spec), so a 7-low + kh-high block costs
+                           // exactly the same as a 1-low + kh-high block —
+                           // the split cap packs more gates per block for
+                           // free.
   int max_high = -1;       // -1 = unlimited
   int high_threshold = 7;
+  std::vector<double> kh_costs;  // per-block cost by kh class (empty = off)
   std::vector<Block> out;
 };
 
@@ -182,18 +192,39 @@ struct Emitter {
   int window = 4;
 
   static bool fits(const FuseState* st, const Block& b, const int* qs, int w) {
-    int extra = 0, high = 0;
+    int extra = 0, high = 0, low = 0;
     for (int i = 0; i < b.width; ++i)
-      if (b.qubits[i] >= st->high_threshold) ++high;
+      if (b.qubits[i] >= st->high_threshold) ++high; else ++low;
     for (int i = 0; i < w; ++i) {
       if (b.bit_of(qs[i]) < 0) {
         ++extra;
-        if (qs[i] >= st->high_threshold) ++high;
+        if (qs[i] >= st->high_threshold) ++high; else ++low;
       }
     }
-    if (b.width + extra > st->max_qubits) return false;
+    if (st->max_low >= 0) {
+      if (low > st->max_low) return false;
+      if (b.width + extra > kMaxWidth) return false;
+    } else if (b.width + extra > st->max_qubits) {
+      return false;
+    }
     if (st->max_high >= 0 && high > st->max_high) return false;
     return true;
+  }
+
+  // kh of the block after absorbing the op (current high count + new highs).
+  static int kh_after(const FuseState* st, const Block& b, const int* qs, int w) {
+    int high = 0;
+    for (int i = 0; i < b.width; ++i)
+      if (b.qubits[i] >= st->high_threshold) ++high;
+    for (int i = 0; i < w; ++i)
+      if (b.bit_of(qs[i]) < 0 && qs[i] >= st->high_threshold) ++high;
+    return high;
+  }
+
+  double khcost(int kh) const {
+    const std::vector<double>& c = st->kh_costs;
+    const size_t i = (size_t)kh < c.size() ? (size_t)kh : c.size() - 1;
+    return c[i];
   }
 
   static bool disjoint(const Block& b, const int* qs, int w) {
@@ -225,13 +256,46 @@ struct Emitter {
   }
 
   void push(const int* qs, int w, const double* ur, const double* ui) {
-    // newest -> oldest; absorb into the first candidate the op can reach
-    for (int i = (int)blocks.size() - 1; i >= 0; --i) {
-      if (fits(st, blocks[i], qs, w)) {
-        absorb(blocks[i], qs, w, ur, ui);
-        return;
+    if (!st->kh_costs.empty()) {
+      // Cost-model selection (docs/PERFORMANCE.md kh roofline table): the
+      // wide engine's per-block cost depends only on the kh class, so among
+      // the commutation-reachable candidates pick the one whose kh rises
+      // the least — and refuse absorbs costlier than opening a fresh block
+      // (a window-8 first-fit measured SLOWER than window-1 because packing
+      // shifted the kh mix toward D=512 blocks).
+      int best = -1;
+      double best_delta = 0.0;
+      for (int i = (int)blocks.size() - 1; i >= 0; --i) {
+        if (fits(st, blocks[i], qs, w)) {
+          int kh0 = 0;
+          for (int j = 0; j < blocks[i].width; ++j)
+            if (blocks[i].qubits[j] >= st->high_threshold) ++kh0;
+          const double d = khcost(kh_after(st, blocks[i], qs, w)) - khcost(kh0);
+          if (best < 0 || d < best_delta - 1e-12) {
+            best = i;
+            best_delta = d;
+          }
+        }
+        if (!disjoint(blocks[i], qs, w)) break;
       }
-      if (!disjoint(blocks[i], qs, w)) break;  // cannot commute past B_i
+      if (best >= 0) {
+        int op_high = 0;
+        for (int i = 0; i < w; ++i)
+          if (qs[i] >= st->high_threshold) ++op_high;
+        if (best_delta <= khcost(op_high) + 1e-12) {
+          absorb(blocks[best], qs, w, ur, ui);
+          return;
+        }
+      }
+    } else {
+      // newest -> oldest; absorb into the first candidate the op can reach
+      for (int i = (int)blocks.size() - 1; i >= 0; --i) {
+        if (fits(st, blocks[i], qs, w)) {
+          absorb(blocks[i], qs, w, ur, ui);
+          return;
+        }
+        if (!disjoint(blocks[i], qs, w)) break;  // cannot commute past B_i
+      }
     }
     Block b;
     b.width = 0;
@@ -259,6 +323,8 @@ struct Pipeline {
     st.max_qubits = max_q;
     st.max_high = max_high;
     st.high_threshold = high_thr;
+    st.max_low = -1;
+    st.kh_costs.clear();
     em.st = &st;
     acc1.assign(n, Acc1());
     partner.assign(n, -1);
@@ -432,6 +498,37 @@ void* qsf_fuse(int num_qubits, long long num_gates, const double* u_re,
   }
   auto* p = new Pipeline();
   p->init(num_qubits, max_qubits, max_high, high_threshold);
+  p->em.window = window;
+  for (long long g = 0; g < num_gates; ++g) {
+    if (control[g] >= 0)
+      p->push_cx(control[g], target[g]);
+    else
+      p->fold_1q(target[g], &u_re[4 * g], &u_im[4 * g]);
+  }
+  p->finish();
+  return p;
+}
+
+// v2: split low/high width caps + optional kh cost model.
+//   max_low >= 0: cap low (< high_threshold) qubits by max_low and high
+//   qubits by max_high, ignoring max_qubits (total still <= kMaxWidth).
+//   kh_costs/num_costs: per-block cost by kh class for cost-aware absorb
+//   candidate selection (null/0 = first-fit legacy behavior).
+void* qsf_fuse2(int num_qubits, long long num_gates, const double* u_re,
+                const double* u_im, const int* target, const int* control,
+                int max_qubits, int max_low, int max_high, int high_threshold,
+                int window, const double* kh_costs, int num_costs) {
+  g_err.clear();
+  if (num_qubits < 1 || max_qubits < 2 || max_qubits > kMaxWidth ||
+      window < 1 || (max_low >= 0 && max_low < 2)) {
+    g_err = "bad arguments";
+    return nullptr;
+  }
+  auto* p = new Pipeline();
+  p->init(num_qubits, max_qubits, max_high, high_threshold);
+  p->st.max_low = max_low;
+  if (kh_costs && num_costs > 0)
+    p->st.kh_costs.assign(kh_costs, kh_costs + num_costs);
   p->em.window = window;
   for (long long g = 0; g < num_gates; ++g) {
     if (control[g] >= 0)

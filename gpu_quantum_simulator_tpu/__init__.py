@@ -20,6 +20,10 @@ Qubit convention matches the reference: qubit ``k`` is bit ``k`` of the basis
 index (little-endian; ref: quantum_simulator.c:83 ``mask = 1<<target``).
 """
 
+from .utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 from .ir.circuit import Gate, Circuit
 from .ir import gates
 from .qasm.parser import parse_qasm, parse_qasm_file

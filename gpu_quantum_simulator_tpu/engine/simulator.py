@@ -421,15 +421,22 @@ def _scan_program(prog, reps: int):
 _NATIVE_FUSE = None  # tri-state: None unknown, False unavailable, module
 
 
-def _fuse_pipeline(circuit: Circuit, max_qubits: int, max_high, window: int = 1):
+def _fuse_pipeline(circuit: Circuit, max_qubits: int, max_high, window: int = 1,
+                   cost_model: bool = False):
     """fuse_4x4 + fuse_k, via the native C++ pipeline when available.
 
     ``window`` > 1 enables the commutation-aware packing in the native
     emitter (csrc/qsim_fuse.cpp).  The prefetch engine uses window=8 (every
     op costs one uniform 256-matmul there, so fewer ops is a pure win:
-    measured -16%% ops/swaps/blocks on the deep workload); the wide engine
-    stays at 1 because packing shifts the kh mix toward 4x-cost D=512
-    blocks (round-1 regression 0.21 -> 0.37 s).
+    measured -16%% ops/swaps/blocks on the deep workload).
+
+    ``cost_model``: wide-engine mode — split low/high caps (a block may hold
+    max_qubits low PLUS max_high high qubits; its device cost depends only
+    on kh) and kh-cost-aware absorb-candidate selection calibrated from the
+    measured per-op-class rooflines (utils.roofline.kh_block_costs).  This
+    is what makes window > 1 profitable for the wide engine: plain first-fit
+    packing shifted the kh mix toward 4x-cost D=512 blocks (round-1
+    regression 0.21 -> 0.37 s).
     """
     global _NATIVE_FUSE
     if _NATIVE_FUSE is None:
@@ -443,10 +450,21 @@ def _fuse_pipeline(circuit: Circuit, max_qubits: int, max_high, window: int = 1)
     # smaller); clamping is harmless since fused blocks never exceed n qubits.
     max_qubits = max(2, max_qubits)
     if _NATIVE_FUSE:
+        if cost_model and max_high is not None:
+            from ..utils.roofline import kh_block_costs
+
+            return _NATIVE_FUSE.fuse_native(
+                circuit, max_qubits, max_high, window=window,
+                max_low=max_qubits,
+                kh_costs=kh_block_costs(circuit.num_qubits),
+            )
         return _NATIVE_FUSE.fuse_native(circuit, max_qubits, max_high, window=window)
     from ..passes.fuse4x4 import fuse_4x4
     from ..passes.fuse_k import fuse_k
 
+    if cost_model and max_high is not None:
+        return fuse_k(fuse_4x4(circuit), max_qubits=max_qubits,
+                      max_high=max_high, max_low=max_qubits)
     return fuse_k(fuse_4x4(circuit), max_qubits=max_qubits, max_high=max_high)
 
 

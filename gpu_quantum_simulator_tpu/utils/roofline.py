@@ -54,6 +54,25 @@ def wide_program_cost(ops: Sequence, num_qubits: int, lane_qubits: int = 7) -> C
     return CostModel(flops, bytes_)
 
 
+# Measured per-block wall-clock by kh class (ms) from the scan-timing
+# harness on the real v5e chip (_tpu_b.py; table in docs/PERFORMANCE.md).
+# Two regimes: sub-HBM working sets run compute-bound (cost ~ 2^kh, n=20
+# anchor) while large states are bandwidth-bound (flat-ish, n=24 anchor).
+_KH_COSTS_COMPUTE_BOUND = (0.0214, 0.0468, 0.1028)   # measured @ n=20
+_KH_COSTS_HBM_BOUND = (0.863, 1.014, 1.767)          # measured @ n=24
+
+
+def kh_block_costs(num_qubits: int) -> tuple:
+    """Calibrated per-block cost by kh class for the wide engine.
+
+    Used by the fusion emitter's cost model (csrc/qsim_fuse.cpp push):
+    only the RATIOS matter, so the anchor closest to the requested state
+    size is returned un-rescaled.
+    """
+    return (_KH_COSTS_COMPUTE_BOUND if num_qubits <= 21
+            else _KH_COSTS_HBM_BOUND)
+
+
 def reference_gate_cost(num_gates_1q: int, num_cx: int, num_qubits: int) -> CostModel:
     """Unfused gate-by-gate cost (the reference naive variant's accounting:
     28 FLOP / 8 B per 2x2 butterfly pair, slide 14)."""

@@ -11,6 +11,8 @@ BEFORE any backend initialization.
 
 import os
 
+os.environ.setdefault("QSIM_NO_COMPILE_CACHE", "1")
+
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

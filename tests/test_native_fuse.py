@@ -80,3 +80,65 @@ def test_mxu_strategy_uses_native_and_is_correct():
     got = Simulator(SimulatorConfig(strategy="mxu")).run(c)
     want = simulate_reference(c)
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+@pytest.mark.parametrize("window", [1, 8])
+@pytest.mark.parametrize("seed", [0, 2])
+def test_cost_model_fusion_equivalence(window, seed):
+    # split low/high caps + kh-cost candidate selection must preserve the
+    # circuit unitary and respect BOTH caps independently
+    from gpu_quantum_simulator_tpu.utils.roofline import kh_block_costs
+
+    n = 6
+    thr = 3
+    c = models.random_circuit(n, 150, seed=seed)
+    want = _dense(circuit_to_ops(c), n)
+    ops = NF.fuse_native(c, 3, 2, high_threshold=thr, window=window,
+                         max_low=3, kh_costs=kh_block_costs(n))
+    for op in ops:
+        low = sum(1 for q in op.qubits if q < thr)
+        high = len(op.qubits) - low
+        assert low <= 3
+        assert high <= 2
+    got = _dense(ops, n)
+    np.testing.assert_allclose(got, want, atol=1e-9)
+
+
+def test_cost_model_reduces_predicted_cost():
+    # the emitter's objective: windowed + cost model must beat plain
+    # window-1 first-fit on predicted wide-engine cost, not just op count
+    from gpu_quantum_simulator_tpu.passes.permute import plan_permutation
+    from gpu_quantum_simulator_tpu.utils.roofline import kh_block_costs
+
+    n = 18
+    c = models.grover_like(n, 2445, seed=318)
+    c = c.relabeled(plan_permutation(c))
+    costs = kh_block_costs(n)
+
+    def predicted(ops):
+        return sum(
+            costs[min(sum(1 for q in op.qubits if q >= 7), len(costs) - 1)]
+            for op in ops
+        )
+
+    base = NF.fuse_native(c, 7, 2, window=1)
+    cm = NF.fuse_native(c, 7, 2, window=8, max_low=7, kh_costs=costs)
+    assert predicted(cm) < 0.85 * predicted(base)
+
+
+def test_fuse_k_max_low_python_parity():
+    # Python fallback mirrors the split-cap semantics (dense equivalence)
+    from gpu_quantum_simulator_tpu.passes.fuse4x4 import fuse_4x4
+    from gpu_quantum_simulator_tpu.passes.fuse_k import fuse_k
+
+    n = 6
+    thr = 3
+    c = models.random_circuit(n, 120, seed=5)
+    want = _dense(circuit_to_ops(c), n)
+    ops = fuse_k(fuse_4x4(c), max_qubits=3, max_high=2,
+                 high_threshold=thr, max_low=3)
+    for op in ops:
+        low = sum(1 for q in op.qubits if q < thr)
+        assert low <= 3
+        assert len(op.qubits) - low <= 2
+    np.testing.assert_allclose(_dense(ops, n), want, atol=1e-9)
