@@ -30,6 +30,9 @@ from .qasm.parser import parse_qasm, parse_qasm_file
 from .engine.simulator import Simulator, simulate
 from .config import SimulatorConfig
 from . import models
+from .dynamic import DynamicCircuit, run_dynamic
+from .density import DensitySimulator, NoisyCircuit
+from .gradients import parameter_shift
 from .sampling import (
     expectation_z,
     norm_device,
@@ -53,4 +56,9 @@ __all__ = [
     "top_amplitudes_device",
     "expectation_z",
     "norm_device",
+    "DynamicCircuit",
+    "run_dynamic",
+    "DensitySimulator",
+    "NoisyCircuit",
+    "parameter_shift",
 ]

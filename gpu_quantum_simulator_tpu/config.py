@@ -45,6 +45,18 @@ class SimulatorConfig:
     # scan strategy pads op tables to the next multiple of this bucket size so
     # circuits of similar depth share one compiled executable.
     scan_bucket: int = 256
+    # commutation-window size for the fusion emitter (None = per-strategy
+    # default: prefetch 8, others 1).  Wider windows pack more gates per
+    # fused block by absorbing ops into older blocks past disjoint newer ones.
+    fusion_window: Optional[int] = None
+    # kh-cost-aware fusion (None = per-strategy default).  Splits the
+    # low/high width caps and picks absorb candidates by predicted
+    # wide-engine block cost (utils.roofline.kh_block_costs).
+    fusion_cost_model: Optional[bool] = None
+    # prefetch in-place (aliased) execution: the state's own buffers are
+    # reused by every kernel, halving peak HBM (required from n=30 on one
+    # 16 GB chip).  None = automatic (n >= 30).
+    prefetch_inplace: Optional[bool] = None
     # sharding: number of global (mesh-sharded) qubits; None = auto from mesh.
     mesh_shape: Optional[Tuple[int, ...]] = None
     mesh_axis_names: Tuple[str, ...] = ("amp",)

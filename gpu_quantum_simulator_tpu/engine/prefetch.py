@@ -508,6 +508,193 @@ def get_block_kernel(n: int, real_dtype, precision: str, interpret: bool,
     return fn
 
 
+def get_split_kernels(n: int, real_dtype, precision: str, interpret: bool,
+                      cap_steps: int = CAP_STEPS, cap_mats: int = CAP_MATS):
+    """In-place variant for states too large to double-buffer (n >= 30:
+    an (in, out) pair of f32 state pairs is 17 GB > 16 GB HBM).
+
+    The state lives as FOUR aliased arrays (column halves h0/h1 of re/im,
+    each (R2, 128)); every pallas_call maps inputs onto its outputs with
+    ``input_output_aliases`` so the chain executes with ZERO extra state
+    buffers.  Aliasing forbids the cross-tile input-prologue steering (a
+    grid step may only read the blocks it writes), so cross-tile swaps run
+    as a dedicated PAIR-GRID kernel: each grid step owns both tiles of a
+    swap pair (j, j | tmask) — it exchanges h1[j] <-> h0[j | tmask], the
+    only data an xswap actually moves — making reads == writes per step.
+    The tile-index bit is a runtime scalar (one executable per n covers
+    every cross-tile bit).
+
+    Returns ``(block_fn, xswap_fn)`` over (scal, re0, re1, im0, im1).
+    """
+    dt = np.dtype(real_dtype)
+    key = ("split", n, cap_steps, cap_mats, dt.str, precision, interpret)
+    fn = _KERNEL_CACHE.get(key)
+    if fn is not None:
+        return fn
+
+    R2 = 1 << (n - LOCAL_QUBITS)
+    T = tile_rows(n)
+    logt = int(np.log2(T))
+    prec = _precision(precision)
+
+    def kernel(scal_ref, re0_ref, re1_ref, im0_ref, im1_ref,
+               a_ref, b_ref, p_ref, ore0_ref, ore1_ref, oim0_ref, oim1_ref):
+        def mat_step(j, sre, sim):
+            a = a_ref[scal_ref[4 + cap_steps + j]]
+            b = b_ref[scal_ref[4 + cap_steps + j]]
+            dot = lambda x, m: jnp.dot(x, m, preferred_element_type=dt, precision=prec)
+            t1 = dot(sre + sim, a)
+            t2 = dot(sre, b - a)
+            t3 = dot(sim, a + b)
+            return t1 - t3, t1 + t2
+
+        def make_tswap(k):
+            def f(j, sre, sim):
+                def one(x):
+                    t = x.reshape(T >> k, 2, 1 << (k - 1), 2, LANES)
+                    return jnp.swapaxes(t, 1, 3).reshape(T, DVIEW)
+
+                return one(sre), one(sim)
+
+            return f
+
+        def perm_step(j, sre, sim):
+            p = p_ref[scal_ref[4 + cap_steps + j]]
+            dot = lambda x, m: jnp.dot(
+                x, m, preferred_element_type=dt,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            return dot(sre, p), dot(sim, p)
+
+        branches = (
+            [mat_step] + [make_tswap(k) for k in range(1, logt + 1)] + [perm_step]
+        )
+
+        def step(j, carry):
+            sre, sim = carry
+            return jax.lax.switch(
+                scal_ref[4 + j], [partial(b, j) for b in branches], sre, sim
+            )
+
+        sre = jnp.concatenate([re0_ref[:], re1_ref[:]], axis=1)
+        sim = jnp.concatenate([im0_ref[:], im1_ref[:]], axis=1)
+        sre, sim = jax.lax.fori_loop(0, scal_ref[0], step, (sre, sim))
+        ore0_ref[:] = sre[:, :LANES]
+        ore1_ref[:] = sre[:, LANES:]
+        oim0_ref[:] = sim[:, :LANES]
+        oim1_ref[:] = sim[:, LANES:]
+
+    half = lambda: pl.BlockSpec((T, LANES), lambda i, scal: (i, 0),
+                                memory_space=pltpu.VMEM)
+    tab = lambda m: pl.BlockSpec(
+        (m, DVIEW, DVIEW), lambda i, scal: (0, 0, 0), memory_space=pltpu.VMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(R2 // T,),
+        in_specs=[half(), half(), half(), half(),
+                  tab(cap_mats), tab(cap_mats), tab(LANE_QUBITS)],
+        out_specs=[half(), half(), half(), half()],
+    )
+    block_call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((R2, LANES), dt)] * 4,
+        # alias indices count the scalar-prefetch operand: data inputs 1..4
+        input_output_aliases={1: 0, 2: 1, 3: 2, 4: 3},
+        cost_estimate=pl.CostEstimate(
+            flops=3 * 2 * R2 * DVIEW * DVIEW * cap_steps,
+            bytes_accessed=dt.itemsize
+            * (4 * R2 * DVIEW + 2 * cap_mats * DVIEW * DVIEW),
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+    # ---- pair-grid cross-tile swap: h1[j] <-> h0[j | (1 << shift)] ----
+    def xkern(scal_ref, re1_ref, re0_ref, im1_ref, im0_ref,
+              ore1_ref, ore0_ref, oim1_ref, oim0_ref):
+        ore1_ref[:] = re0_ref[:]
+        ore0_ref[:] = re1_ref[:]
+        oim1_ref[:] = im0_ref[:]
+        oim0_ref[:] = im1_ref[:]
+
+    def m_lo(p, scal):
+        sh = scal[3]
+        return ((p >> sh) << (sh + 1)) | (p & ((1 << sh) - 1)), 0
+
+    def m_hi(p, scal):
+        r, _ = m_lo(p, scal)
+        return r | (1 << scal[3]), 0
+
+    lo = lambda: pl.BlockSpec((T, LANES), m_lo, memory_space=pltpu.VMEM)
+    hi = lambda: pl.BlockSpec((T, LANES), m_hi, memory_space=pltpu.VMEM)
+    xgrid = max(R2 // T // 2, 1)
+    xspec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(xgrid,),
+        in_specs=[lo(), hi(), lo(), hi()],
+        out_specs=[lo(), hi(), lo(), hi()],
+    )
+    xswap_call = pl.pallas_call(
+        xkern,
+        grid_spec=xspec,
+        out_shape=[jax.ShapeDtypeStruct((R2, LANES), dt)] * 4,
+        input_output_aliases={1: 0, 2: 1, 3: 2, 4: 3},
+        interpret=interpret,
+    )
+
+    def block_fn(scal, re0, re1, im0, im1, a_tab, b_tab, p_tab):
+        return block_call(scal, re0, re1, im0, im1, a_tab, b_tab, p_tab)
+
+    def xswap_fn(scal, re0, re1, im0, im1):
+        re1, re0, im1, im0 = xswap_call(scal, re1, re0, im1, im0)
+        return re0, re1, im0, im1
+
+    _KERNEL_CACHE[key] = (block_fn, xswap_fn)
+    return block_fn, xswap_fn
+
+
+def get_block_chain_split(n: int, real_dtype, precision: str, interpret: bool,
+                          num_blocks: int,
+                          cap_steps: int = CAP_STEPS, cap_mats: int = CAP_MATS):
+    """In-place chain: lax.scan over stacked entries where each entry is
+    either a step block (scal[1] == 0) or a cross-tile pair swap
+    (scal[1] == 2, tile bit in scal[3]).  Carry = the four aliased state
+    halves; with every kernel aliased in->out the whole chain runs in the
+    state's own buffers."""
+    dt = np.dtype(real_dtype)
+    key = ("split", n, cap_steps, cap_mats, dt.str, precision, interpret,
+           num_blocks)
+    fn = _CHAIN_CACHE.get(key)
+    if fn is not None:
+        return fn
+    block_fn, xswap_fn = get_split_kernels(
+        n, dt, precision, interpret, cap_steps, cap_mats)
+
+    def chain_pure(re0, re1, im0, im1, scal, a_tab, b_tab, p_tab):
+        def body(carry, x):
+            s, a, b = x
+
+            def run_block(c):
+                return block_fn(s, *c, a, b, p_tab)
+
+            def run_xswap(c):
+                return xswap_fn(s, *c)
+
+            return jax.lax.cond(s[1] == 2, run_xswap, run_block, carry), None
+
+        carry, _ = jax.lax.scan(
+            body, (re0, re1, im0, im1), (scal, a_tab, b_tab))
+        return carry
+
+    chain = jax.jit(chain_pure, donate_argnums=(0, 1, 2, 3))
+    chain.pure = chain_pure
+    _CHAIN_CACHE[key] = chain
+    return chain
+
+
 def get_block_chain(n: int, real_dtype, precision: str, interpret: bool,
                     num_blocks: int,
                     cap_steps: int = CAP_STEPS, cap_mats: int = CAP_MATS):
@@ -584,6 +771,7 @@ class PrefetchProgram:
         cap_steps: int = CAP_STEPS,
         cap_mats: int = CAP_MATS,
         final_layout: Optional[Sequence[int]] = None,
+        inplace: bool = False,
     ):
         n = num_qubits
         if interpret is None:
@@ -596,15 +784,28 @@ class PrefetchProgram:
         self.num_tswaps = plan.num_tswaps
         self.num_xswaps = plan.num_xswaps
         self.num_blocks = len(plan.blocks)
+        self.inplace = inplace
         self._R2 = 1 << (n - LOCAL_QUBITS)
         self._ptab = perm_table(dt)
+
+        entries = plan.blocks
+        if inplace:
+            # aliased in-place chains cannot steer a cross-tile swap through
+            # the input DMA (a grid step may only read what it writes), so
+            # every prologue is hoisted into a standalone pair-swap entry
+            entries = []
+            for blk in plan.blocks:
+                if blk.prologue is not None:
+                    entries.append(_Block(prologue=blk.prologue))
+                entries.append(
+                    _Block(kinds=blk.kinds, midx=blk.midx, mats=blk.mats))
 
         # Two block classes keep table H2D near the real content volume:
         # swap-forced blocks carry ~1-2 matrices, so padding them to
         # cap_mats would ship mostly zeros.  Short thin runs are promoted
         # to full so class changes don't fragment the scan chains.
         THIN = 2
-        cls = [THIN if len(b.mats) <= THIN else cap_mats for b in plan.blocks]
+        cls = [THIN if len(b.mats) <= THIN else cap_mats for b in entries]
         i = 0
         while i < len(cls):
             if cls[i] == THIN:
@@ -619,7 +820,7 @@ class PrefetchProgram:
                 i += 1
 
         groups: List[Tuple[int, List[_Block]]] = []
-        for c, blk in zip(cls, plan.blocks):
+        for c, blk in zip(cls, entries):
             if groups and groups[-1][0] == c:
                 groups[-1][1].append(blk)
             else:
@@ -644,7 +845,9 @@ class PrefetchProgram:
                 k = len(blk.kinds)
                 scal[i, 0] = k
                 if blk.prologue is not None:
-                    scal[i, 1] = 1
+                    # inplace: a standalone pair-swap entry (flag 2);
+                    # otherwise: the block's input-DMA prologue (flag 1)
+                    scal[i, 1] = 2 if inplace else 1
                     scal[i, 2] = blk.prologue[0]
                     scal[i, 3] = blk.prologue[1]
                 scal[i, 4 : 4 + k] = blk.kinds
@@ -665,9 +868,10 @@ class PrefetchProgram:
                     jnp.asarray(mvec[off : off + c]),
                     jnp.asarray(hvec[off : off + c]),
                 )
+                chain_builder = get_block_chain_split if inplace else get_block_chain
                 self._chain_parts.append(
                     (
-                        get_block_chain(n, dt, precision, interpret, c, cap_steps, cap),
+                        chain_builder(n, dt, precision, interpret, c, cap_steps, cap),
                         jnp.asarray(scal[off : off + c]),
                         a_tab,
                         b_tab,
@@ -676,6 +880,22 @@ class PrefetchProgram:
                 off += c
 
     def __call__(self, re, im):
+        if self.inplace:
+            # split into the four aliased column-half arrays; every chain
+            # kernel writes into the state's own buffers (zero extra 2^n
+            # allocations — what makes n >= 30 fit in 16 GB HBM)
+            R2 = self._R2
+            re = re.reshape(R2, DVIEW)
+            im = im.reshape(R2, DVIEW)
+            parts = (re[:, :LANES], re[:, LANES:], im[:, :LANES], im[:, LANES:])
+            del re, im
+            for chain, scal, a_tab, b_tab in self._chain_parts:
+                parts = chain(*parts, scal, a_tab, b_tab, self._ptab)
+            re0, re1, im0, im1 = parts
+            re = jnp.concatenate([re0, re1], axis=1).reshape(-1)
+            del re0, re1
+            im = jnp.concatenate([im0, im1], axis=1).reshape(-1)
+            return re, im
         for chain, scal, a_tab, b_tab in self._chain_parts:
             re, im = chain(re, im, scal, a_tab, b_tab, self._ptab)
         return re, im
@@ -694,9 +914,11 @@ def build_prefetch_program(
     cap_steps: int = CAP_STEPS,
     cap_mats: int = CAP_MATS,
     final_layout: Optional[Sequence[int]] = None,
+    inplace: bool = False,
 ) -> PrefetchProgram:
     h = hashlib.sha256(
         f"p|{num_qubits}|{np.dtype(real_dtype)}|{precision}|{cap_steps}|{cap_mats}"
+        f"|{inplace}"
         f"|{None if final_layout is None else list(final_layout)}".encode()
     )
     for op in ops:
@@ -709,7 +931,7 @@ def build_prefetch_program(
     if prog is None:
         prog = PrefetchProgram(
             ops, num_qubits, real_dtype, precision, interpret, cap_steps, cap_mats,
-            final_layout=final_layout,
+            final_layout=final_layout, inplace=inplace,
         )
         if len(_PROGRAM_CACHE) >= _PROGRAM_CACHE_LIMIT:
             _PROGRAM_CACHE.pop(next(iter(_PROGRAM_CACHE)))
@@ -772,9 +994,15 @@ def run_prefetch(circuit, config, initial_parts=None):
     if np.array_equal(perm, np.arange(n)):
         perm = None
 
+    # In-place aliased chains from n=30 up: a double-buffered f32 state
+    # pair is 2^(n+3) bytes in+out — 17 GB at n=30, over the 16 GB HBM.
+    inplace = getattr(config, "prefetch_inplace", None)
+    if inplace is None:
+        inplace = n >= 30
+
     run_key = (
         _circuit_fingerprint(circuit), config.precision,
-        config.max_fused_qubits, str(np.dtype(real_dtype)),
+        config.max_fused_qubits, str(np.dtype(real_dtype)), bool(inplace),
     )
     cached = _RUN_CACHE.get(run_key)
     if cached is not None:
@@ -790,7 +1018,8 @@ def run_prefetch(circuit, config, initial_parts=None):
             work, min(config.max_fused_qubits, LANE_QUBITS), max_high=2, window=8
         )
         prog = build_prefetch_program(
-            ops, n, real_dtype, precision=config.precision, final_layout=final_layout
+            ops, n, real_dtype, precision=config.precision,
+            final_layout=final_layout, inplace=bool(inplace),
         )
         if len(_RUN_CACHE) >= _RUN_CACHE_LIMIT:
             _RUN_CACHE.pop(next(iter(_RUN_CACHE)))

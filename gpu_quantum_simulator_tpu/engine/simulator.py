@@ -314,7 +314,10 @@ class Simulator:
             if n > 7:
                 from .wide import build_wide_program
 
-                ops = _fuse_pipeline(circuit, k, max_high=2)
+                window = cfg.fusion_window if cfg.fusion_window else 1
+                costm = bool(cfg.fusion_cost_model)
+                ops = _fuse_pipeline(circuit, k, max_high=2, window=window,
+                                     cost_model=costm)
                 re, im = build_wide_program(
                     ops, n, real_dtype, precision=cfg.precision
                 )(re, im)

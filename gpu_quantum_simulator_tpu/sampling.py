@@ -83,6 +83,35 @@ def norm_device(re, im):
     return jnp.sum(re * re) + jnp.sum(im * im)
 
 
+@jax.jit
+def _measure_project(re, im, qubit, u):
+    """One mid-circuit measurement: P(bit=1), Born-rule outcome from the
+    uniform draw ``u``, and the projected+renormalized state — a single
+    device pass.  ``qubit`` is traced, so there is ONE executable per state
+    width no matter which qubit is measured."""
+    idx = jnp.arange(re.shape[0], dtype=jnp.uint32)
+    bit = ((idx >> jnp.uint32(qubit)) & 1).astype(re.dtype)
+    p = re * re + im * im
+    p1 = jnp.sum(p * bit)
+    total = jnp.sum(p)
+    outcome = (u * total < p1).astype(jnp.int32)
+    keep = jnp.where(outcome == 1, bit, 1.0 - bit)
+    mass = jnp.where(outcome == 1, p1, total - p1)
+    scale = jax.lax.rsqrt(jnp.maximum(mass, jnp.finfo(re.dtype).tiny))
+    return re * keep * scale, im * keep * scale, outcome
+
+
+def measure_qubit_device(re, im, qubit: int, u: float):
+    """Measure one qubit of a device-resident state (Born rule, projective).
+
+    Returns (re, im, outcome) with the state collapsed and renormalized.
+    ``u`` is the uniform [0,1) draw deciding the outcome (callers own the
+    RNG so trajectories are reproducible).
+    """
+    re, im, outcome = _measure_project(re, im, qubit, u)
+    return re, im, int(outcome)
+
+
 @partial(jax.jit, static_argnums=(2, 3))
 def _expectation_z(re, im, zmask, num_qubits):
     p = re * re + im * im

@@ -174,3 +174,46 @@ def test_complex128_rejected():
     c = models.grover_like(10, num_gates=50, seed=1)
     with pytest.raises(ValueError, match="float32-only"):
         Simulator(SimulatorConfig(strategy="prefetch", dtype="complex128")).run(c)
+
+
+def test_inplace_split_parity():
+    """In-place (aliased split-half) mode: block kernel + standalone
+    pair-grid xswap entries must match the reference exactly.  TILE_ROWS
+    is shrunk so n=12 exercises real cross-tile swaps."""
+    n = 12
+    old = PF.TILE_ROWS
+    PF.TILE_ROWS = 4
+    try:
+        PF._KERNEL_CACHE.clear()
+        PF._CHAIN_CACHE.clear()
+        c = models.grover_like(n, num_gates=300, seed=13)
+        ops = _fuse_pipeline(c, 7, max_high=2)
+        plan = PF.plan_prefetch(ops, n)
+        assert plan.num_xswaps > 0, "test needs the pair-swap path exercised"
+        prog = PF.PrefetchProgram(ops, n, interpret=True, inplace=True)
+        import jax.numpy as jnp
+        from gpu_quantum_simulator_tpu.ops.apply import initial_state_parts, join_state
+
+        re, im = initial_state_parts(n, dtype=jnp.float32)
+        re, im = prog(re, im)
+        state = unpermute_state(
+            join_state(np.asarray(re), np.asarray(im)), prog.final_position
+        )
+        want = simulate_reference(c)
+        assert np.max(np.abs(state - want)) < TOL
+    finally:
+        PF.TILE_ROWS = old
+        PF._KERNEL_CACHE.clear()
+        PF._CHAIN_CACHE.clear()
+
+
+def test_inplace_simulator_route():
+    """strategy='prefetch' with prefetch_inplace=True end-to-end (original
+    basis restored in-plan) equals the default engine output."""
+    n = 11
+    c = models.grover_like(n, num_gates=250, seed=17)
+    got = Simulator(
+        SimulatorConfig(strategy="prefetch", prefetch_inplace=True)
+    ).run(c)
+    want = simulate_reference(c)
+    assert np.max(np.abs(got - want)) < TOL
