@@ -751,6 +751,42 @@ def _chunks(total: int) -> List[int]:
     return out
 
 
+def initial_halves(n: int, real_dtype):
+    """|0...0> directly as the four (R2, 128) column-half arrays — never
+    materializes a flat 2^n buffer (the split transient costs 4.3 GB extra
+    at n=30)."""
+    R2 = 1 << (n - LOCAL_QUBITS)
+    # four DISTINCT buffers (each is donated into the chain; a shared
+    # zeros buffer donated multiple times would alias incorrectly)
+    re0 = jnp.zeros((R2, LANES), real_dtype).at[0, 0].set(1.0)
+    return (re0,
+            jnp.zeros((R2, LANES), real_dtype),
+            jnp.zeros((R2, LANES), real_dtype),
+            jnp.zeros((R2, LANES), real_dtype))
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _split_component(flat):
+    x = flat.reshape(flat.shape[0] // DVIEW, DVIEW)
+    return x[:, :LANES], x[:, LANES:]
+
+
+@partial(jax.jit, donate_argnums=(0, 1))
+def _join_component(h0, h1):
+    # ONE program: eager concat-then-reshape would run as two XLA programs
+    # with two full-size outputs live at once (the n=30 OOM)
+    return jnp.concatenate([h0, h1], axis=1).reshape(-1)
+
+
+def join_halves(re0, re1, im0, im1):
+    """(re, im) flat from the four halves, sequenced to cap peak memory."""
+    re = _join_component(re0, re1)
+    del re0, re1
+    re.block_until_ready()   # free the re halves before joining im
+    im = _join_component(im0, im1)
+    return re, im
+
+
 # ------------------------------------------------------------------ program
 class PrefetchProgram:
     """Device tables + shared executables for one planned circuit.
@@ -861,41 +897,79 @@ class PrefetchProgram:
                     hvec[i, s] = h
             off = 0
             for c in sizes:
-                expander = _get_expander(c, cap, dt)
-                a_tab, b_tab = expander(
-                    jnp.asarray(u_re[off : off + c]),
-                    jnp.asarray(u_im[off : off + c]),
-                    jnp.asarray(mvec[off : off + c]),
-                    jnp.asarray(hvec[off : off + c]),
-                )
                 chain_builder = get_block_chain_split if inplace else get_block_chain
-                self._chain_parts.append(
-                    (
-                        chain_builder(n, dt, precision, interpret, c, cap_steps, cap),
-                        jnp.asarray(scal[off : off + c]),
-                        a_tab,
-                        b_tab,
+                chain = chain_builder(n, dt, precision, interpret, c, cap_steps, cap)
+                if inplace:
+                    # large-n mode: keep COMPACT HOST factors and expand
+                    # per part at run time, freeing each part's expanded
+                    # tables as the chain drains — peak device memory is
+                    # the state halves + ONE part's tables, not the whole
+                    # circuit's (1.6 GB at n=30, the margin that OOMed)
+                    self._host_parts = getattr(self, "_host_parts", [])
+                    self._host_parts.append(
+                        (
+                            chain, c, cap,
+                            np.ascontiguousarray(scal[off : off + c]),
+                            np.ascontiguousarray(u_re[off : off + c]),
+                            np.ascontiguousarray(u_im[off : off + c]),
+                            np.ascontiguousarray(mvec[off : off + c]),
+                            np.ascontiguousarray(hvec[off : off + c]),
+                        )
                     )
-                )
+                else:
+                    expander = _get_expander(c, cap, dt)
+                    a_tab, b_tab = expander(
+                        jnp.asarray(u_re[off : off + c]),
+                        jnp.asarray(u_im[off : off + c]),
+                        jnp.asarray(mvec[off : off + c]),
+                        jnp.asarray(hvec[off : off + c]),
+                    )
+                    self._chain_parts.append(
+                        (chain, jnp.asarray(scal[off : off + c]), a_tab, b_tab)
+                    )
                 off += c
+        self._dt = dt
+
+    def run_parts(self, re0, re1, im0, im1):
+        """In-place execution on the four column-half state arrays.
+
+        Tables are expanded on device per chain part and freed as soon as
+        that part's scan has consumed them.
+        """
+        assert self.inplace
+        dt = self._dt
+        parts = (re0, re1, im0, im1)
+        for i, (chain, c, cap, scal, u_re, u_im, mvec, hvec) in enumerate(
+                self._host_parts):
+            expander = _get_expander(c, cap, dt)
+            a_tab, b_tab = expander(
+                jnp.asarray(u_re), jnp.asarray(u_im),
+                jnp.asarray(mvec), jnp.asarray(hvec),
+            )
+            parts = chain(*parts, jnp.asarray(scal), a_tab, b_tab, self._ptab)
+            del a_tab, b_tab
+            if i % 4 == 3:
+                # throttle dispatch: unbounded async queuing allocates EVERY
+                # part's expanded tables before execution frees any — the
+                # whole-circuit 1.6 GB that in-place mode exists to avoid
+                parts[0].block_until_ready()
+        return parts
 
     def __call__(self, re, im):
         if self.inplace:
             # split into the four aliased column-half arrays; every chain
             # kernel writes into the state's own buffers (zero extra 2^n
-            # allocations — what makes n >= 30 fit in 16 GB HBM)
-            R2 = self._R2
-            re = re.reshape(R2, DVIEW)
-            im = im.reshape(R2, DVIEW)
-            parts = (re[:, :LANES], re[:, LANES:], im[:, :LANES], im[:, LANES:])
-            del re, im
-            for chain, scal, a_tab, b_tab in self._chain_parts:
-                parts = chain(*parts, scal, a_tab, b_tab, self._ptab)
-            re0, re1, im0, im1 = parts
-            re = jnp.concatenate([re0, re1], axis=1).reshape(-1)
-            del re0, re1
-            im = jnp.concatenate([im0, im1], axis=1).reshape(-1)
-            return re, im
+            # allocations — what makes n >= 30 fit in 16 GB HBM).  Split
+            # SEQUENTIALLY: slicing both components while both full arrays
+            # are live peaks at 4x half-state (17 GB at n=30).
+            re0, re1 = _split_component(re)
+            del re
+            re0.block_until_ready()
+            im0, im1 = _split_component(im)
+            del im
+            im0.block_until_ready()
+            re0, re1, im0, im1 = self.run_parts(re0, re1, im0, im1)
+            return join_halves(re0, re1, im0, im1)
         for chain, scal, a_tab, b_tab in self._chain_parts:
             re, im = chain(re, im, scal, a_tab, b_tab, self._ptab)
         return re, im
@@ -954,8 +1028,16 @@ def _circuit_fingerprint(circuit) -> str:
     return h.hexdigest()
 
 
-def run_prefetch(circuit, config, initial_parts=None):
-    """Simulator facade entry; returns (re, im, num_items, residual_perm)."""
+def run_prefetch(circuit, config, initial_parts=None, return_halves=False):
+    """Simulator facade entry; returns (re, im, num_items, residual_perm).
+
+    ``return_halves``: with the in-place engine, skip the final join and
+    return the four (R2, 128) column-half arrays as ``(re0, re1, im0,
+    im1)`` in place of (re, im).  At n=30 the join needs a contiguous
+    4.3 GB allocation in a heap fragmented by the run — measurement
+    helpers (sampling.sample_halves / norm_halves) work on the halves
+    directly and never materialize a flat 2^n buffer.
+    """
     from ..ops.apply import initial_state_parts
     from .simulator import _fuse_pipeline
 
@@ -1030,8 +1112,31 @@ def run_prefetch(circuit, config, initial_parts=None):
         iv = unpermute_state(iv, np.argsort(perm))
         initial_parts = (np.ascontiguousarray(iv.real), np.ascontiguousarray(iv.imag))
 
-    re, im = start()
-    re, im = prog(re, im)
+    if prog.inplace:
+        # construct the state directly as column halves — the flat-state
+        # split transient is the memory margin at n >= 30
+        if initial_parts is None:
+            parts = initial_halves(n, real_dtype)
+        else:
+            R2 = 1 << (n - LOCAL_QUBITS)
+            r2 = np.asarray(initial_parts[0]).reshape(R2, DVIEW)
+            i2 = np.asarray(initial_parts[1]).reshape(R2, DVIEW)
+            parts = tuple(
+                jnp.asarray(np.ascontiguousarray(h), dtype=real_dtype)
+                for h in (r2[:, :LANES], r2[:, LANES:],
+                          i2[:, :LANES], i2[:, LANES:])
+            )
+        parts = prog.run_parts(*parts)
+        if return_halves:
+            total = prog.num_ops + prog.num_tswaps + prog.num_xswaps
+            return parts, None, total, None
+        re, im = join_halves(*parts)
+    else:
+        if return_halves:
+            raise ValueError("return_halves requires the in-place engine "
+                             "(prefetch_inplace=True or n >= 30)")
+        re, im = start()
+        re, im = prog(re, im)
 
     # the plan ends with relabeled qubit j at position argsort(perm)[j] —
     # the ORIGINAL basis exactly — so there is never a residual to undo

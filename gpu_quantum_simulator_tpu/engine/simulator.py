@@ -51,6 +51,11 @@ class Simulator:
         device (sampling.py) — the 2^n state is never transferred.
         """
         if circuit.num_qubits > 22 and self.config.strategy != "reference":
+            if self._prefetch_inplace(circuit.num_qubits):
+                from ..sampling import sample_halves
+
+                parts, _ = self.run_device_halves(circuit)
+                return sample_halves(*parts, circuit.num_qubits, num_samples, seed)
             from ..sampling import sample_state_device
 
             re, im, _ = self.run_device(circuit)
@@ -112,6 +117,35 @@ class Simulator:
         if total is not None and not np.array_equal(total, np.arange(circuit.num_qubits)):
             re, im = _unpermute_jit(re, im, tuple(int(p) for p in total))
         return re, im, num_ops
+
+    def _prefetch_inplace(self, n: int) -> bool:
+        cfg = self.config
+        if cfg.strategy != "prefetch":
+            return False
+        if cfg.prefetch_inplace is not None:
+            return bool(cfg.prefetch_inplace)
+        return n >= 30
+
+    def run_device_halves(self, circuit: Circuit):
+        """Run via the in-place prefetch engine and return the state as the
+        four (R2, 128) column-half arrays: ``((re0, re1, im0, im1), nops)``.
+
+        The split form is the native large-n representation: at n=30 a flat
+        2^n join needs one contiguous 4.3 GB block the post-run heap cannot
+        always provide, while every measurement helper
+        (``sampling.sample_halves`` / ``norm_halves``) consumes the halves
+        directly.  Original qubit basis, as always.
+        """
+        if not self._prefetch_inplace(circuit.num_qubits):
+            raise ValueError(
+                "run_device_halves requires strategy='prefetch' with the "
+                "in-place engine (prefetch_inplace=True or n >= 30)")
+        from .prefetch import run_prefetch
+
+        parts, _, num_ops, _ = run_prefetch(
+            circuit, self.config, return_halves=True)
+        parts[0].block_until_ready()
+        return parts, num_ops
 
     def run_device_iterated(
         self,
@@ -252,7 +286,12 @@ class Simulator:
         cfg = self.config
         real_dtype = _init_real_dtype(cfg)
         n = circuit.num_qubits
-        if initial_parts is not None:
+        # pallas/prefetch/sharded construct their own start state (prefetch
+        # builds column halves directly); pre-allocating a flat 2^n pair
+        # here would hold 8.6 GB of dead buffers through an n=30 run
+        if cfg.strategy in ("pallas", "prefetch", "sharded"):
+            re = im = None
+        elif initial_parts is not None:
             re = jnp.asarray(initial_parts[0], dtype=real_dtype)
             im = jnp.asarray(initial_parts[1], dtype=real_dtype)
         else:

@@ -84,6 +84,56 @@ def norm_device(re, im):
 
 
 @jax.jit
+def norm_halves(re0, re1, im0, im1):
+    """Norm of a column-half-split state (prefetch in-place layout)."""
+    return (jnp.sum(re0 * re0) + jnp.sum(re1 * re1)
+            + jnp.sum(im0 * im0) + jnp.sum(im1 * im1))
+
+
+@partial(jax.jit, static_argnums=(4, 5))
+def _sample_halves(re0, re1, im0, im1, num_qubits, num_samples, key):
+    """Three-stage sampler over the split-half layout: group -> row ->
+    column.  Never materializes the 2^n probability vector (the flat
+    sampler's |p| alone is 4.3 GB at n=30), and every cumsum spans at most
+    ~2^12 terms so float32 CDFs stay accurate."""
+    R2 = re0.shape[0]
+    rb = R2.bit_length() - 1          # row bits = n - 8
+    g_bits = rb // 2
+    rows_per = 1 << g_bits
+    G = R2 >> g_bits
+    pr = (jnp.sum(re0 * re0 + im0 * im0, axis=1)
+          + jnp.sum(re1 * re1 + im1 * im1, axis=1))      # (R2,) row masses
+    pg = pr.reshape(G, rows_per)
+    k1, k2, k3 = jax.random.split(key, 3)
+    gmass = jnp.sum(pg, axis=1)
+    gcdf = jnp.cumsum(gmass)
+    u1 = jax.random.uniform(k1, (num_samples,), dtype=gcdf.dtype,
+                            maxval=gcdf[-1])
+    g = jnp.minimum(jnp.searchsorted(gcdf, u1, side="right"), G - 1)
+    prow = pg[g]                                          # (S, rows_per)
+    rcdf = jnp.cumsum(prow, axis=1)
+    u2 = jax.random.uniform(k2, (num_samples, 1), dtype=rcdf.dtype) * rcdf[:, -1:]
+    r = jnp.minimum(jnp.sum(rcdf < u2, axis=1), rows_per - 1)
+    # int32 spans indices to 2^31: covers n <= 30 basis indices exactly
+    row = g.astype(jnp.int32) * rows_per + r.astype(jnp.int32)
+    pcols = jnp.concatenate(
+        [re0[row] ** 2 + im0[row] ** 2, re1[row] ** 2 + im1[row] ** 2],
+        axis=1)                                           # (S, 256)
+    ccdf = jnp.cumsum(pcols, axis=1)
+    u3 = jax.random.uniform(k3, (num_samples, 1), dtype=ccdf.dtype) * ccdf[:, -1:]
+    c = jnp.minimum(jnp.sum(ccdf < u3, axis=1), pcols.shape[1] - 1)
+    return (row << 8) | c.astype(jnp.int32)
+
+
+def sample_halves(re0, re1, im0, im1, num_qubits: int, num_samples: int,
+                  seed: int = 0):
+    """Sample basis-state indices from a split-half device state."""
+    key = jax.random.PRNGKey(seed)
+    idx = _sample_halves(re0, re1, im0, im1, num_qubits, num_samples, key)
+    return np.asarray(idx).astype(np.int64)
+
+
+@jax.jit
 def _measure_project(re, im, qubit, u):
     """One mid-circuit measurement: P(bit=1), Born-rule outcome from the
     uniform draw ``u``, and the projected+renormalized state — a single

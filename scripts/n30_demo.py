@@ -21,7 +21,7 @@ from gpu_quantum_simulator_tpu import models  # noqa: E402
 from gpu_quantum_simulator_tpu.config import SimulatorConfig  # noqa: E402
 from gpu_quantum_simulator_tpu.engine.simulator import Simulator  # noqa: E402
 from gpu_quantum_simulator_tpu.sampling import (  # noqa: E402
-    norm_device, sample_state_device)
+    norm_halves, sample_halves)
 
 ART = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "bench_artifacts")
@@ -53,18 +53,25 @@ def main():
     c30 = models.grover_like(n, num_gates=2445, seed=30)
     sim30 = Simulator(SimulatorConfig(strategy="prefetch"))
     t0 = time.perf_counter()
-    re, im, nops = sim30.run_device(c30)
-    force(re)
+    parts, nops = sim30.run_device_halves(c30)
+    force(parts[0][:, 0])
     cold30 = time.perf_counter() - t0
     print(f"n=30 cold (incl compiles+plan+H2D): {cold30:.1f}s items={nops}",
           flush=True)
-    norm = float(norm_device(re, im))
+    norm = float(norm_halves(*parts))
     print(f"n=30 norm: {norm:.8f}", flush=True)
-    samples = np.asarray(sample_state_device(re, im, n, 1000, 0))
+    samples = np.asarray(sample_halves(*parts, n, 1000, 0))
     uniq = int(len(np.unique(samples)))
     print(f"n=30 sampling: {uniq} unique / 1000 draws", flush=True)
-    del re, im
-    ts, _ = timed_runs(sim30, c30, 3)
+    del parts
+    ts = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        parts, _ = sim30.run_device_halves(c30)
+        force(parts[0][:, 0])
+        ts.append(time.perf_counter() - t0)
+        print(f"n=30 warm[{i}]: {ts[-1]:.2f}s", flush=True)
+        del parts
     print(f"n=30 warm runs: {['%.2f' % t for t in ts]}", flush=True)
     out30 = {
         "n": 30, "gates": 2445, "strategy": "prefetch-inplace",
