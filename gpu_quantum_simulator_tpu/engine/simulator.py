@@ -254,10 +254,14 @@ class Simulator:
             # layout-closed plan: repetitions compose with no residual
             prog = ShardedProgram(circuit, cfg, restore_layout=True)
             return prog, len(prog.plan.items)
-        # mxu
+        # mxu — same cost-model window-8 default as _execute
         from .wide import build_wide_program
 
-        ops = _fuse_pipeline(circuit, min(cfg.max_fused_qubits, n), max_high=2)
+        window = cfg.fusion_window if cfg.fusion_window else 8
+        costm = (cfg.fusion_cost_model
+                 if cfg.fusion_cost_model is not None else True)
+        ops = _fuse_pipeline(circuit, min(cfg.max_fused_qubits, n), max_high=2,
+                             window=window, cost_model=costm)
         return build_wide_program(ops, n, real_dtype, precision=cfg.precision), len(ops)
 
     def run_detailed(self, circuit: Circuit, initial=None) -> RunResult:
@@ -353,8 +357,12 @@ class Simulator:
             if n > 7:
                 from .wide import build_wide_program
 
-                window = cfg.fusion_window if cfg.fusion_window else 1
-                costm = bool(cfg.fusion_cost_model)
+                # default: cost-model window-8 fusion — measured -28% at
+                # n=18 / -17% at n=24 vs window-1 first-fit
+                # (bench_artifacts/fusion_ab.json)
+                window = cfg.fusion_window if cfg.fusion_window else 8
+                costm = (cfg.fusion_cost_model
+                         if cfg.fusion_cost_model is not None else True)
                 ops = _fuse_pipeline(circuit, k, max_high=2, window=window,
                                      cost_model=costm)
                 re, im = build_wide_program(
