@@ -33,6 +33,7 @@ from . import models
 from .dynamic import DynamicCircuit, run_dynamic
 from .density import DensitySimulator, NoisyCircuit
 from .gradients import parameter_shift
+from .observables import expectation_pauli, expectation_pauli_sum
 from .sampling import (
     expectation_z,
     norm_device,
@@ -61,4 +62,6 @@ __all__ = [
     "DensitySimulator",
     "NoisyCircuit",
     "parameter_shift",
+    "expectation_pauli",
+    "expectation_pauli_sum",
 ]

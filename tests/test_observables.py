@@ -1,0 +1,69 @@
+"""Pauli-string observables vs dense linear algebra."""
+
+import numpy as np
+import pytest
+
+from gpu_quantum_simulator_tpu import models
+from gpu_quantum_simulator_tpu.config import SimulatorConfig
+from gpu_quantum_simulator_tpu.observables import (
+    expectation_pauli, expectation_pauli_sum)
+from gpu_quantum_simulator_tpu.ref.cpu import simulate_reference
+
+I2 = np.eye(2)
+X = np.array([[0, 1], [1, 0]], dtype=complex)
+Y = np.array([[0, -1j], [1j, 0]])
+Z = np.diag([1.0, -1.0]).astype(complex)
+P = {"I": I2, "X": X, "Y": Y, "Z": Z}
+
+
+def dense_pauli(pauli: str, n: int) -> np.ndarray:
+    # qubit k = bit k (little-endian): qubit 0 is the LAST kron factor
+    ops = {q: p for q, p in enumerate(pauli)} if " " not in pauli else None
+    if ops is None:
+        ops = {}
+        for term in pauli.split():
+            ops[int(term[1:])] = term[0]
+    m = np.array([[1.0]])
+    for q in range(n):
+        m = np.kron(P[ops.get(q, "I")], m)
+    return m
+
+
+@pytest.mark.parametrize("pauli", ["ZZIII", "XIIII", "IYIII", "XYZIX", "YYIIZ"])
+def test_single_string_matches_dense(pauli):
+    n = 5
+    c = models.random_circuit(n, 60, seed=11)
+    psi = simulate_reference(c)
+    want = float(np.real(np.vdot(psi, dense_pauli(pauli, n) @ psi)))
+    got = expectation_pauli(c, pauli, SimulatorConfig(strategy="mxu"))
+    assert abs(got - want) < 1e-5
+    got_ref = expectation_pauli(c, pauli, SimulatorConfig(strategy="reference"))
+    assert abs(got_ref - want) < 1e-9
+
+
+def test_sparse_spec_equivalent():
+    n = 6
+    c = models.grover_like(n, num_gates=80, seed=2)
+    a = expectation_pauli(c, "X0 Z3 Y5", SimulatorConfig(strategy="reference"))
+    b = expectation_pauli(c, "XIIZIY", SimulatorConfig(strategy="reference"))
+    assert abs(a - b) < 1e-12
+
+
+def test_hamiltonian_grouping_and_identity():
+    n = 4
+    c = models.random_circuit(n, 50, seed=3)
+    psi = simulate_reference(c)
+    terms = [(0.5, "ZIII"), (-1.25, "IIII"), (0.75, "XXII"), (0.3, "ZZII"),
+             (0.1, "YIIZ")]
+    h = sum(coeff * dense_pauli(p, n) for coeff, p in terms)
+    want = float(np.real(np.vdot(psi, h @ psi)))
+    got = expectation_pauli_sum(c, terms, SimulatorConfig(strategy="mxu"))
+    assert abs(got - want) < 1e-5
+
+
+def test_bad_strings_rejected():
+    c = models.ghz(3)
+    with pytest.raises(ValueError):
+        expectation_pauli(c, "ZZ", SimulatorConfig(strategy="reference"))
+    with pytest.raises(ValueError):
+        expectation_pauli(c, "Q0", SimulatorConfig(strategy="reference"))
