@@ -34,6 +34,7 @@ from .dynamic import DynamicCircuit, run_dynamic
 from .density import DensitySimulator, NoisyCircuit
 from .gradients import parameter_shift
 from .observables import expectation_pauli, expectation_pauli_sum
+from .interop import from_qiskit
 from .sampling import (
     expectation_z,
     norm_device,
@@ -64,4 +65,5 @@ __all__ = [
     "parameter_shift",
     "expectation_pauli",
     "expectation_pauli_sum",
+    "from_qiskit",
 ]

@@ -1,0 +1,79 @@
+"""Interop: import circuits from other ecosystems.
+
+``from_qiskit`` converts a qiskit ``QuantumCircuit`` (if qiskit is
+installed — it is an optional dependency, never required) into the native
+``Circuit`` IR.  Supported: the reference gate set + this library's
+extensions (h x y z s sdg t tdg sx rx ry rz p u cx cz swap ccx ccz,
+measure/barrier dropped with a warning list returned on request).
+
+Qubit convention note: qiskit's little-endian qubit indexing matches this
+library's (qubit k = bit k of the basis index), so indices map 1:1.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+from .ir.circuit import Circuit
+
+_DIRECT = {
+    "h", "x", "y", "z", "s", "sdg", "t", "tdg", "sx",
+    "rx", "ry", "rz", "p", "u",
+}
+_COMPOSITE = {"cz", "swap", "ccx", "ccz"}
+_IGNORED = {"barrier", "measure", "delay", "id"}
+
+
+def from_qiskit(qc, *, strict: bool = True,
+                dropped: Optional[List[str]] = None) -> Circuit:
+    """Convert a qiskit QuantumCircuit to the native Circuit IR.
+
+    ``strict=False`` drops unsupported instructions instead of raising;
+    pass a list as ``dropped`` to collect their names.
+    """
+    try:
+        num_qubits = qc.num_qubits
+        data = qc.data
+    except AttributeError as exc:
+        raise TypeError(
+            "from_qiskit expects a qiskit QuantumCircuit-like object "
+            "(num_qubits + data)") from exc
+
+    out = Circuit(num_qubits)
+    for inst in data:
+        # qiskit >= 1.0: CircuitInstruction with .operation / .qubits
+        op = getattr(inst, "operation", None)
+        if op is None:                      # legacy (op, qargs, cargs) tuple
+            op, qargs = inst[0], inst[1]
+        else:
+            qargs = inst.qubits
+        name = op.name.lower()
+        if name in _IGNORED:
+            if dropped is not None and name != "barrier":
+                dropped.append(name)
+            continue
+        try:
+            qubits = tuple(qc.find_bit(q).index for q in qargs)
+        except AttributeError:
+            qubits = tuple(getattr(q, "index") for q in qargs)
+        params = tuple(float(p) for p in getattr(op, "params", ()))
+
+        if name in _DIRECT:
+            out.append(name, *qubits, params=params)
+        elif name == "cx":
+            out.cx(*qubits)
+        elif name in _COMPOSITE:
+            from .ir.decompose import emit_composite
+
+            emit_composite(out, name, qubits)
+        elif name == "u3":
+            out.append("u", *qubits, params=params)
+        elif name == "u1":
+            out.append("p", *qubits, params=params)
+        elif strict:
+            raise ValueError(
+                f"unsupported qiskit instruction {name!r}; pass strict=False "
+                f"to drop it")
+        elif dropped is not None:
+            dropped.append(name)
+    return out

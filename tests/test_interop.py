@@ -1,0 +1,91 @@
+"""from_qiskit conversion: exercised via a duck-typed stand-in (qiskit is
+an optional dependency and absent in CI); runs against the real qiskit
+when installed."""
+
+import numpy as np
+import pytest
+
+from gpu_quantum_simulator_tpu.interop import from_qiskit
+from gpu_quantum_simulator_tpu.ir.circuit import Circuit
+from gpu_quantum_simulator_tpu.ref.cpu import simulate_reference
+
+
+class _Op:
+    def __init__(self, name, params=()):
+        self.name = name
+        self.params = list(params)
+
+
+class _Bit:
+    def __init__(self, index):
+        self.index = index
+
+
+class _Inst:
+    def __init__(self, op, qubits):
+        self.operation = op
+        self.qubits = qubits
+
+
+class _FakeQC:
+    """Mimics qiskit >= 1.0 QuantumCircuit surface used by from_qiskit."""
+
+    def __init__(self, n):
+        self.num_qubits = n
+        self.data = []
+        self._bits = [_Bit(i) for i in range(n)]
+
+    def find_bit(self, q):
+        class _Loc:
+            def __init__(self, index):
+                self.index = index
+        return _Loc(q.index)
+
+    def add(self, name, *qubits, params=()):
+        self.data.append(_Inst(_Op(name, params), [self._bits[q] for q in qubits]))
+
+
+def test_conversion_parity():
+    qc = _FakeQC(4)
+    qc.add("h", 0)
+    qc.add("cx", 0, 1)
+    qc.add("rz", 2, params=(0.7,))
+    qc.add("sx", 3)
+    qc.add("swap", 1, 2)
+    qc.add("barrier", 0)
+    qc.add("u", 3, params=(0.1, 0.2, 0.3))
+    c = from_qiskit(qc)
+
+    want = Circuit(4)
+    want.h(0)
+    want.cx(0, 1)
+    want.rz(0.7, 2)
+    want.sx(3)
+    from gpu_quantum_simulator_tpu.ir.decompose import emit_composite
+    emit_composite(want, "swap", (1, 2))
+    want.append("u", 3, params=(0.1, 0.2, 0.3))
+
+    np.testing.assert_allclose(
+        simulate_reference(c), simulate_reference(want), atol=1e-12)
+
+
+def test_strict_and_dropped():
+    qc = _FakeQC(2)
+    qc.add("h", 0)
+    qc.add("frobnicate", 1)
+    with pytest.raises(ValueError, match="frobnicate"):
+        from_qiskit(qc)
+    dropped = []
+    c = from_qiskit(qc, strict=False, dropped=dropped)
+    assert dropped == ["frobnicate"]
+    assert len(c.gates) == 1
+
+
+def test_real_qiskit_roundtrip():
+    qiskit = pytest.importorskip("qiskit")
+    qc = qiskit.QuantumCircuit(3)
+    qc.h(0)
+    qc.cx(0, 1)
+    qc.rz(0.5, 2)
+    c = from_qiskit(qc)
+    assert len(c.gates) == 3
