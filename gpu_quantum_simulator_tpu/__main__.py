@@ -44,6 +44,10 @@ def main(argv=None) -> int:
     )
     p.add_argument("--save-state", metavar="PATH", help="checkpoint the final state (.npz)")
     p.add_argument("--load-state", metavar="PATH", help="resume from a checkpointed state")
+    p.add_argument(
+        "--expectation", metavar="PAULI", action="append", default=[],
+        help='print <P> for a Pauli string, e.g. "Z0 Z1" or "XIZ" (repeatable)',
+    )
     args = p.parse_args(argv)
 
     try:
@@ -105,6 +109,17 @@ def main(argv=None) -> int:
                 f"|{_putb(int(idx), res.num_qubits)}>  p={p2[idx]:.6f}  "
                 f"amp={amp.real:+.6f}{amp.imag:+.6f}i"
             )
+
+    if args.expectation:
+        from .observables import expectation_pauli
+
+        for pauli in args.expectation:
+            try:
+                val = expectation_pauli(circuit, pauli, cfg)
+            except ValueError as exc:
+                print(f"ERROR in Pauli string {pauli!r}: {exc}", file=sys.stderr)
+                return 1
+            print(f"EXPECTATION {pauli}: {val:+.9f}")
 
     if args.measurements:
         from .ref.cpu import sample

@@ -58,3 +58,32 @@ def test_cli_parse_error():
     r = _run_cli("/no/such/file.qasm")
     assert r.returncode == 1
     assert "ERROR while parsing quantum circuit" in r.stderr
+
+
+def test_cli_expectation(tmp_path, capsys):
+    import numpy as np
+
+    from gpu_quantum_simulator_tpu.__main__ import main
+    from gpu_quantum_simulator_tpu import models
+
+    f = tmp_path / "ghz.qasm"
+    f.write_text(models.ghz(3).to_qasm())
+    rc = main([str(f), "--strategy", "reference",
+               "--expectation", "Z0 Z1", "--expectation", "XXX"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    lines = [l for l in out.splitlines() if l.startswith("EXPECTATION")]
+    assert len(lines) == 2
+    # GHZ: <Z0 Z1> = +1, <XXX> = +1
+    assert abs(float(lines[0].split(":")[1]) - 1.0) < 1e-6
+    assert abs(float(lines[1].split(":")[1]) - 1.0) < 1e-6
+
+
+def test_cli_expectation_bad_string(tmp_path, capsys):
+    from gpu_quantum_simulator_tpu.__main__ import main
+    from gpu_quantum_simulator_tpu import models
+
+    f = tmp_path / "c.qasm"
+    f.write_text(models.ghz(2).to_qasm())
+    rc = main([str(f), "--strategy", "reference", "--expectation", "QQ"])
+    assert rc == 1
