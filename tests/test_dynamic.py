@@ -110,3 +110,34 @@ def test_strategies_agree():
         outs[strat] = res[0]
     assert outs["mxu"].clbits == outs["prefetch"].clbits
     assert np.max(np.abs(outs["mxu"].state - outs["prefetch"].state)) < 2e-5
+
+
+def test_trajectory_average_matches_density_dephasing():
+    """Measuring a qubit and discarding the outcome implements full
+    dephasing: the trajectory-averaged populations must match the
+    DensitySimulator with a p=1 dephasing channel (exact diagonal)."""
+    from gpu_quantum_simulator_tpu.density import DensitySimulator, NoisyCircuit
+    from gpu_quantum_simulator_tpu import models
+
+    n = 3
+    pre = models.random_circuit(n, 25, seed=4)
+    post = models.random_circuit(n, 25, seed=5)
+
+    nc = NoisyCircuit(n, items=list(pre.gates))
+    nc.channel("dephasing", 1, p=1.0)
+    for g in post.gates:
+        nc.items.append(g)
+    want = DensitySimulator().run(nc)
+    want_p = want.probabilities()
+
+    dc = DynamicCircuit(n, num_clbits=1)
+    dc.items.extend(pre.gates)
+    dc.measure(1, 0)
+    dc.items.extend(post.gates)
+    shots = 600
+    acc = np.zeros(1 << n)
+    for r in run_dynamic(dc, shots=shots, seed=12, return_states=True):
+        acc += np.abs(r.state) ** 2
+    got_p = acc / shots
+    # Monte-Carlo over 600 deterministic-seed trajectories: ~4% tolerance
+    assert np.max(np.abs(got_p - want_p)) < 0.06
