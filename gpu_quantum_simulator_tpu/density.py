@@ -245,7 +245,7 @@ class DensitySimulator:
             # routes the state back to the canonical basis in-plan.
             if self.config.dtype == "complex128":
                 raise ValueError(
-                    "complex128 density simulation supports n <= 3 "
+                    "complex128 density simulation supports n <= 4 "
                     "(the float32 prefetch engine serves larger registers)")
             from .engine.prefetch import build_prefetch_program
 

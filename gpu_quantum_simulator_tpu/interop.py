@@ -3,8 +3,10 @@
 ``from_qiskit`` converts a qiskit ``QuantumCircuit`` (if qiskit is
 installed — it is an optional dependency, never required) into the native
 ``Circuit`` IR.  Supported: the reference gate set + this library's
-extensions (h x y z s sdg t tdg sx rx ry rz p u cx cz swap ccx ccz,
-measure/barrier dropped with a warning list returned on request).
+extensions (h x y z s sdg t tdg sx rx ry rz p u cx cz swap ccx ccz;
+barrier/delay/id silently ignored).  ``measure`` raises in strict mode —
+mid-circuit measurement needs ``DynamicCircuit`` — and is dropped (and
+reported via ``dropped``) with ``strict=False``.
 
 Qubit convention note: qiskit's little-endian qubit indexing matches this
 library's (qubit k = bit k of the basis index), so indices map 1:1.
@@ -21,7 +23,7 @@ _DIRECT = {
     "rx", "ry", "rz", "p", "u",
 }
 _COMPOSITE = {"cz", "swap", "ccx", "ccz"}
-_IGNORED = {"barrier", "measure", "delay", "id"}
+_IGNORED = {"barrier", "delay", "id"}
 
 
 def from_qiskit(qc, *, strict: bool = True,
@@ -49,7 +51,18 @@ def from_qiskit(qc, *, strict: bool = True,
             qargs = inst.qubits
         name = op.name.lower()
         if name in _IGNORED:
-            if dropped is not None and name != "barrier":
+            continue
+        if name == "measure":
+            # A mid-circuit measurement changes the semantics: dropping it
+            # silently would return a pure-unitary circuit that computes a
+            # different state.  DynamicCircuit is the supported path.
+            if strict:
+                raise ValueError(
+                    "circuit contains 'measure'; mid-circuit measurement is "
+                    "not expressible in the pure-unitary Circuit IR — use "
+                    "gpu_quantum_simulator_tpu.dynamic.DynamicCircuit, or "
+                    "pass strict=False to drop measurements")
+            if dropped is not None:
                 dropped.append(name)
             continue
         try:

@@ -34,26 +34,44 @@ def _sample_direct(re, im, num_qubits, num_samples, key):
 
 
 @partial(jax.jit, static_argnums=(2, 3))
-def _sample_two_stage(re, im, num_qubits, num_samples, key):
+def _sample_three_stage(re, im, num_qubits, num_samples, key):
+    """Group -> row -> column sampling on the flat state, n <= 30.
+
+    The old two-stage form gathered a (num_samples, 2^(n - n//2)) row
+    matrix per draw — a ~1.3 GB transient for 10k samples at n=29, on the
+    engine whose whole point is memory margin.  Viewing the state as
+    (2^(n-8), 256) rows instead keeps every per-sample gather at most
+    (num_samples, 2^ceil((n-8)/2)) — ~40 MB for 10k samples at n=29 — and
+    every cumsum spans <= ~2^11 terms, so float32 CDFs stay accurate.
+    Row masses fuse into one reduction pass (no 2^n probability vector)."""
     n = num_qubits
-    rows_bits = n // 2
-    rows, cols = 1 << rows_bits, 1 << (n - rows_bits)
-    p = (re * re + im * im).reshape(rows, cols)
-    row_mass = jnp.sum(p, axis=1)
-    row_cdf = jnp.cumsum(row_mass)
-    k1, k2 = jax.random.split(key)
-    u1 = jax.random.uniform(k1, (num_samples,), dtype=row_cdf.dtype, maxval=row_cdf[-1])
-    r = jnp.searchsorted(row_cdf, u1, side="right").astype(jnp.int32)
-    r = jnp.minimum(r, rows - 1)
-    # stage 2: per-sample CDF over the selected row
-    prow = p[r]                                  # (num_samples, cols)
-    col_cdf = jnp.cumsum(prow, axis=1)
-    u2 = jax.random.uniform(
-        k2, (num_samples, 1), dtype=col_cdf.dtype
-    ) * col_cdf[:, -1:]
-    c = jnp.sum(col_cdf < u2, axis=1).astype(jnp.int32)
-    c = jnp.minimum(c, cols - 1)
-    return (r.astype(jnp.int64) << (n - rows_bits)) | c.astype(jnp.int64)
+    rb = n - 8
+    R, C = 1 << rb, 256
+    re2 = re.reshape(R, C)
+    im2 = im.reshape(R, C)
+    pr = jnp.sum(re2 * re2 + im2 * im2, axis=1)      # (R,) row masses
+    g_bits = rb // 2
+    rows_per = 1 << g_bits
+    G = R >> g_bits
+    pg = pr.reshape(G, rows_per)
+    k1, k2, k3 = jax.random.split(key, 3)
+    gmass = jnp.sum(pg, axis=1)
+    gcdf = jnp.cumsum(gmass)
+    u1 = jax.random.uniform(k1, (num_samples,), dtype=gcdf.dtype, maxval=gcdf[-1])
+    g = jnp.minimum(jnp.searchsorted(gcdf, u1, side="right"), G - 1)
+    prow = pg[g]                                     # (S, rows_per)
+    rcdf = jnp.cumsum(prow, axis=1)
+    u2 = jax.random.uniform(k2, (num_samples, 1), dtype=rcdf.dtype) * rcdf[:, -1:]
+    r = jnp.minimum(jnp.sum(rcdf < u2, axis=1), rows_per - 1)
+    # int32 basis indices cover n <= 30 exactly (2^30 < 2^31)
+    row = g.astype(jnp.int32) * rows_per + r.astype(jnp.int32)
+    rre = re2[row]                                   # (S, 256)
+    rim = im2[row]
+    pcols = rre * rre + rim * rim
+    ccdf = jnp.cumsum(pcols, axis=1)
+    u3 = jax.random.uniform(k3, (num_samples, 1), dtype=ccdf.dtype) * ccdf[:, -1:]
+    c = jnp.minimum(jnp.sum(ccdf < u3, axis=1), C - 1)
+    return (row << 8) | c.astype(jnp.int32)
 
 
 def sample_state_device(re, im, num_qubits: int, num_samples: int, seed: int = 0):
@@ -62,7 +80,9 @@ def sample_state_device(re, im, num_qubits: int, num_samples: int, seed: int = 0
     if num_qubits <= STAGE_SPLIT_MIN:
         idx = _sample_direct(re, im, num_qubits, num_samples, key)
         return np.asarray(idx).astype(np.int64)
-    return np.asarray(_sample_two_stage(re, im, num_qubits, num_samples, key))
+    return np.asarray(
+        _sample_three_stage(re, im, num_qubits, num_samples, key)
+    ).astype(np.int64)
 
 
 @partial(jax.jit, static_argnums=(2,))

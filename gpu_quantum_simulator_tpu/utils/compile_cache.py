@@ -17,6 +17,20 @@ import os
 _DONE = False
 
 
+def _effective_cpu() -> bool:
+    """True when this process compiles for CPU — via the env var OR the
+    jax.config override (on this target JAX_PLATFORMS is pinned to the
+    remote backend and CPU is forced with
+    ``jax.config.update('jax_platforms', 'cpu')``, so the env var alone is
+    not authoritative)."""
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        return True
+    import jax
+
+    eff = (getattr(jax.config, "jax_platforms", None) or "").strip().lower()
+    return eff == "cpu" or eff.startswith("cpu,")
+
+
 def enable_persistent_cache() -> str | None:
     """Idempotently enable the JAX persistent compilation cache.
 
@@ -30,8 +44,12 @@ def enable_persistent_cache() -> str | None:
     # CPU executables are AOT-compiled against the build host's machine
     # features; persisting them risks SIGILL when the cache directory is
     # shared across hosts (and hermetic CPU tests don't want disk state
-    # anyway).  Cache only device-backend (TPU) executables.
-    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+    # anyway).  Cache only device-backend (TPU) executables.  The env var
+    # alone is not authoritative here: on this target JAX_PLATFORMS is
+    # pinned to the remote backend and CPU is forced via
+    # jax.config.update("jax_platforms", "cpu"), so consult the effective
+    # jax config too.
+    if _effective_cpu():
         return None
     default = os.path.join(
         os.path.expanduser("~"), ".cache", "qsim_tpu_xla_cache")

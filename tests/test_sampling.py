@@ -23,18 +23,40 @@ def test_sample_direct_bell():
     assert 0.45 < np.mean(s == 0) < 0.55
 
 
-def test_sample_two_stage_matches_distribution():
-    # force the two-stage path on a small, checkable state
+def test_sample_three_stage_matches_distribution():
+    # force the large-n (group->row->column) path on a small, checkable state
+    import jax
+
     import gpu_quantum_simulator_tpu.sampling as samp
 
-    c = models.random_circuit(8, 120, seed=2)
+    c = models.random_circuit(11, 160, seed=2)
     v = simulate_reference(c)
     re, im = split_state(v)
-    idx = np.asarray(samp._sample_two_stage(re, im, 8, 20000, __import__("jax").random.PRNGKey(1)))
-    p_emp = np.bincount(idx, minlength=256) / 20000
+    idx = np.asarray(
+        samp._sample_three_stage(re, im, 11, 40000, jax.random.PRNGKey(1)))
+    p_emp = np.bincount(idx, minlength=1 << 11) / 40000
     p_true = np.abs(v) ** 2
     # total-variation distance small
-    assert 0.5 * np.abs(p_emp - p_true).sum() < 0.05
+    assert 0.5 * np.abs(p_emp - p_true).sum() < 0.08
+
+
+def test_sample_three_stage_marginals_match():
+    # per-qubit marginals of the sampled bitstrings match |amp|^2 exactly
+    import jax
+
+    import gpu_quantum_simulator_tpu.sampling as samp
+
+    n = 12
+    c = models.random_circuit(n, 200, seed=7)
+    v = simulate_reference(c)
+    re, im = split_state(v)
+    idx = np.asarray(
+        samp._sample_three_stage(re, im, n, 40000, jax.random.PRNGKey(3)))
+    p_true = np.abs(v) ** 2
+    for q in range(n):
+        emp = np.mean((idx >> q) & 1)
+        true = p_true[((np.arange(1 << n) >> q) & 1) == 1].sum()
+        assert abs(emp - true) < 0.02, (q, emp, true)
 
 
 def test_top_amplitudes_grover():
