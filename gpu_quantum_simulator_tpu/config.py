@@ -53,6 +53,9 @@ class SimulatorConfig:
     # low/high width caps and picks absorb candidates by predicted
     # wide-engine block cost (utils.roofline.kh_block_costs).
     fusion_cost_model: Optional[bool] = None
+    # prefetch commutation-aware op scheduling (fewer cross-tile swap
+    # boundaries at n >= 23).  None = automatic (on).
+    prefetch_reorder: Optional[bool] = None
     # prefetch in-place (aliased) execution: the state's own buffers are
     # reused by every kernel, halving peak HBM (required from n=30 on one
     # 16 GB chip).  None = automatic (n >= 30).
@@ -60,6 +63,10 @@ class SimulatorConfig:
     # sharding: number of global (mesh-sharded) qubits; None = auto from mesh.
     mesh_shape: Optional[Tuple[int, ...]] = None
     mesh_axis_names: Tuple[str, ...] = ("amp",)
+    # segmented sharded execution (parallel/sharded_prefetch.py): chunked
+    # recompile-free scan chains instead of one monolithic shard_map unroll.
+    # None = automatic (on when >= 9 local qubits and complex64).
+    shard_segmented: Optional[bool] = None
 
     def __post_init__(self):
         if self.strategy not in STRATEGIES:

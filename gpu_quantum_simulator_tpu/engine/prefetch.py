@@ -60,6 +60,8 @@ LANES = 1 << LANE_QUBITS
 LOCAL_QUBITS = 8              # matmul window: lanes + the column-half qubit 7
 DVIEW = 1 << LOCAL_QUBITS     # 256
 TILE_ROWS = 512               # state rows of 256 per grid step
+RELAYOUT_TILE_ROWS = 64       # relayout kernel block rows (exposes row bits
+                              # >= log2 of this as steerable grid bits)
 CAP_STEPS = 48                # steps (mats + tswaps + perms) per block
 CAP_MATS = 12                 # 2 tables x 12 x 256 KB = 6 MB VMEM
 MIN_QUBITS = 9                # below this the megakernel path is used
@@ -67,6 +69,10 @@ MIN_QUBITS = 9                # below this the megakernel path is used
 
 def tile_rows(n: int) -> int:
     return min(TILE_ROWS, 1 << (n - LOCAL_QUBITS))
+
+
+def relayout_rows(n: int) -> int:
+    return min(RELAYOUT_TILE_ROWS, 1 << (n - LOCAL_QUBITS))
 
 
 _WINDOW_CACHE: dict = {}
@@ -213,6 +219,12 @@ class _Block:
     mats: List[Tuple[np.ndarray, Tuple[int, ...]]] = field(default_factory=list)
     # pending cross-tile swap applied to this block's INPUT: (tmask, shift)
     prologue: Optional[Tuple[int, int]] = None
+    # standalone multi-qubit relayout entry: sigma over exposed slots
+    # (see get_relayout_kernel); a block carrying this has no steps
+    relayout: Optional[np.ndarray] = None
+    # standalone mesh-bit exchange entry (sharded execution): swap local
+    # window bit 7 with mesh-axis bit ``gswap`` via a ppermute half exchange
+    gswap: Optional[int] = None
 
 
 @dataclass
@@ -224,6 +236,26 @@ class PrefetchPlan:
     num_xswaps: int
     num_perms: int
     logt: int
+    num_relayouts: int = 0
+    num_gswaps: int = 0
+
+
+def _op_dag(ops: Sequence[Op]):
+    """Dependency DAG: ops sharing a qubit keep their relative order; ops on
+    disjoint qubit sets commute as operators on disjoint tensor factors, so
+    any topological order computes the identical state."""
+    nops = len(ops)
+    succs: List[List[int]] = [[] for _ in range(nops)]
+    indeg = [0] * nops
+    last_on: dict = {}
+    for i, op in enumerate(ops):
+        deps = {last_on[q] for q in op.qubits if q in last_on}
+        for d in deps:
+            succs[d].append(i)
+        indeg[i] = len(deps)
+        for q in op.qubits:
+            last_on[q] = i
+    return succs, indeg
 
 
 def plan_prefetch(
@@ -232,8 +264,19 @@ def plan_prefetch(
     cap_steps: int = CAP_STEPS,
     cap_mats: int = CAP_MATS,
     final_layout: Optional[Sequence[int]] = None,
+    reorder: bool = True,
+    allow_relayout: bool = True,
+    num_global: int = 0,
 ) -> PrefetchPlan:
     """Lower fused ops to uniform kernel blocks.
+
+    ``num_global``: the top ``num_global`` positions are MESH-AXIS bits of a
+    sharded state (parallel/sharded_prefetch.py) rather than local state
+    bits.  A qubit at a global position is brought to window bit 7 by a
+    ``gswap`` entry — on the mesh this executes as a pairwise ppermute
+    column-half exchange over ICI, the distributed twin of the cross-tile
+    xswap.  All window/tile geometry then refers to the LOCAL qubit count
+    ``num_qubits - num_global``.
 
     Placement: a qubit at position p >= 8 is brought to position 7 by a
     tswap step (p <= 7+log2 T) or by the next block's input-prologue swap.
@@ -241,14 +284,32 @@ def plan_prefetch(
     with a perm step (a 3-cycle: victim -> p, old 7 -> victim, target -> 7).
     Victim = coldest by exact remaining-use count (the corrected reference
     histogram, cf. defect #5).
+
+    ``reorder``: commutation-aware scheduling.  Every cross-tile swap forces
+    a block boundary (the swap must ride the NEXT block's input DMA), so in
+    emission order each op touching a beyond-reach qubit costs one full HBM
+    round-trip — at n >= 23 blocks degenerate to ~1 op.  Ops acting on
+    disjoint qubit sets commute exactly, so the planner may pick any op
+    whose dependencies (earlier ops sharing a qubit) have been emitted.
+    The scheduler drains all ready ops whose qubits are already in reach
+    before paying for a new cross-tile swap, and picks the next swap as the
+    beyond-reach qubit the most ready ops are waiting on — batching a
+    qubit's whole ready set under one swap.
+
+    ``allow_relayout``: when >= 2 cold qubits are demanded at once, emit a
+    single multi-qubit relayout pass (get_relayout_kernel) that parks them
+    all inside tswap reach — one state round-trip replaces one forced block
+    boundary per qubit.  The in-place (aliased) executor cannot steer input
+    DMA across tiles, so it plans with ``allow_relayout=False``.
     """
     n = num_qubits
-    if n < MIN_QUBITS:
-        raise ValueError(f"prefetch plan needs n >= {MIN_QUBITS}")
+    nl = n - num_global          # local qubits: window + tile + cross-tile
+    if nl < MIN_QUBITS:
+        raise ValueError(f"prefetch plan needs >= {MIN_QUBITS} local qubits")
     widest = max((op.width for op in ops), default=1)
     if widest > LOCAL_QUBITS:
         raise ValueError(f"op touches {widest} qubits > window {LOCAL_QUBITS}")
-    logt = int(np.log2(tile_rows(n)))
+    logt = int(np.log2(tile_rows(nl)))
     kind_perm = logt + 1
 
     pos_of = list(range(n))
@@ -259,20 +320,26 @@ def plan_prefetch(
             remaining[q] += 1
 
     blocks: List[_Block] = [_Block()]
-    num_tswaps = num_xswaps = num_perms = 0
+    num_tswaps = num_xswaps = num_perms = num_relayouts = num_gswaps = 0
 
     def cur() -> _Block:
         return blocks[-1]
 
+    def _empty(b: _Block) -> bool:
+        return (not b.kinds and b.prologue is None and b.relayout is None
+                and b.gswap is None)
+
     def fresh() -> _Block:
-        if not cur().kinds and cur().prologue is None:
+        if _empty(cur()):
             return cur()
         blocks.append(_Block())
         return cur()
 
     def room(extra_steps: int, extra_mats: int) -> _Block:
         b = cur()
-        if len(b.kinds) + extra_steps > cap_steps or len(b.mats) + extra_mats > cap_mats:
+        if (b.relayout is not None or b.gswap is not None
+                or len(b.kinds) + extra_steps > cap_steps
+                or len(b.mats) + extra_mats > cap_mats):
             b = fresh()
         return b
 
@@ -283,51 +350,70 @@ def plan_prefetch(
         b.mats.append((u, positions))
 
     def add_perm(v: int) -> None:
+        nonlocal num_perms
         b = room(1, 0)
         b.kinds.append(kind_perm)
         b.midx.append(v)
+        num_perms += 1
 
     def add_tswap(k: int) -> None:
+        nonlocal num_tswaps
         b = room(1, 0)
         b.kinds.append(k)
         b.midx.append(0)
+        num_tswaps += 1
 
     def add_xswap(bit: int) -> None:
         # becomes the NEXT block's input prologue: tile-index XOR on the
         # swapped row bit + column-half steering (see get_block_kernel)
+        nonlocal num_xswaps
         b = fresh()
         shift = (bit - 1) - logt
         b.prologue = (1 << shift, shift)
+        num_xswaps += 1
 
-    for op in ops:
+    def add_gswap(g: int) -> None:
+        # standalone entry: local window bit 7 <-> mesh-axis bit g
+        nonlocal num_gswaps
+        b = fresh()
+        b.gswap = g
+        num_gswaps += 1
+
+    def t7(p: int) -> None:
+        """Exchange position 7 with position p via ONE planned step."""
+        if p < LANE_QUBITS:
+            add_perm(p)
+        elif p >= nl:
+            add_gswap(p - nl)
+        elif p - LANE_QUBITS <= logt:
+            add_tswap(p - LANE_QUBITS)
+        else:
+            add_xswap(p - LANE_QUBITS)
+
+    def place(op: Op) -> None:
         qs = op.qubits
         for q in qs:
             p = pos_of[q]
             if p < LOCAL_QUBITS:
                 continue
             k = p - LANE_QUBITS  # >= 1
+            far = k > logt or p >= nl      # cross-tile or mesh bit
             pinned = qubit_at[LANE_QUBITS] in qs
             # The swap always evicts position 7's occupant to position p.
-            # For cross-tile swaps p is a COLD slot (rarely revisited), so
-            # evicting a hot qubit there forces a bounce-back later: rotate
-            # the coldest lane occupant into position 7 first (one free
-            # in-block perm step) whenever 7 is pinned or holds a hotter
-            # qubit than the coldest lane.
-            if pinned or k > logt:
+            # For cross-tile/mesh swaps p is a COLD slot (rarely revisited),
+            # so evicting a hot qubit there forces a bounce-back later:
+            # rotate the coldest lane occupant into position 7 first (one
+            # free in-block perm step) whenever 7 is pinned or holds a
+            # hotter qubit than the coldest lane.
+            if pinned or far:
                 cands = [l for l in range(LANE_QUBITS) if qubit_at[l] not in qs]
                 v = min(cands, key=lambda l: (remaining[qubit_at[l]], l))
                 if pinned or remaining[qubit_at[v]] < remaining[qubit_at[LANE_QUBITS]]:
                     add_perm(v)
-                    num_perms += 1
                     x, y = qubit_at[v], qubit_at[LANE_QUBITS]
                     qubit_at[v], qubit_at[LANE_QUBITS] = y, x
                     pos_of[x], pos_of[y] = LANE_QUBITS, v
-            if k <= logt:
-                add_tswap(k)
-                num_tswaps += 1
-            else:
-                add_xswap(k)
-                num_xswaps += 1
+            t7(p)
             ql = qubit_at[LANE_QUBITS]
             qubit_at[LANE_QUBITS], qubit_at[p] = q, ql
             pos_of[q], pos_of[ql] = LANE_QUBITS, p
@@ -337,6 +423,87 @@ def plan_prefetch(
         for q in qs:
             remaining[q] -= 1
 
+    xreach = LANE_QUBITS + logt  # positions <= xreach need no cross-tile swap
+    lr = int(np.log2(relayout_rows(nl)))
+    m_exposed = 1 + max(nl - LOCAL_QUBITS - lr, 0)
+    # park slots: exposed positions already inside tswap reach — a relayout
+    # can drop fresh cold qubits straight into them
+    parks = [LANE_QUBITS] + list(range(LOCAL_QUBITS + lr, xreach + 1))
+    can_relayout = allow_relayout and len(parks) >= 2 and nl - 1 > xreach
+
+    def eidx(p: int) -> int:
+        return 0 if p == LANE_QUBITS else 1 + (p - LOCAL_QUBITS - lr)
+
+    def add_relayout(mapping: dict) -> None:
+        """One multi-qubit relayout entry; ``mapping`` is a bijection
+        position -> position over exposed slots ({7} u [8+lr, n-1])."""
+        nonlocal num_relayouts
+        sigma = np.arange(m_exposed, dtype=np.int32)
+        for pa, pb in mapping.items():
+            sigma[eidx(pa)] = eidx(pb)
+        blk = fresh()
+        blk.relayout = sigma
+        num_relayouts += 1
+        moved = {pb: qubit_at[pa] for pa, pb in mapping.items()}
+        for pb, q in moved.items():
+            qubit_at[pb] = q
+            pos_of[q] = pb
+
+    if not reorder or (nl - 1 <= xreach and num_global == 0):
+        for op in ops:
+            place(op)
+    else:
+        import bisect
+
+        succs, indeg = _op_dag(ops)
+        ready = [i for i in range(len(ops)) if indeg[i] == 0]
+        while ready:
+            # selection: (1) first ready op whose qubits are all in reach;
+            # (2) else batch-park the demanded cold qubits in one relayout
+            # pass; (3) else the op with the fewest swaps, preferring the
+            # most-demanded cold qubit (drains its whole ready set first)
+            best = best_key = demand = None
+            for i in ready:
+                cost = sum(1 for q in ops[i].qubits if pos_of[q] > xreach)
+                if cost == 0:
+                    best = i  # ready is index-sorted: lowest index wins
+                    break
+                if demand is None:
+                    demand = {}
+                    for j in ready:
+                        for q in ops[j].qubits:
+                            if pos_of[q] > xreach:
+                                demand[q] = demand.get(q, 0) + 1
+                pull = max(demand[q] for q in ops[i].qubits
+                           if pos_of[q] > xreach)
+                key = (cost, -pull, i)
+                if best_key is None or key < best_key:
+                    best_key, best = key, i
+            if best_key is not None and can_relayout and len(demand) >= 2:
+                frontier = {q for j in ready for q in ops[j].qubits}
+                avail = [p for p in parks if qubit_at[p] not in frontier]
+                # relayout moves local cross-tile bits only; mesh-bit
+                # qubits travel one at a time via gswap entries
+                cold = sorted((q for q in demand if pos_of[q] < nl),
+                              key=lambda q: (-demand[q], pos_of[q]))
+                k = min(len(cold), len(avail))
+                if k >= 2:
+                    # evict the least-used park occupants to the cold slots
+                    avail.sort(key=lambda p: remaining[qubit_at[p]])
+                    mapping = {}
+                    for t in range(k):
+                        pa, pb = avail[t], pos_of[cold[t]]
+                        mapping[pa] = pb
+                        mapping[pb] = pa
+                    add_relayout(mapping)
+                    continue  # reselect: the parked qubits' ops are cheap now
+            ready.remove(best)
+            place(ops[best])
+            for s in succs[best]:
+                indeg[s] -= 1
+                if indeg[s] == 0:
+                    bisect.insort(ready, s)
+
     if final_layout is not None:
         # Route every qubit to its requested position with in-plan steps —
         # position-transpositions built from the existing gadgets (3 perm
@@ -345,42 +512,75 @@ def plan_prefetch(
         # Simulator's generic device unpermute, whose bit-swap chain costs
         # one ~30 ms tunnel dispatch per transposition.
         def transpose_positions(pa: int, pb: int) -> None:
+            # transposition (pa, pb) through the position-7 bridge: t7(pa)
+            # t7(pb) t7(pa) — or one t7 when either side IS position 7.
+            # Covers lane/window/row/cross-tile/mesh positions uniformly.
             if pa > pb:
                 pa, pb = pb, pa
-            seq: List[Tuple[str, int]] = []
-            if pb < LANE_QUBITS:
-                seq = [("perm", pa), ("perm", pb), ("perm", pa)]
+            if pa == LANE_QUBITS:
+                t7(pb)
             elif pb == LANE_QUBITS:
-                seq = [("perm", pa)]
-            elif pa == LANE_QUBITS:
-                seq = [("swap", pb - LANE_QUBITS)]
-            elif pa < LANE_QUBITS:
-                seq = [("perm", pa), ("swap", pb - LANE_QUBITS), ("perm", pa)]
+                t7(pa)
             else:
-                k1, k2 = pa - LANE_QUBITS, pb - LANE_QUBITS
-                seq = [("swap", k1), ("swap", k2), ("swap", k1)]
-            for kind, v in seq:
-                if kind == "perm":
-                    add_perm(v)
-                else:
-                    if v <= logt:
-                        add_tswap(v)
-                    else:
-                        add_xswap(v)
+                t7(pa)
+                t7(pb)
+                t7(pa)
             qa, qb = qubit_at[pa], qubit_at[pb]
             qubit_at[pa], qubit_at[pb] = qb, qa
             pos_of[qa], pos_of[qb] = pb, pa
 
         want = [int(p) for p in final_layout]
+        if can_relayout:
+            # Collapse the restore's cross-tile traffic: ONE relayout pass
+            # places every exposed-slot occupant whose target is exposed,
+            # and stages beyond-reach occupants bound for hidden slots into
+            # park slots (in reach); the transpose loop below then finishes
+            # with cheap in-reach steps instead of one xswap boundary per
+            # misplaced cold qubit.
+            exposed = [LANE_QUBITS] + list(range(LOCAL_QUBITS + lr, nl))
+            exposed_set = set(exposed)
+            for _ in range(2):
+                moves = {}
+                for a in exposed:
+                    q = qubit_at[a]
+                    if want[q] != a and want[q] in exposed_set:
+                        moves[a] = want[q]
+                taken = set(moves.values())
+                free_parks = [p for p in parks
+                              if p not in taken and p not in moves]
+                for a in exposed:
+                    if a in moves or not free_parks:
+                        continue
+                    q = qubit_at[a]
+                    if a > xreach and want[q] != a and want[q] not in exposed_set:
+                        moves[a] = free_parks.pop(0)
+                if len(moves) < 2:
+                    break
+                # complete to a bijection over exposed slots, identity-first
+                taken = set(moves.values())
+                rest_t = {t for t in exposed if t not in taken}
+                rest_s = []
+                for a in exposed:
+                    if a in moves:
+                        continue
+                    if a in rest_t:
+                        moves[a] = a
+                        rest_t.remove(a)
+                    else:
+                        rest_s.append(a)
+                for a, t in zip(rest_s, sorted(rest_t)):
+                    moves[a] = t
+                add_relayout(moves)
         for q in range(n):
             if pos_of[q] != want[q]:
                 transpose_positions(pos_of[q], want[q])
         assert [pos_of[q] for q in range(n)] == want
 
-    if not blocks[-1].kinds and blocks[-1].prologue is None:
+    if _empty(blocks[-1]):
         blocks.pop()
     return PrefetchPlan(
-        blocks, np.asarray(pos_of), len(ops), num_tswaps, num_xswaps, num_perms, logt
+        blocks, np.asarray(pos_of), len(ops), num_tswaps, num_xswaps,
+        num_perms, logt, num_relayouts, num_gswaps,
     )
 
 
@@ -503,6 +703,89 @@ def get_block_kernel(n: int, real_dtype, precision: str, interpret: bool,
 
     def fn(scal, re, im, a_tab, b_tab, p_tab):
         return call(scal, re, re, im, im, a_tab, b_tab, p_tab)
+
+    _KERNEL_CACHE[key] = fn
+    return fn
+
+
+def get_relayout_kernel(n: int, real_dtype, interpret: bool):
+    """Multi-qubit cross-tile relayout in ONE state pass.
+
+    The block kernel's input prologue can fold exactly one cross-tile swap
+    (qubit 7 <-> one tile bit) into a block boundary, so refreshing k cold
+    qubits costs k forced boundaries — the n >= 23 round-trip cliff.  This
+    kernel instead reads the state in small (Tr, 128) blocks, which exposes
+    qubit 7 (the column half) AND every row bit >= log2 Tr as *block
+    coordinates*; an arbitrary permutation of those exposed bits then rides
+    the input DMA of a single read+write pass.  One pass parks up to
+    |{7} u [8+log2 Tr, 7+log2 T]| fresh qubits inside tswap reach — the
+    batched generalization of the reference's one-shot relabeling
+    (quantum_simulator_preproces_permute.cu:388-413), applied mid-circuit.
+
+    scal encoding: scal[1] == 3 flags the entry; scal[4 + a] = sigma(a)
+    over exposed-slot indices (0 = qubit 7, a >= 1 = qubit 7 + log2 Tr + a),
+    meaning the qubit at exposed slot a moves to exposed slot sigma(a).
+    Returns f(scal, re, im) -> (re, im) on (R2, DVIEW) arrays.
+    """
+    dt = np.dtype(real_dtype)
+    Tr = relayout_rows(n)
+    key = ("relayout", n, Tr, dt.str, interpret)
+    fn = _KERNEL_CACHE.get(key)
+    if fn is not None:
+        return fn
+
+    R2 = 1 << (n - LOCAL_QUBITS)
+    nblk = R2 // Tr
+    nbits = (nblk - 1).bit_length()   # exposed row-block bits
+    m = nbits + 1                     # + the column-half bit (exposed idx 0)
+
+    def kernel(scal_ref, lo_re_ref, hi_re_ref, lo_im_ref, hi_im_ref,
+               ore_ref, oim_ref):
+        ore_ref[:, :LANES] = lo_re_ref[:]
+        ore_ref[:, LANES:] = hi_re_ref[:]
+        oim_ref[:, :LANES] = lo_im_ref[:]
+        oim_ref[:, LANES:] = hi_im_ref[:]
+
+    def src_map(h_out: int):
+        # source (row_block, col_half) whose data lands in output block i's
+        # column half ``h_out``: source exposed bit a = output exposed bit
+        # sigma(a), evaluated on the output coordinates (h_out, bits of i)
+        def f(i, scal):
+            def outbit(e):
+                return jnp.where(e == 0, h_out, (i >> (e - 1)) & 1)
+
+            half = outbit(scal[4])
+            row = jnp.zeros((), jnp.int32)
+            for a in range(1, m):
+                row = row | (outbit(scal[4 + a]) << (a - 1))
+            return row, half
+
+        return f
+
+    half_in = lambda h: pl.BlockSpec((Tr, LANES), src_map(h),
+                                     memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((Tr, DVIEW), lambda i, scal: (i, 0),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblk,),
+        in_specs=[half_in(0), half_in(1), half_in(0), half_in(1)],
+        out_specs=[out_spec, out_spec],
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((R2, DVIEW), dt)] * 2,
+        cost_estimate=pl.CostEstimate(
+            flops=0,
+            bytes_accessed=4 * dt.itemsize * R2 * DVIEW,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )
+
+    def fn(scal, re, im):
+        return call(scal, re, re, im, im)
 
     _KERNEL_CACHE[key] = fn
     return fn
@@ -710,6 +993,9 @@ def get_block_chain(n: int, real_dtype, precision: str, interpret: bool,
         return fn
     kernel = get_block_kernel(n, dt, precision, interpret, cap_steps, cap_mats)
     R2 = 1 << (n - LOCAL_QUBITS)
+    # cross-tile bits exist: entries may be multi-qubit relayout passes
+    relay = (get_relayout_kernel(n, dt, interpret)
+             if R2 > tile_rows(n) else None)
 
     def chain_pure(re, im, scal, a_tab, b_tab, p_tab):
         re = re.reshape(R2, DVIEW)
@@ -718,7 +1004,16 @@ def get_block_chain(n: int, real_dtype, precision: str, interpret: bool,
         def body(carry, x):
             r, i = carry
             s, a, b = x
-            return kernel(s, r, i, a, b, p_tab), None
+            if relay is None:
+                return kernel(s, r, i, a, b, p_tab), None
+
+            def run_relayout(c):
+                return relay(s, c[0], c[1])
+
+            def run_block(c):
+                return kernel(s, c[0], c[1], a, b, p_tab)
+
+            return jax.lax.cond(s[1] == 3, run_relayout, run_block, (r, i)), None
 
         (re, im), _ = jax.lax.scan(body, (re, im), (scal, a_tab, b_tab))
         return re.reshape(-1), im.reshape(-1)
@@ -788,6 +1083,88 @@ def join_halves(re0, re1, im0, im1):
 
 
 # ------------------------------------------------------------------ program
+def materialize_entries(entries: Sequence[_Block], cap_steps: int,
+                        cap_mats: int, dt, inplace: bool = False):
+    """Pack plan entries into grouped, pow-2-chunked scal + factor tables.
+
+    Two block classes keep table H2D near the real content volume:
+    swap-forced blocks carry ~1-2 matrices, so padding them to cap_mats
+    would ship mostly zeros.  Short thin runs are promoted to full so class
+    changes don't fragment the scan chains.  Tables ship as COMPACT factors
+    (u <= 128x128 + two 256-entry vectors per op, ~4x less host-link
+    traffic than the expanded 256x256 tables) and are expanded on device
+    per chunk (_get_expander).
+
+    Returns a list of (cap, chunk_sizes, scal, u_re, u_im, mvec, hvec);
+    chunk_sizes may cover more rows than real entries (zero rows = identity
+    blocks).  Shared by PrefetchProgram and the mesh engine
+    (parallel/sharded_prefetch.py).
+    """
+    THIN = 2
+    cls = [THIN if len(b.mats) <= THIN else cap_mats for b in entries]
+    i = 0
+    while i < len(cls):
+        if cls[i] == THIN:
+            j = i
+            while j < len(cls) and cls[j] == THIN:
+                j += 1
+            if j - i < 8:
+                for t in range(i, j):
+                    cls[t] = cap_mats
+            i = j
+        else:
+            i += 1
+
+    groups: List[Tuple[int, List[_Block]]] = []
+    for c, blk in zip(cls, entries):
+        if groups and groups[-1][0] == c:
+            groups[-1][1].append(blk)
+        else:
+            groups.append((c, [blk]))
+
+    out = []
+    for cap, blks in groups:
+        B = len(blks)
+        sizes = _chunks(B)
+        Bp = sum(sizes)
+        scal = np.zeros((Bp, 4 + 2 * cap_steps), dtype=np.int32)
+        u_re = np.zeros((Bp, cap, UPAD, UPAD), dtype=dt)
+        u_im = np.zeros((Bp, cap, UPAD, UPAD), dtype=dt)
+        mvec = np.zeros((Bp, cap, DVIEW), dtype=np.int32)
+        hvec = np.zeros((Bp, cap, DVIEW), dtype=np.int32)
+        for i, blk in enumerate(blks):
+            k = len(blk.kinds)
+            scal[i, 0] = k
+            if blk.prologue is not None:
+                # inplace: a standalone pair-swap entry (flag 2);
+                # otherwise: the block's input-DMA prologue (flag 1)
+                scal[i, 1] = 2 if inplace else 1
+                scal[i, 2] = blk.prologue[0]
+                scal[i, 3] = blk.prologue[1]
+            if blk.relayout is not None:
+                assert not inplace, "aliased chains cannot relayout"
+                scal[i, 1] = 3
+                scal[i, 4 : 4 + len(blk.relayout)] = blk.relayout
+                continue
+            if blk.gswap is not None:
+                # mesh-bit exchange: only the sharded chain executes these
+                # (parallel/sharded_prefetch.py)
+                scal[i, 1] = 4
+                scal[i, 2] = blk.gswap
+                continue
+            scal[i, 4 : 4 + k] = blk.kinds
+            scal[i, 4 + cap_steps : 4 + cap_steps + k] = blk.midx
+            for s, (u, positions) in enumerate(blk.mats):
+                d = u.shape[0]
+                u_re[i, s, :d, :d] = u.real
+                u_im[i, s, :d, :d] = u.imag
+                m, h = _window_vectors(tuple(positions))
+                mvec[i, s] = m
+                hvec[i, s] = h
+        out.append((cap, sizes, scal, u_re, u_im, mvec, hvec))
+    return out
+
+
 class PrefetchProgram:
     """Device tables + shared executables for one planned circuit.
 
@@ -808,12 +1185,15 @@ class PrefetchProgram:
         cap_mats: int = CAP_MATS,
         final_layout: Optional[Sequence[int]] = None,
         inplace: bool = False,
+        reorder: bool = True,
     ):
         n = num_qubits
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         dt = np.dtype(real_dtype)
-        plan = plan_prefetch(ops, n, cap_steps, cap_mats, final_layout=final_layout)
+        plan = plan_prefetch(ops, n, cap_steps, cap_mats,
+                             final_layout=final_layout, reorder=reorder,
+                             allow_relayout=not inplace)
         self.num_qubits = n
         self.final_position = plan.final_position
         self.num_ops = plan.num_ops
@@ -836,65 +1216,12 @@ class PrefetchProgram:
                 entries.append(
                     _Block(kinds=blk.kinds, midx=blk.midx, mats=blk.mats))
 
-        # Two block classes keep table H2D near the real content volume:
-        # swap-forced blocks carry ~1-2 matrices, so padding them to
-        # cap_mats would ship mostly zeros.  Short thin runs are promoted
-        # to full so class changes don't fragment the scan chains.
-        THIN = 2
-        cls = [THIN if len(b.mats) <= THIN else cap_mats for b in entries]
-        i = 0
-        while i < len(cls):
-            if cls[i] == THIN:
-                j = i
-                while j < len(cls) and cls[j] == THIN:
-                    j += 1
-                if j - i < 8:
-                    for t in range(i, j):
-                        cls[t] = cap_mats
-                i = j
-            else:
-                i += 1
-
-        groups: List[Tuple[int, List[_Block]]] = []
-        for c, blk in zip(cls, entries):
-            if groups and groups[-1][0] == c:
-                groups[-1][1].append(blk)
-            else:
-                groups.append((c, [blk]))
-
         # greedy power-of-2 chunking per group: few dispatches, executables
         # shared across circuits (no per-depth compiles, minimal padding)
         self._chain_parts = []
-        for cap, blks in groups:
-            B = len(blks)
-            sizes = _chunks(B)
-            Bp = sum(sizes)  # may exceed B: zero rows = identity blocks
-            scal = np.zeros((Bp, 4 + 2 * cap_steps), dtype=np.int32)
-            # tables ship as COMPACT factors (u <= 128x128 + two 256-entry
-            # vectors per op, ~4x less host-link traffic than the expanded
-            # 256x256 tables) and are expanded on device per chunk
-            u_re = np.zeros((Bp, cap, UPAD, UPAD), dtype=dt)
-            u_im = np.zeros((Bp, cap, UPAD, UPAD), dtype=dt)
-            mvec = np.zeros((Bp, cap, DVIEW), dtype=np.int32)
-            hvec = np.zeros((Bp, cap, DVIEW), dtype=np.int32)
-            for i, blk in enumerate(blks):
-                k = len(blk.kinds)
-                scal[i, 0] = k
-                if blk.prologue is not None:
-                    # inplace: a standalone pair-swap entry (flag 2);
-                    # otherwise: the block's input-DMA prologue (flag 1)
-                    scal[i, 1] = 2 if inplace else 1
-                    scal[i, 2] = blk.prologue[0]
-                    scal[i, 3] = blk.prologue[1]
-                scal[i, 4 : 4 + k] = blk.kinds
-                scal[i, 4 + cap_steps : 4 + cap_steps + k] = blk.midx
-                for s, (u, positions) in enumerate(blk.mats):
-                    d = u.shape[0]
-                    u_re[i, s, :d, :d] = u.real
-                    u_im[i, s, :d, :d] = u.imag
-                    m, h = _window_vectors(tuple(positions))
-                    mvec[i, s] = m
-                    hvec[i, s] = h
+        self._host_parts = []
+        for cap, sizes, scal, u_re, u_im, mvec, hvec in materialize_entries(
+                entries, cap_steps, cap_mats, dt, inplace=inplace):
             off = 0
             for c in sizes:
                 chain_builder = get_block_chain_split if inplace else get_block_chain
@@ -905,7 +1232,6 @@ class PrefetchProgram:
                     # tables as the chain drains — peak device memory is
                     # the state halves + ONE part's tables, not the whole
                     # circuit's (1.6 GB at n=30, the margin that OOMed)
-                    self._host_parts = getattr(self, "_host_parts", [])
                     self._host_parts.append(
                         (
                             chain, c, cap,
@@ -975,6 +1301,56 @@ class PrefetchProgram:
         return re, im
 
 
+def iterate_program(prog: "PrefetchProgram", repetitions: int):
+    """One-dispatch iterated execution: (re, im) -> program^repetitions.
+
+    A layout-closed prefetch program (``final_layout`` = identity) maps the
+    original basis to itself, so repetitions compose directly.  This wraps
+    the program's whole chain in a ``lax.scan`` over repetitions — the
+    TPU-scale analog of the reference's constant-table re-upload loop
+    (quantum_simulator_preproces_constant_only.cu:312-340) with ONE device
+    dispatch for ALL iterations.  Tables enter as runtime arguments, so the
+    compiled executable is shared by every circuit whose plan chunks to the
+    same shapes; a Grover/Trotter/QAOA driver pays zero per-iteration
+    compiles AND zero per-iteration dispatches.
+    """
+    if prog.inplace:
+        raise ValueError("iterate_program requires the double-buffered "
+                         "program (inplace=False)")
+    cache = getattr(prog, "_iter_cache", None)
+    if cache is None:
+        cache = prog._iter_cache = {}
+    fn = cache.get(repetitions)
+    if fn is not None:
+        return fn
+
+    chains = [part[0] for part in prog._chain_parts]
+    tables = []
+    for _, scal, a_tab, b_tab in prog._chain_parts:
+        tables.extend((scal, a_tab, b_tab))
+
+    def whole(re, im, ptab, *flat):
+        for i, chain in enumerate(chains):
+            scal, a_tab, b_tab = flat[3 * i : 3 * i + 3]
+            re, im = chain.pure(re, im, scal, a_tab, b_tab, ptab)
+        return re, im
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def scanned(re, im, ptab, *flat):
+        def body(carry, _):
+            return whole(*carry, ptab, *flat), None
+
+        (re, im), _ = jax.lax.scan(
+            body, (re, im), None, length=repetitions)
+        return re, im
+
+    def run(re, im):
+        return scanned(re, im, prog._ptab, *tables)
+
+    cache[repetitions] = run
+    return run
+
+
 _PROGRAM_CACHE: dict = {}
 _PROGRAM_CACHE_LIMIT = 16
 
@@ -989,10 +1365,11 @@ def build_prefetch_program(
     cap_mats: int = CAP_MATS,
     final_layout: Optional[Sequence[int]] = None,
     inplace: bool = False,
+    reorder: bool = True,
 ) -> PrefetchProgram:
     h = hashlib.sha256(
         f"p|{num_qubits}|{np.dtype(real_dtype)}|{precision}|{cap_steps}|{cap_mats}"
-        f"|{inplace}"
+        f"|{inplace}|{reorder}"
         f"|{None if final_layout is None else list(final_layout)}".encode()
     )
     for op in ops:
@@ -1005,7 +1382,7 @@ def build_prefetch_program(
     if prog is None:
         prog = PrefetchProgram(
             ops, num_qubits, real_dtype, precision, interpret, cap_steps, cap_mats,
-            final_layout=final_layout, inplace=inplace,
+            final_layout=final_layout, inplace=inplace, reorder=reorder,
         )
         if len(_PROGRAM_CACHE) >= _PROGRAM_CACHE_LIMIT:
             _PROGRAM_CACHE.pop(next(iter(_PROGRAM_CACHE)))
@@ -1081,10 +1458,14 @@ def run_prefetch(circuit, config, initial_parts=None, return_halves=False):
     inplace = getattr(config, "prefetch_inplace", None)
     if inplace is None:
         inplace = n >= 30
+    reorder = getattr(config, "prefetch_reorder", None)
+    if reorder is None:
+        reorder = True
 
     run_key = (
         _circuit_fingerprint(circuit), config.precision,
         config.max_fused_qubits, str(np.dtype(real_dtype)), bool(inplace),
+        bool(reorder),
     )
     cached = _RUN_CACHE.get(run_key)
     if cached is not None:
@@ -1102,6 +1483,7 @@ def run_prefetch(circuit, config, initial_parts=None, return_halves=False):
         prog = build_prefetch_program(
             ops, n, real_dtype, precision=config.precision,
             final_layout=final_layout, inplace=bool(inplace),
+            reorder=bool(reorder),
         )
         if len(_RUN_CACHE) >= _RUN_CACHE_LIMIT:
             _RUN_CACHE.pop(next(iter(_RUN_CACHE)))

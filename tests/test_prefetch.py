@@ -256,3 +256,96 @@ def test_run_device_halves_requires_inplace():
     sim = Simulator(SimulatorConfig(strategy="prefetch"))
     with pytest.raises(ValueError, match="in-place"):
         sim.run_device_halves(c)
+
+
+def test_relayout_kernel_unit():
+    """The multi-bit relayout kernel applies exactly the planned bit
+    permutation (checked against a numpy bit-shuffle oracle)."""
+    import jax.numpy as jnp
+
+    n = 11
+    old_t, old_r = PF.TILE_ROWS, PF.RELAYOUT_TILE_ROWS
+    PF.TILE_ROWS, PF.RELAYOUT_TILE_ROWS = 4, 1
+    try:
+        PF._KERNEL_CACHE.clear()
+        PF._CHAIN_CACHE.clear()
+        relay = PF.get_relayout_kernel(n, np.float32, True)
+        m = 1 + (n - PF.LOCAL_QUBITS)  # exposed: qubit 7 + all row bits
+        rng = np.random.default_rng(0)
+        v = rng.standard_normal(1 << n).astype(np.float32)
+        w = rng.standard_normal(1 << n).astype(np.float32)
+        # sigma: qubit at exposed slot a -> exposed slot sigma[a]
+        sigma = np.array([2, 0, 1] + list(range(3, m)), dtype=np.int32)
+        scal = np.zeros(4 + 2 * PF.CAP_STEPS, dtype=np.int32)
+        scal[1] = 3
+        scal[4 : 4 + m] = sigma
+        R2 = 1 << (n - PF.LOCAL_QUBITS)
+        ore, oim = relay(jnp.asarray(scal),
+                         jnp.asarray(v.reshape(R2, PF.DVIEW)),
+                         jnp.asarray(w.reshape(R2, PF.DVIEW)))
+        # oracle: positions 7 (exposed 0) and 8+a-1 (exposed a >= 1);
+        # qubit at exposed a moves to exposed sigma[a]
+        pos = [7] + [8 + a for a in range(m - 1)]
+        perm = list(range(n))
+        for a in range(m):
+            perm[pos[a]] = pos[sigma[a]]  # new bit position of old bit
+        idx = np.arange(1 << n)
+        src = np.zeros(1 << n, dtype=np.int64)
+        for b in range(n):
+            src |= ((idx >> perm[b]) & 1) << b
+        np.testing.assert_array_equal(np.asarray(ore).reshape(-1), v[src])
+        np.testing.assert_array_equal(np.asarray(oim).reshape(-1), w[src])
+    finally:
+        PF.TILE_ROWS, PF.RELAYOUT_TILE_ROWS = old_t, old_r
+        PF._KERNEL_CACHE.clear()
+        PF._CHAIN_CACHE.clear()
+
+
+def test_relayout_execution_parity():
+    """End-to-end parity of a plan that contains multi-qubit relayout
+    entries (shrunken tiles so n=12 has cross-tile bits AND >= 2 parks)."""
+    n = 12
+    old_t, old_r = PF.TILE_ROWS, PF.RELAYOUT_TILE_ROWS
+    PF.TILE_ROWS, PF.RELAYOUT_TILE_ROWS = 4, 1
+    try:
+        PF._KERNEL_CACHE.clear()
+        PF._CHAIN_CACHE.clear()
+        c = models.grover_like(n, num_gates=300, seed=13)
+        ops = _fuse_pipeline(c, 7, max_high=2)
+        plan = PF.plan_prefetch(ops, n)
+        assert plan.num_relayouts > 0, "test needs the relayout path"
+        prog = PF.PrefetchProgram(ops, n, interpret=True)
+        import jax.numpy as jnp
+        from gpu_quantum_simulator_tpu.ops.apply import initial_state_parts, join_state
+
+        re, im = initial_state_parts(n, dtype=jnp.float32)
+        re, im = prog(re, im)
+        state = unpermute_state(
+            join_state(np.asarray(re), np.asarray(im)), prog.final_position
+        )
+        want = simulate_reference(c)
+        assert np.max(np.abs(state - want)) < TOL
+    finally:
+        PF.TILE_ROWS, PF.RELAYOUT_TILE_ROWS = old_t, old_r
+        PF._KERNEL_CACHE.clear()
+        PF._CHAIN_CACHE.clear()
+
+
+def test_relayout_final_layout_restore():
+    """final_layout routing stays exact when the restore itself uses a
+    relayout pass (identity layout requested; state must be original-basis
+    with no residual)."""
+    n = 12
+    old_t, old_r = PF.TILE_ROWS, PF.RELAYOUT_TILE_ROWS
+    PF.TILE_ROWS, PF.RELAYOUT_TILE_ROWS = 4, 1
+    try:
+        PF._KERNEL_CACHE.clear()
+        PF._CHAIN_CACHE.clear()
+        c = models.grover_like(n, num_gates=300, seed=17)
+        got = _run_prefetch(c)   # facade: relabel + in-plan restore
+        want = simulate_reference(c)
+        assert np.max(np.abs(got - want)) < TOL
+    finally:
+        PF.TILE_ROWS, PF.RELAYOUT_TILE_ROWS = old_t, old_r
+        PF._KERNEL_CACHE.clear()
+        PF._CHAIN_CACHE.clear()
