@@ -7,12 +7,14 @@ static engines: a ``DynamicCircuit`` is a program of unitary segments
 interleaved with measurements, resets, and classically-controlled gates,
 executed as Born-rule trajectories.
 
-Execution strategy: unitary segments run through any ``Simulator`` strategy
-(each segment is a plain ``Circuit``; with ``strategy='prefetch'`` repeated
-trajectories reuse every compiled executable AND the per-segment program
-cache, so extra shots cost only device execution).  Measurements collapse
-the device-resident state in one fused pass (sampling.measure_qubit_device)
-— the 2^n amplitudes never leave the device.
+Execution strategy: unitary segments run through the Simulator's
+layout-closed program path (``run_device_parts``) — each segment is a plain
+``Circuit`` compiled once and replayed from the program caches, consuming
+and producing DEVICE-resident (re, im) parts.  Measurements collapse the
+state in one fused pass (sampling.measure_qubit_device).  The 2^n
+amplitudes never cross the device boundary during a trajectory; only the
+1-bit measurement outcomes do (and, with ``return_states=True``, one final
+state fetch per shot).
 """
 
 from __future__ import annotations
@@ -142,7 +144,9 @@ def run_dynamic(
 
     # Pre-split the program into maximal unitary segments (shared by all
     # trajectories; conditional gates split segments because their presence
-    # depends on runtime clbits).
+    # depends on runtime clbits).  Per-item helper circuits (reset flips,
+    # conditional gates) are built ONCE so every shot hits the same
+    # program-cache entries.
     segments: List[Tuple[str, object]] = []   # ("circuit", Circuit) | item
     cur = Circuit(n)
     for item in dc.items:
@@ -155,20 +159,30 @@ def run_dynamic(
         segments.append(("item", item))
     if cur.gates:
         segments.append(("circuit", cur))
+    flip_for: dict = {}
+    cond_for: dict = {}
+    for kind, seg in segments:
+        if kind == "item" and isinstance(seg, Reset):
+            flip = Circuit(n)
+            flip.x(seg.qubit)
+            flip_for[seg.qubit] = flip
+        elif kind == "item" and isinstance(seg, CondGate):
+            one = Circuit(n)
+            one.gates.append(seg.gate)
+            cond_for[id(seg)] = one
 
     results: List[TrajectoryResult] = []
     for _ in range(shots):
         re, im = initial_state_parts(n, dtype=real_dtype)
         clbits = [0] * dc.num_clbits
 
-        def run_segment(circ, re, im):
-            state = join_state(np.asarray(re), np.asarray(im))
-            re, im, _ = sim.run_device(circ, initial=state)
-            return re, im
-
         for kind, seg in segments:
+            # device-resident throughout: unitary segments run through the
+            # layout-closed program path (Simulator.run_device_parts), so
+            # the 2^n amplitudes never cross the device boundary — only
+            # the 1-bit measurement outcomes do
             if kind == "circuit":
-                re, im = run_segment(seg, re, im)
+                re, im, _ = sim.run_device_parts(seg, (re, im))
                 continue
             if isinstance(seg, Measure):
                 re, im, out = measure_qubit_device(
@@ -178,14 +192,12 @@ def run_dynamic(
                 re, im, out = measure_qubit_device(
                     re, im, seg.qubit, float(rng.random()))
                 if out == 1:
-                    flip = Circuit(n)
-                    flip.x(seg.qubit)
-                    re, im = run_segment(flip, re, im)
+                    re, im, _ = sim.run_device_parts(
+                        flip_for[seg.qubit], (re, im))
             elif isinstance(seg, CondGate):
                 if clbits[seg.clbit] == seg.value:
-                    one = Circuit(n)
-                    one.gates.append(seg.gate)
-                    re, im = run_segment(one, re, im)
+                    re, im, _ = sim.run_device_parts(
+                        cond_for[id(seg)], (re, im))
             else:  # pragma: no cover
                 raise AssertionError(seg)
         state = None

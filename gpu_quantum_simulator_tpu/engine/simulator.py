@@ -77,8 +77,11 @@ class Simulator:
         work = circuit
         # prefetch is absent: it relabels internally and routes the state
         # back to the ORIGINAL basis inside its own plan (near-free in-plan
-        # steps vs one ~30 ms tunnel dispatch per bit transposition here)
-        if cfg.permute or cfg.strategy in ("mxu", "pallas", "vmem", "sharded"):
+        # steps vs one ~30 ms tunnel dispatch per bit transposition here);
+        # same for the segmented sharded engine
+        if self._shard_segmented(circuit.num_qubits):
+            pass
+        elif cfg.permute or cfg.strategy in ("mxu", "pallas", "vmem", "sharded"):
             from ..passes.permute import plan_permutation
 
             perm = plan_permutation(circuit)
@@ -117,6 +120,46 @@ class Simulator:
         if total is not None and not np.array_equal(total, np.arange(circuit.num_qubits)):
             re, im = _unpermute_jit(re, im, tuple(int(p) for p in total))
         return re, im, num_ops
+
+    def run_device_parts(self, circuit: Circuit, parts):
+        """Execute on DEVICE-RESIDENT (re, im) parts, returning device parts.
+
+        The layout-closed program path: no qubit relabeling, input and
+        output both in the original basis, and nothing of size 2^n ever
+        crosses the device boundary — the building block for dynamic-
+        circuit trajectories (dynamic.py) where measurements interleave
+        with unitary segments on a live device state.  Programs come from
+        the same caches as run_device_iterated, so repeated trajectories
+        re-execute with zero re-planning or re-compilation.
+        """
+        import jax.numpy as jnp
+
+        real_dtype = _init_real_dtype(self.config)
+        fn, nops = self._build_program(circuit, real_dtype)
+        re = jnp.asarray(parts[0], dtype=real_dtype)
+        im = jnp.asarray(parts[1], dtype=real_dtype)
+        re, im = fn(re, im)
+        return re, im, nops
+
+    def _shard_segmented(self, n: int) -> bool:
+        """Route 'sharded' through the segmented recompile-free engine?"""
+        cfg = self.config
+        if cfg.strategy != "sharded":
+            return False
+        if cfg.dtype != "complex64":
+            return False
+        from ..parallel.mesh import make_mesh, num_global_qubits
+
+        axis = cfg.mesh_axis_names[0]
+        d = num_global_qubits(make_mesh(cfg.mesh_shape, cfg.mesh_axis_names),
+                              axis)
+        from .prefetch import MIN_QUBITS
+
+        if n - d < MIN_QUBITS:
+            return False
+        if cfg.shard_segmented is not None:
+            return bool(cfg.shard_segmented)
+        return True
 
     def _prefetch_inplace(self, n: int) -> bool:
         cfg = self.config
@@ -164,15 +207,21 @@ class Simulator:
         relabeling so no basis shuffling happens between repetitions.
 
         Supported strategies: the program-building ones (mxu, vmem,
-        megakernel, sharded).  Returns device (re, im) in the original basis.
-        For ``sharded``, every part is planned layout-closed
-        (passes.shard restore_layout) so repetitions compose on the mesh.
+        megakernel, sharded, prefetch).  Returns device (re, im) in the
+        original basis.  For ``sharded``, every part is planned
+        layout-closed (passes.shard restore_layout) so repetitions compose
+        on the mesh.  For ``prefetch``, the body is planned layout-closed
+        (final_layout = identity) and all repetitions run as ONE device
+        dispatch (engine.prefetch.iterate_program) — the recompile-free
+        engine's executables are reused across every iteration AND every
+        later circuit at the same width.
         """
         cfg = self.config
-        if cfg.strategy not in ("mxu", "vmem", "megakernel", "sharded"):
+        if cfg.strategy not in ("mxu", "vmem", "megakernel", "sharded",
+                                "prefetch"):
             raise ValueError(
-                f"run_device_iterated supports mxu/vmem/megakernel/sharded, "
-                f"not {cfg.strategy!r}"
+                f"run_device_iterated supports mxu/vmem/megakernel/sharded/"
+                f"prefetch, not {cfg.strategy!r}"
             )
         n = body.num_qubits
         for part in (prefix, suffix):
@@ -181,7 +230,7 @@ class Simulator:
 
         # one relabeling across all parts (usage summed)
         perm = None
-        if cfg.permute or cfg.strategy in ("mxu", "vmem", "sharded"):
+        if cfg.permute or cfg.strategy in ("mxu", "vmem", "sharded", "prefetch"):
             from ..passes.permute import plan_permutation
 
             merged = Circuit(n)
@@ -218,6 +267,11 @@ class Simulator:
                 # loop ON DEVICE: one dispatch and one compile for all
                 # repetitions (per-dispatch latency otherwise dominates)
                 re, im = _scan_program(fn, reps)(re, im)
+            elif reps > 1 and cfg.strategy == "prefetch" and hasattr(
+                    fn, "_chain_parts"):
+                from .prefetch import iterate_program
+
+                re, im = iterate_program(fn, reps)(re, im)
             else:
                 for _ in range(reps):
                     re, im = fn(re, im)
@@ -254,6 +308,30 @@ class Simulator:
             # layout-closed plan: repetitions compose with no residual
             prog = ShardedProgram(circuit, cfg, restore_layout=True)
             return prog, len(prog.plan.items)
+        if cfg.strategy == "prefetch":
+            from .prefetch import LANE_QUBITS, MIN_QUBITS, build_prefetch_program
+
+            if cfg.dtype != "complex64":
+                raise ValueError("prefetch is float32-only")
+            if n < MIN_QUBITS:
+                from ..passes.fuse4x4 import fuse_4x4
+                from ..passes.fuse_k import fuse_k
+                from .megakernel import build_megakernel
+
+                ops = fuse_k(fuse_4x4(circuit),
+                             max_qubits=min(cfg.max_fused_qubits, n))
+                return build_megakernel(ops, n, real_dtype), len(ops)
+            ops = _fuse_pipeline(
+                circuit, min(cfg.max_fused_qubits, LANE_QUBITS), max_high=2,
+                window=8)
+            reorder = (cfg.prefetch_reorder
+                       if cfg.prefetch_reorder is not None else True)
+            # layout-closed: the plan routes the state back to the identity
+            # layout, so repeated applications compose in the original basis
+            prog = build_prefetch_program(
+                ops, n, real_dtype, precision=cfg.precision,
+                final_layout=np.arange(n), reorder=reorder)
+            return prog, prog.num_ops
         # mxu — same cost-model window-8 default as _execute
         from .wide import build_wide_program
 
@@ -413,11 +491,18 @@ class Simulator:
             num_ops = len(ops)
 
         elif cfg.strategy == "sharded":
-            from ..parallel.sharded import run_sharded
+            if self._shard_segmented(n):
+                from ..parallel.sharded_prefetch import run_sharded_prefetch
 
-            re, im, num_ops, residual = run_sharded(
-                circuit, self.config, initial_parts=initial_parts
-            )
+                re, im, num_ops, residual = run_sharded_prefetch(
+                    circuit, self.config, initial_parts=initial_parts
+                )
+            else:
+                from ..parallel.sharded import run_sharded
+
+                re, im, num_ops, residual = run_sharded(
+                    circuit, self.config, initial_parts=initial_parts
+                )
 
         else:  # pragma: no cover
             raise AssertionError(cfg.strategy)

@@ -141,3 +141,50 @@ def test_trajectory_average_matches_density_dephasing():
     got_p = acc / shots
     # Monte-Carlo over 600 deterministic-seed trajectories: ~4% tolerance
     assert np.max(np.abs(got_p - want_p)) < 0.06
+
+
+def test_run_device_parts_composes():
+    """Two chained device-parts segments == one run; original basis, no
+    host round-trip in between (device arrays in, device arrays out)."""
+    import jax
+
+    from gpu_quantum_simulator_tpu import models
+    from gpu_quantum_simulator_tpu.ops.apply import initial_state_parts, join_state
+    from gpu_quantum_simulator_tpu.ref.cpu import simulate_reference
+
+    import jax.numpy as jnp
+
+    from gpu_quantum_simulator_tpu.engine.simulator import Simulator
+
+    n = 9
+    c1 = models.random_circuit(n, 60, seed=31)
+    c2 = models.random_circuit(n, 60, seed=32)
+    sim = Simulator(SimulatorConfig(strategy="mxu"))
+    re, im = initial_state_parts(n, dtype=jnp.float32)
+    re, im, _ = sim.run_device_parts(c1, (re, im))
+    assert isinstance(re, jax.Array) and isinstance(im, jax.Array)
+    re, im, _ = sim.run_device_parts(c2, (re, im))
+    got = join_state(np.asarray(re), np.asarray(im))
+    merged = models.random_circuit(n, 60, seed=31)
+    merged.gates.extend(c2.gates)
+    want = simulate_reference(merged)
+    np.testing.assert_allclose(got, want, atol=5e-5)
+
+
+def test_dynamic_prefetch_strategy():
+    """Trajectories run device-resident through the prefetch engine too."""
+    from gpu_quantum_simulator_tpu.dynamic import DynamicCircuit, run_dynamic
+
+    n = 9
+    dc = DynamicCircuit(n, num_clbits=1)
+    dc.h(0)
+    for q in range(1, n):
+        dc.cx(q - 1, q)
+    dc.measure(0, 0)
+    res = run_dynamic(dc, SimulatorConfig(strategy="prefetch"), shots=6, seed=3,
+                      return_states=True)
+    for r in res:
+        # GHZ measurement collapses every qubit to the same value
+        idx = int(np.argmax(np.abs(r.state) ** 2))
+        assert idx in (0, (1 << n) - 1)
+        assert (idx != 0) == bool(r.clbits[0])
