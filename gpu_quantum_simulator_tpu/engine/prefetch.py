@@ -311,6 +311,7 @@ def plan_prefetch(
         raise ValueError(f"op touches {widest} qubits > window {LOCAL_QUBITS}")
     logt = int(np.log2(tile_rows(nl)))
     kind_perm = logt + 1
+    kind_mat128 = logt + 2   # lane-only op: half-width matmul step
 
     pos_of = list(range(n))
     qubit_at = list(range(n))
@@ -345,7 +346,10 @@ def plan_prefetch(
 
     def add_mat(u: np.ndarray, positions: Tuple[int, ...]) -> None:
         b = room(1, 1)
-        b.kinds.append(0)
+        # ops living entirely in the lanes run as two 128-wide matmuls
+        # (half the MXU flops of the full 256 window)
+        kind = kind_mat128 if all(p < LANE_QUBITS for p in positions) else 0
+        b.kinds.append(kind)
         b.midx.append(len(b.mats))
         b.mats.append((u, positions))
 
@@ -425,18 +429,18 @@ def plan_prefetch(
 
     xreach = LANE_QUBITS + logt  # positions <= xreach need no cross-tile swap
     lr = int(np.log2(relayout_rows(nl)))
-    m_exposed = 1 + max(nl - LOCAL_QUBITS - lr, 0)
+    m_exposed = max(nl - LOCAL_QUBITS - lr, 0)   # row-block bits only
     # park slots: exposed positions already inside tswap reach — a relayout
     # can drop fresh cold qubits straight into them
-    parks = [LANE_QUBITS] + list(range(LOCAL_QUBITS + lr, xreach + 1))
+    parks = list(range(LOCAL_QUBITS + lr, xreach + 1))
     can_relayout = allow_relayout and len(parks) >= 2 and nl - 1 > xreach
 
     def eidx(p: int) -> int:
-        return 0 if p == LANE_QUBITS else 1 + (p - LOCAL_QUBITS - lr)
+        return p - LOCAL_QUBITS - lr
 
     def add_relayout(mapping: dict) -> None:
         """One multi-qubit relayout entry; ``mapping`` is a bijection
-        position -> position over exposed slots ({7} u [8+lr, n-1])."""
+        position -> position over exposed row-block slots [8+lr, nl-1]."""
         nonlocal num_relayouts
         sigma = np.arange(m_exposed, dtype=np.int32)
         for pa, pb in mapping.items():
@@ -537,7 +541,7 @@ def plan_prefetch(
             # park slots (in reach); the transpose loop below then finishes
             # with cheap in-reach steps instead of one xswap boundary per
             # misplaced cold qubit.
-            exposed = [LANE_QUBITS] + list(range(LOCAL_QUBITS + lr, nl))
+            exposed = list(range(LOCAL_QUBITS + lr, nl))
             exposed_set = set(exposed)
             for _ in range(2):
                 moves = {}
@@ -638,15 +642,43 @@ def get_block_kernel(n: int, real_dtype, precision: str, interpret: bool,
             return f
 
         def perm_step(j, sre, sim):
+            # 0/1 permutation matrix: EXACT 3-pass form at half the cost
+            # of HIGHEST (Mosaic lowers only DEFAULT/HIGHEST).  Split the
+            # f32 activation into three bf16-exact components (8+8+8
+            # mantissa bits = the full 24); each single-pass product
+            # against a one-nonzero-per-row matrix is exact, and the f32
+            # recombination is the permuted exact components.
             p = p_ref[scal_ref[4 + cap_steps + j]]  # symmetric 0/1 matrix
-            dot = lambda x, m: jnp.dot(
-                x, m, preferred_element_type=dt,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            return dot(sre, p), dot(sim, p)
+
+            def pdot(x):
+                hi = x.astype(jnp.bfloat16).astype(dt)
+                r1 = x - hi
+                mid = r1.astype(jnp.bfloat16).astype(dt)
+                lo = r1 - mid
+                d = lambda t: jnp.dot(t, p, preferred_element_type=dt,
+                                      precision=jax.lax.Precision.DEFAULT)
+                return (d(hi) + d(mid)) + d(lo)
+
+            return pdot(sre), pdot(sim)
+
+        def mat128_step(j, sre, sim):
+            # lane-only op (positions subset of [0,7)): the 256x256 table is
+            # two identical diagonal 128-blocks, so apply the 128x128 block
+            # to each column half — HALF the MXU flops of a full mat step
+            idx = scal_ref[4 + cap_steps + j]
+            a = a_ref[idx][:LANES, :LANES]
+            b = b_ref[idx][:LANES, :LANES]
+            dot = lambda x, m: jnp.dot(x, m, preferred_element_type=dt, precision=prec)
+            r2 = lambda x: x.reshape(T * 2, LANES)
+            r1 = lambda x: x.reshape(T, DVIEW)
+            t1 = dot(r2(sre + sim), a)
+            t2 = dot(r2(sre), b - a)
+            t3 = dot(r2(sim), a + b)
+            return r1(t1 - t3), r1(t1 + t2)
 
         branches = (
-            [mat_step] + [make_tswap(k) for k in range(1, logt + 1)] + [perm_step]
+            [mat_step] + [make_tswap(k) for k in range(1, logt + 1)]
+            + [perm_step, mat128_step]
         )
 
         def step(j, carry):
@@ -697,7 +729,11 @@ def get_block_kernel(n: int, real_dtype, precision: str, interpret: bool,
             * (4 * R2 * DVIEW + 2 * cap_mats * DVIEW * DVIEW),
             transcendentals=0,
         ),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        # tiles are independent: a parallel grid dimension lets Mosaic
+        # overlap each tile's input DMA with the previous tile's compute
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("parallel",)),
         interpret=interpret,
     )
 
@@ -708,73 +744,97 @@ def get_block_kernel(n: int, real_dtype, precision: str, interpret: bool,
     return fn
 
 
+RELAYOUT_DMA_WINDOW = 16   # in-flight HBM->HBM copies per component
+
+
 def get_relayout_kernel(n: int, real_dtype, interpret: bool):
-    """Multi-qubit cross-tile relayout in ONE state pass.
+    """Multi-qubit cross-tile relayout in ONE state pass (pure DMA).
 
     The block kernel's input prologue can fold exactly one cross-tile swap
     (qubit 7 <-> one tile bit) into a block boundary, so refreshing k cold
     qubits costs k forced boundaries — the n >= 23 round-trip cliff.  This
-    kernel instead reads the state in small (Tr, 128) blocks, which exposes
-    qubit 7 (the column half) AND every row bit >= log2 Tr as *block
-    coordinates*; an arbitrary permutation of those exposed bits then rides
-    the input DMA of a single read+write pass.  One pass parks up to
-    |{7} u [8+log2 Tr, 7+log2 T]| fresh qubits inside tswap reach — the
-    batched generalization of the reference's one-shot relabeling
+    kernel applies an arbitrary permutation of the row-block bits (qubits
+    >= 8 + log2 Tr) as direct HBM->HBM sliced async copies of whole
+    (Tr, 256) row blocks — no VMEM staging, no per-tile grid overhead; a
+    window of in-flight DMAs keeps the copy engines saturated.  One pass
+    parks up to |[8+log2 Tr, 7+log2 T]| fresh qubits inside tswap reach —
+    the batched generalization of the reference's one-shot relabeling
     (quantum_simulator_preproces_permute.cu:388-413), applied mid-circuit.
+    (An earlier steered-BlockSpec form paid ~8 us of grid overhead per
+    (64, 128) tile — 25x its bandwidth bound at n=24.)
 
     scal encoding: scal[1] == 3 flags the entry; scal[4 + a] = sigma(a)
-    over exposed-slot indices (0 = qubit 7, a >= 1 = qubit 7 + log2 Tr + a),
-    meaning the qubit at exposed slot a moves to exposed slot sigma(a).
-    Returns f(scal, re, im) -> (re, im) on (R2, DVIEW) arrays.
+    over row-block-bit indices (slot a = qubit 8 + log2 Tr + a), meaning
+    the qubit at exposed slot a moves to exposed slot sigma(a).  Qubit 7
+    is NOT relayout-addressable — bit-7 exchanges keep their dedicated
+    prologue/xswap gadgets.  Returns f(scal, re, im) -> (re, im) on
+    (R2, DVIEW) arrays.
     """
     dt = np.dtype(real_dtype)
     Tr = relayout_rows(n)
-    key = ("relayout", n, Tr, dt.str, interpret)
+    key = ("relayout-dma", n, Tr, dt.str, interpret)
     fn = _KERNEL_CACHE.get(key)
     if fn is not None:
         return fn
 
     R2 = 1 << (n - LOCAL_QUBITS)
     nblk = R2 // Tr
-    nbits = (nblk - 1).bit_length()   # exposed row-block bits
-    m = nbits + 1                     # + the column-half bit (exposed idx 0)
+    mrow = (nblk - 1).bit_length()      # exposed row-block bits
+    W = min(RELAYOUT_DMA_WINDOW, nblk)
 
-    def kernel(scal_ref, lo_re_ref, hi_re_ref, lo_im_ref, hi_im_ref,
-               ore_ref, oim_ref):
-        ore_ref[:, :LANES] = lo_re_ref[:]
-        ore_ref[:, LANES:] = hi_re_ref[:]
-        oim_ref[:, :LANES] = lo_im_ref[:]
-        oim_ref[:, LANES:] = hi_im_ref[:]
+    def kernel(scal_ref, sre_ref, sim_ref, ore_ref, oim_ref, sems):
+        def src_of(i):
+            # source block j of output block i: j_bit[a] = i_bit[sigma(a)]
+            j = jnp.zeros((), jnp.int32)
+            for a in range(mrow):
+                j = j | (((i >> scal_ref[4 + a]) & 1) << a)
+            return j
 
-    def src_map(h_out: int):
-        # source (row_block, col_half) whose data lands in output block i's
-        # column half ``h_out``: source exposed bit a = output exposed bit
-        # sigma(a), evaluated on the output coordinates (h_out, bits of i)
-        def f(i, scal):
-            def outbit(e):
-                return jnp.where(e == 0, h_out, (i >> (e - 1)) & 1)
+        def dmas(i, slot):
+            j = src_of(i)
+            return (
+                pltpu.make_async_copy(sre_ref.at[pl.ds(j * Tr, Tr), :],
+                                      ore_ref.at[pl.ds(i * Tr, Tr), :],
+                                      sems.at[slot, 0]),
+                pltpu.make_async_copy(sim_ref.at[pl.ds(j * Tr, Tr), :],
+                                      oim_ref.at[pl.ds(i * Tr, Tr), :],
+                                      sems.at[slot, 1]),
+            )
 
-            half = outbit(scal[4])
-            row = jnp.zeros((), jnp.int32)
-            for a in range(1, m):
-                row = row | (outbit(scal[4 + a]) << (a - 1))
-            return row, half
+        def body(i, _):
+            slot = i % W
 
-        return f
+            @pl.when(i >= W)
+            def _():
+                for d in dmas(i - W, slot):
+                    d.wait()
 
-    half_in = lambda h: pl.BlockSpec((Tr, LANES), src_map(h),
-                                     memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((Tr, DVIEW), lambda i, scal: (i, 0),
-                            memory_space=pltpu.VMEM)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(nblk,),
-        in_specs=[half_in(0), half_in(1), half_in(0), half_in(1)],
-        out_specs=[out_spec, out_spec],
-    )
+            for d in dmas(i, slot):
+                d.start()
+            return _
+
+        jax.lax.fori_loop(0, nblk, body, None, unroll=False)
+
+        def drain(k, _):
+            i = nblk - W + k
+
+            @pl.when(i >= 0)
+            def _():
+                for d in dmas(i, i % W):
+                    d.wait()
+            return _
+
+        jax.lax.fori_loop(0, W, drain, None, unroll=False)
+
     call = pl.pallas_call(
         kernel,
-        grid_spec=grid_spec,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(1,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
+            out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
+            scratch_shapes=[pltpu.SemaphoreType.DMA((W, 2))],
+        ),
         out_shape=[jax.ShapeDtypeStruct((R2, DVIEW), dt)] * 2,
         cost_estimate=pl.CostEstimate(
             flops=0,
@@ -785,7 +845,7 @@ def get_relayout_kernel(n: int, real_dtype, interpret: bool):
     )
 
     def fn(scal, re, im):
-        return call(scal, re, re, im, im)
+        return call(scal, re, im)
 
     _KERNEL_CACHE[key] = fn
     return fn
@@ -842,15 +902,43 @@ def get_split_kernels(n: int, real_dtype, precision: str, interpret: bool,
             return f
 
         def perm_step(j, sre, sim):
-            p = p_ref[scal_ref[4 + cap_steps + j]]
-            dot = lambda x, m: jnp.dot(
-                x, m, preferred_element_type=dt,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            return dot(sre, p), dot(sim, p)
+            # 0/1 permutation matrix: EXACT 3-pass form at half the cost
+            # of HIGHEST (Mosaic lowers only DEFAULT/HIGHEST).  Split the
+            # f32 activation into three bf16-exact components (8+8+8
+            # mantissa bits = the full 24); each single-pass product
+            # against a one-nonzero-per-row matrix is exact, and the f32
+            # recombination is the permuted exact components.
+            p = p_ref[scal_ref[4 + cap_steps + j]]  # symmetric 0/1 matrix
+
+            def pdot(x):
+                hi = x.astype(jnp.bfloat16).astype(dt)
+                r1 = x - hi
+                mid = r1.astype(jnp.bfloat16).astype(dt)
+                lo = r1 - mid
+                d = lambda t: jnp.dot(t, p, preferred_element_type=dt,
+                                      precision=jax.lax.Precision.DEFAULT)
+                return (d(hi) + d(mid)) + d(lo)
+
+            return pdot(sre), pdot(sim)
+
+        def mat128_step(j, sre, sim):
+            # lane-only op (positions subset of [0,7)): the 256x256 table is
+            # two identical diagonal 128-blocks, so apply the 128x128 block
+            # to each column half — HALF the MXU flops of a full mat step
+            idx = scal_ref[4 + cap_steps + j]
+            a = a_ref[idx][:LANES, :LANES]
+            b = b_ref[idx][:LANES, :LANES]
+            dot = lambda x, m: jnp.dot(x, m, preferred_element_type=dt, precision=prec)
+            r2 = lambda x: x.reshape(T * 2, LANES)
+            r1 = lambda x: x.reshape(T, DVIEW)
+            t1 = dot(r2(sre + sim), a)
+            t2 = dot(r2(sre), b - a)
+            t3 = dot(r2(sim), a + b)
+            return r1(t1 - t3), r1(t1 + t2)
 
         branches = (
-            [mat_step] + [make_tswap(k) for k in range(1, logt + 1)] + [perm_step]
+            [mat_step] + [make_tswap(k) for k in range(1, logt + 1)]
+            + [perm_step, mat128_step]
         )
 
         def step(j, carry):
@@ -1084,7 +1172,8 @@ def join_halves(re0, re1, im0, im1):
 
 # ------------------------------------------------------------------ program
 def materialize_entries(entries: Sequence[_Block], cap_steps: int,
-                        cap_mats: int, dt, inplace: bool = False):
+                        cap_mats: int, dt, inplace: bool = False,
+                        single_class: bool = False):
     """Pack plan entries into grouped, pow-2-chunked scal + factor tables.
 
     Two block classes keep table H2D near the real content volume:
@@ -1100,20 +1189,29 @@ def materialize_entries(entries: Sequence[_Block], cap_steps: int,
     blocks).  Shared by PrefetchProgram and the mesh engine
     (parallel/sharded_prefetch.py).
     """
-    THIN = 2
-    cls = [THIN if len(b.mats) <= THIN else cap_mats for b in entries]
-    i = 0
-    while i < len(cls):
-        if cls[i] == THIN:
-            j = i
-            while j < len(cls) and cls[j] == THIN:
-                j += 1
-            if j - i < 8:
-                for t in range(i, j):
-                    cls[t] = cap_mats
-            i = j
-        else:
-            i += 1
+    if single_class:
+        # large-n mode: every entry shares ONE capacity class so the whole
+        # circuit chains as a handful of pow-2 chunks.  Class alternation
+        # at n >= 22 fragmented plans into 20-40 chain parts, and each
+        # part costs one serialized ~30 ms tunnel dispatch — measured
+        # ~0.7 s of pure dispatch latency at n=24 (the cap is small there
+        # anyway: swap-bounded blocks average ~2.4 matrices).
+        cls = [cap_mats for _ in entries]
+    else:
+        THIN = 2
+        cls = [THIN if len(b.mats) <= THIN else cap_mats for b in entries]
+        i = 0
+        while i < len(cls):
+            if cls[i] == THIN:
+                j = i
+                while j < len(cls) and cls[j] == THIN:
+                    j += 1
+                if j - i < 8:
+                    for t in range(i, j):
+                        cls[t] = cap_mats
+                i = j
+            else:
+                i += 1
 
     groups: List[Tuple[int, List[_Block]]] = []
     for c, blk in zip(cls, entries):
@@ -1220,8 +1318,10 @@ class PrefetchProgram:
         # shared across circuits (no per-depth compiles, minimal padding)
         self._chain_parts = []
         self._host_parts = []
+        single_class = (not inplace) and cap_mats <= 4
         for cap, sizes, scal, u_re, u_im, mvec, hvec in materialize_entries(
-                entries, cap_steps, cap_mats, dt, inplace=inplace):
+                entries, cap_steps, cap_mats, dt, inplace=inplace,
+                single_class=single_class):
             off = 0
             for c in sizes:
                 chain_builder = get_block_chain_split if inplace else get_block_chain
@@ -1461,6 +1561,9 @@ def run_prefetch(circuit, config, initial_parts=None, return_halves=False):
     reorder = getattr(config, "prefetch_reorder", None)
     if reorder is None:
         reorder = True
+    # n >= 21: swap-bounded blocks are thin — a small single capacity class
+    # keeps the whole circuit to a handful of chain dispatches
+    cap_mats = 4 if (n >= 21 and not inplace) else CAP_MATS
 
     run_key = (
         _circuit_fingerprint(circuit), config.precision,
@@ -1482,6 +1585,7 @@ def run_prefetch(circuit, config, initial_parts=None, return_halves=False):
         )
         prog = build_prefetch_program(
             ops, n, real_dtype, precision=config.precision,
+            cap_mats=cap_mats,
             final_layout=final_layout, inplace=bool(inplace),
             reorder=bool(reorder),
         )

@@ -303,6 +303,20 @@ class Simulator:
             interp = jax.default_backend() != "tpu"
             return build_vmem_program_cached(ops, n, real_dtype, interp), len(ops)
         if cfg.strategy == "sharded":
+            if self._shard_segmented(n):
+                from ..parallel.mesh import make_mesh
+                from ..parallel.sharded_prefetch import ShardedPrefetchProgram
+                from .prefetch import LANE_QUBITS
+
+                mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axis_names)
+                ops = _fuse_pipeline(
+                    circuit, min(cfg.max_fused_qubits, LANE_QUBITS),
+                    max_high=2, window=8)
+                # final_layout = identity: layout-closed, repetitions compose
+                prog = ShardedPrefetchProgram(
+                    ops, n, mesh, cfg.mesh_axis_names[0],
+                    precision=cfg.precision, final_layout=np.arange(n))
+                return prog, prog.num_ops
             from ..parallel.sharded import ShardedProgram
 
             # layout-closed plan: repetitions compose with no residual
@@ -326,10 +340,14 @@ class Simulator:
                 window=8)
             reorder = (cfg.prefetch_reorder
                        if cfg.prefetch_reorder is not None else True)
+            from .prefetch import CAP_MATS
+
+            cap_mats = 4 if n >= 21 else CAP_MATS
             # layout-closed: the plan routes the state back to the identity
             # layout, so repeated applications compose in the original basis
             prog = build_prefetch_program(
                 ops, n, real_dtype, precision=cfg.precision,
+                cap_mats=cap_mats,
                 final_layout=np.arange(n), reorder=reorder)
             return prog, prog.num_ops
         # mxu — same cost-model window-8 default as _execute

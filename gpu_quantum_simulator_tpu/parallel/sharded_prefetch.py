@@ -195,8 +195,10 @@ class ShardedPrefetchProgram:
         self._ptab = perm_table(dt)
         self._chain_parts = []
         self.chunk_sizes = []
+        single_class = cap_mats <= 4
         for cap, sizes, scal, u_re, u_im, mvec, hvec in materialize_entries(
-                plan.blocks, cap_steps, cap_mats, dt):
+                plan.blocks, cap_steps, cap_mats, dt,
+                single_class=single_class):
             off = 0
             for c in sizes:
                 chain = get_sharded_chain(
@@ -302,8 +304,12 @@ def run_sharded_prefetch(circuit, config, initial_parts=None):
         ops = _fuse_pipeline(
             work, min(config.max_fused_qubits, LANE_QUBITS), max_high=2,
             window=8)
+        from ..engine.prefetch import CAP_MATS as _CAP
+
+        cap_mats = 4 if n - d >= 21 else _CAP
         prog = ShardedPrefetchProgram(
             ops, n, mesh, axis, precision=config.precision,
+            cap_mats=cap_mats,
             final_layout=final_layout, reorder=bool(reorder))
         if len(_RUN_CACHE) >= _RUN_CACHE_LIMIT:
             _RUN_CACHE.pop(next(iter(_RUN_CACHE)))

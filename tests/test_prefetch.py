@@ -270,7 +270,7 @@ def test_relayout_kernel_unit():
         PF._KERNEL_CACHE.clear()
         PF._CHAIN_CACHE.clear()
         relay = PF.get_relayout_kernel(n, np.float32, True)
-        m = 1 + (n - PF.LOCAL_QUBITS)  # exposed: qubit 7 + all row bits
+        m = n - PF.LOCAL_QUBITS  # exposed: all row-block bits (Tr = 1)
         rng = np.random.default_rng(0)
         v = rng.standard_normal(1 << n).astype(np.float32)
         w = rng.standard_normal(1 << n).astype(np.float32)
@@ -283,9 +283,9 @@ def test_relayout_kernel_unit():
         ore, oim = relay(jnp.asarray(scal),
                          jnp.asarray(v.reshape(R2, PF.DVIEW)),
                          jnp.asarray(w.reshape(R2, PF.DVIEW)))
-        # oracle: positions 7 (exposed 0) and 8+a-1 (exposed a >= 1);
-        # qubit at exposed a moves to exposed sigma[a]
-        pos = [7] + [8 + a for a in range(m - 1)]
+        # oracle: exposed slot a = qubit 8 + a; qubit at slot a moves to
+        # slot sigma[a]
+        pos = [8 + a for a in range(m)]
         perm = list(range(n))
         for a in range(m):
             perm[pos[a]] = pos[sigma[a]]  # new bit position of old bit

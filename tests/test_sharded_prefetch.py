@@ -123,3 +123,17 @@ def test_n31_plan_smoke_and_mlir_cap():
         assert s < 100 * 1024 * 1024, f"chunk MLIR {s} bytes over cap"
     # the whole 400-gate program must stay segmented into bounded chunks
     assert max(prog.chunk_sizes) <= 512
+
+
+def test_run_device_iterated_segmented():
+    """Iterated execution composes layout-closed segmented programs."""
+    prefix, body, iters = models.grover_parts(9, marked=3, iterations=4)
+    n = body.num_qubits  # 9 + 7 ancillas = 16 -> nl = 13 on 8 devices
+    sim = Simulator(SimulatorConfig(strategy="sharded", shard_segmented=True))
+    assert sim._shard_segmented(n)
+    re, im, _ = sim.run_device_iterated(body, 4, prefix=prefix)
+    got = np.asarray(re) + 1j * np.asarray(im)
+    ref = Simulator(SimulatorConfig(strategy="mxu"))
+    re2, im2, _ = ref.run_device_iterated(body, 4, prefix=prefix)
+    want = np.asarray(re2) + 1j * np.asarray(im2)
+    np.testing.assert_allclose(got, want, atol=5e-5)
