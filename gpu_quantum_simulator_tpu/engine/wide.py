@@ -34,6 +34,77 @@ from ..ir.oplist import Op, expand_unitary
 LANE_QUBITS = 7
 LANES = 1 << LANE_QUBITS
 
+KH0_TILE_ROWS = 512     # state rows per grid step of the fused kh0 kernel
+KH0_BATCH = 8           # max consecutive kh0 blocks fused into one pass
+
+_KH0_CACHE: dict = {}
+
+
+def get_kh0_kernel(R: int, nmats: int, real_dtype, precision: str,
+                   interpret: bool):
+    """Fused single-pass complex matmul chain for kh=0 (D=128) blocks.
+
+    The XLA path runs the Karatsuba complex product as three separate real
+    matmuls, so at HBM-bound sizes the state streams through HBM ~3x per
+    op (measured 38% of the single-pass bound at n=24,
+    docs/PERFORMANCE.md).  This kernel reads each (T, 128) state tile into
+    VMEM ONCE, forms all three products on-core, and chains up to
+    ``nmats`` consecutive kh0 blocks while the tile is resident — traffic
+    amortizes to one read+write per RUN of ops, not per op.
+
+    Returns f(re, im, m1, m2, m3) on (R, 128) state components with
+    (nmats, 128, 128) stacked Karatsuba combinations (same convention as
+    _apply_wide_karatsuba; pad short runs with (I, -I, I) identities).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    dt = np.dtype(real_dtype)
+    T = min(KH0_TILE_ROWS, R)
+    key = (R, nmats, dt.str, precision, interpret)
+    fn = _KH0_CACHE.get(key)
+    if fn is not None:
+        return fn
+    prec = {
+        "highest": jax.lax.Precision.HIGHEST,
+        "high": jax.lax.Precision.HIGH,
+        "default": jax.lax.Precision.DEFAULT,
+    }[precision]
+
+    def kernel(re_ref, im_ref, m1_ref, m2_ref, m3_ref, ore_ref, oim_ref):
+        dot = lambda x, m: jnp.dot(x, m, preferred_element_type=dt,
+                                   precision=prec)
+
+        def step(j, carry):
+            r, i = carry
+            t1 = dot(r + i, m1_ref[j])
+            t2 = dot(r, m2_ref[j])
+            t3 = dot(i, m3_ref[j])
+            return t1 - t3, t1 + t2
+
+        r, i = jax.lax.fori_loop(0, nmats, step, (re_ref[:], im_ref[:]))
+        ore_ref[:] = r
+        oim_ref[:] = i
+
+    state = pl.BlockSpec((T, LANES), lambda g: (g, 0))
+    tab = pl.BlockSpec((nmats, LANES, LANES), lambda g: (0, 0, 0))
+    call = pl.pallas_call(
+        kernel,
+        grid=(R // T,),
+        in_specs=[state, state, tab, tab, tab],
+        out_specs=[state, state],
+        out_shape=[jax.ShapeDtypeStruct((R, LANES), dt)] * 2,
+        cost_estimate=pl.CostEstimate(
+            flops=3 * 2 * R * LANES * LANES * nmats,
+            bytes_accessed=dt.itemsize * (4 * R * LANES
+                                          + 3 * nmats * LANES * LANES),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )
+    _KH0_CACHE[key] = call
+    return call
+
 
 def _op_spec(op: Op, n: int):
     """(kh, perm, inv, D, big_re, big_im) for one fused block."""
@@ -123,29 +194,62 @@ class WideProgram:
     """A compiled wide-matmul circuit program + its device-resident tables."""
 
     def __init__(self, ops: Sequence[Op], num_qubits: int, real_dtype=jnp.float32,
-                 segment_ops: int = SEGMENT_OPS, precision: str = "highest"):
+                 segment_ops: int = SEGMENT_OPS, precision: str = "highest",
+                 kh0_pallas=None):
         n = num_qubits
         assert n > LANE_QUBITS
         self.num_qubits = n
         R = 1 << (n - LANE_QUBITS)
         dt = np.dtype(real_dtype)
+        interpret = jax.default_backend() != "tpu"
+        if kh0_pallas is None:
+            # the fused single-pass kernel: TPU + float32 + a state big
+            # enough to tile; measured ~38% -> single-pass-bound at n=24
+            kh0_pallas = (not interpret and dt == np.dtype(np.float32)
+                          and R >= 8)
+        self.kh0_pallas = bool(kh0_pallas)
 
         specs = [_op_spec(op, n) for op in ops]
         self._segments = []
+        self.num_kh0_runs = 0
+        ident = np.eye(LANES)
+        id_combo = (ident, -ident, ident)  # (I, -I, I): out = v (identity op)
         for s0 in range(0, max(len(specs), 1), segment_ops):
             seg = specs[s0 : s0 + segment_ops]
             by_d: Dict[int, list] = {}
             steps = []
+            runs: List[list] = []
+            pending: List[tuple] = []
+
+            def flush_run():
+                if not pending:
+                    return
+                L = len(pending)
+                P = 1 << (L - 1).bit_length()  # pad: few kernel variants
+                run = list(pending) + [id_combo] * (P - L)
+                steps.append(("kh0", len(runs), P))
+                runs.append(run)
+                pending.clear()
+                self.num_kh0_runs += 1
+
             for kh, row_bits, D, bre, bim in seg:
-                bucket = by_d.setdefault(D, [])
-                steps.append((D, len(bucket), tuple(row_bits)))
-                bucket.append(
-                    (
-                        np.ascontiguousarray(bre.T),
-                        np.ascontiguousarray((bim - bre).T),
-                        np.ascontiguousarray((bre + bim).T),
-                    )
+                combo = (
+                    np.ascontiguousarray(bre.T),
+                    np.ascontiguousarray((bim - bre).T),
+                    np.ascontiguousarray((bre + bim).T),
                 )
+                if self.kh0_pallas and kh == 0:
+                    # consecutive kh0 blocks chain inside ONE state pass
+                    pending.append(combo)
+                    if len(pending) == KH0_BATCH:
+                        flush_run()
+                    continue
+                flush_run()
+                bucket = by_d.setdefault(D, [])
+                steps.append(("mm", D, len(bucket), tuple(row_bits)))
+                bucket.append(combo)
+            flush_run()
+
             d_order = sorted(by_d)
             mats = []
             for D in d_order:
@@ -153,8 +257,16 @@ class WideProgram:
                     mats.append(
                         jnp.asarray(np.stack([m[c] for m in by_d[D]]).astype(dt))
                     )
+            run_offsets = []
+            for run in runs:
+                run_offsets.append(len(mats))
+                for c in range(3):
+                    mats.append(
+                        jnp.asarray(np.stack([m[c] for m in run]).astype(dt))
+                    )
 
-            def make_kernel(steps=steps, d_order=d_order):
+            def make_kernel(steps=steps, d_order=d_order,
+                            run_offsets=run_offsets):
                 def kernel(re, im, *mat_args):
                     lut = {
                         D: (mat_args[3 * i], mat_args[3 * i + 1], mat_args[3 * i + 2])
@@ -162,12 +274,21 @@ class WideProgram:
                     }
                     re = re.reshape(R, LANES)
                     im = im.reshape(R, LANES)
-                    for D, idx, row_bits in steps:
-                        m1, m2, m3 = lut[D]
-                        re, im = _apply_wide_karatsuba(
-                            re, im, m1[idx], m2[idx], m3[idx],
-                            row_bits, D, R, precision,
-                        )
+                    for st in steps:
+                        if st[0] == "kh0":
+                            _, ridx, P = st
+                            off = run_offsets[ridx]
+                            call = get_kh0_kernel(R, P, dt, precision,
+                                                  interpret)
+                            re, im = call(re, im, mat_args[off],
+                                          mat_args[off + 1], mat_args[off + 2])
+                        else:
+                            _, D, idx, row_bits = st
+                            m1, m2, m3 = lut[D]
+                            re, im = _apply_wide_karatsuba(
+                                re, im, m1[idx], m2[idx], m3[idx],
+                                row_bits, D, R, precision,
+                            )
                     return re.reshape(-1), im.reshape(-1)
 
                 return kernel
@@ -207,8 +328,10 @@ _CACHE_LIMIT = 16
 
 
 def build_wide_program(ops: Sequence[Op], num_qubits: int, real_dtype=jnp.float32,
-                       precision: str = "highest"):
-    h = hashlib.sha256(f"{num_qubits}|{real_dtype}|{precision}".encode())
+                       precision: str = "highest", kh0_pallas=None):
+    h = hashlib.sha256(
+        f"{num_qubits}|{real_dtype}|{precision}|{kh0_pallas}"
+        f"|{jax.default_backend()}".encode())
     for op in ops:
         h.update(op.kind.encode())
         h.update(np.asarray(op.qubits, dtype=np.int64).tobytes())
@@ -217,7 +340,8 @@ def build_wide_program(ops: Sequence[Op], num_qubits: int, real_dtype=jnp.float3
     key = h.hexdigest()
     prog = _CACHE.get(key)
     if prog is None:
-        prog = WideProgram(ops, num_qubits, real_dtype, precision=precision)
+        prog = WideProgram(ops, num_qubits, real_dtype, precision=precision,
+                           kh0_pallas=kh0_pallas)
         if len(_CACHE) >= _CACHE_LIMIT:
             _CACHE.pop(next(iter(_CACHE)))
         _CACHE[key] = prog

@@ -134,3 +134,31 @@ def test_run_detailed_reports_fusion():
     assert res.num_gates == 2445
     assert res.num_fused_ops < res.num_gates  # fusion must shrink the op list
     assert res.seconds > 0
+
+
+def test_wide_kh0_pallas_parity():
+    """The fused single-pass kh0 kernel (runs of D=128 blocks chained in
+    VMEM) matches the XLA 3-matmul path exactly (interpret mode)."""
+    import jax.numpy as jnp
+
+    from gpu_quantum_simulator_tpu.engine.simulator import _fuse_pipeline
+    from gpu_quantum_simulator_tpu.engine.wide import WideProgram
+    from gpu_quantum_simulator_tpu.ops.apply import initial_state_parts, join_state
+
+    n = 10
+    # low-qubit-heavy circuit: fusion emits kh=0 (D=128) blocks, with a few
+    # high-qubit gates so mixed kh0-run / XLA-matmul step chains execute
+    low = models.grover_like(7, num_gates=260, seed=41)
+    c = type(low)(n)
+    for i, g in enumerate(low.gates):
+        c.gates.append(g)
+        if i % 40 == 39:
+            c.cx(7, 8).cx(8, 9).h(7)
+    ops = _fuse_pipeline(c, 7, max_high=2, window=8)
+    prog = WideProgram(ops, n, jnp.float32, kh0_pallas=True)
+    assert prog.num_kh0_runs > 0, "fusion produced no kh0 runs to batch"
+    re, im = initial_state_parts(n, dtype=jnp.float32)
+    re, im = prog(re, im)
+    got = join_state(np.asarray(re), np.asarray(im))
+    want = REF.simulate_reference(c)
+    assert np.max(np.abs(got - want)) < 2e-5
