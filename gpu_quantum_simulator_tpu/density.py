@@ -16,7 +16,10 @@ existing TPU engines:
 
 Superoperators are not unitary; the engines never assume unitarity (they
 apply arbitrary dense blocks), so fusion and the wide/megakernel paths work
-unchanged.  Capacity: n <= 14 mixed qubits on one 16 GB chip (2n = 28).
+unchanged.  Capacity: n <= 15 mixed qubits on one 16 GB chip — 2n = 30 runs
+through the in-place aliased prefetch chains with split-half measurement
+helpers (no flat 2^30 buffer is ever materialized); complex128 runs at any
+n <= 14 through the float64 XLA apply primitives for parity checking.
 """
 
 from __future__ import annotations
@@ -139,26 +142,46 @@ class DensityResult:
     num_qubits: int
     re: "object"          # device-resident |rho> parts (2^(2n),)
     im: "object"
+    # n = 15 runs in-place: |rho> as the four (R2, 128) column-half arrays
+    # (engine.prefetch split layout) — never joined to a flat 2^30 buffer
+    halves: Optional[tuple] = None
 
     def probabilities(self) -> np.ndarray:
         """Diagonal of rho: outcome probabilities (length 2^n, host)."""
         import jax.numpy as jnp
 
         n = self.num_qubits
-        # diagonal index i + (i << n) fits int32 for n <= 14 (2^28)
+        # diagonal index i + (i << n) fits int32 for n <= 15 (< 2^31)
         idx = (jnp.arange(1 << n, dtype=jnp.int32) * ((1 << n) + 1))
-        return np.asarray(self.re[idx])
+        if self.halves is None:
+            return np.asarray(self.re[idx])
+        re0, re1, _, _ = self.halves
+        r = idx >> 8
+        c = idx & 255
+        lo = re0[r, jnp.minimum(c, 127)]
+        hi = re1[r, jnp.maximum(c - 128, 0)]
+        return np.asarray(jnp.where(c < 128, lo, hi))
 
     def purity(self) -> float:
         """tr(rho^2) = || |rho> ||^2."""
+        if self.halves is not None:
+            from .sampling import norm_halves
+
+            return float(norm_halves(*self.halves))
         from .sampling import norm_device
 
         return float(norm_device(self.re, self.im))
 
     def matrix(self) -> np.ndarray:
         """Dense rho (small n only: 4^n complex entries)."""
+        if self.halves is not None:
+            from .engine.prefetch import join_halves
+
+            re, im = join_halves(*self.halves)
+            rho = np.asarray(re) + 1j * np.asarray(im)
+        else:
+            rho = np.asarray(self.re) + 1j * np.asarray(self.im)
         n = self.num_qubits
-        rho = np.asarray(self.re) + 1j * np.asarray(self.im)
         return rho.reshape(1 << n, 1 << n).T  # [bra, ket] -> rho[ket, bra]
 
     def expectation_z(self, qubits: Sequence[int]) -> float:
@@ -220,20 +243,37 @@ class DensitySimulator:
 
         n = nc.num_qubits
         nn = 2 * n
-        if nn > 28:
+        if nn > 30:
             raise ValueError(
-                f"density simulation doubles the register: n <= 14 (got {n})")
+                f"density simulation doubles the register: n <= 15 (got {n})")
+        if nn > 28 and self.config.dtype == "complex128":
+            raise ValueError(
+                "complex128 density simulation supports n <= 14; n = 15 "
+                "needs the float32 in-place engine")
         ops = self._doubled_ops(nc)
         real_dtype = jnp.float64 if self.config.dtype == "complex128" else jnp.float32
-        re, im = initial_state_parts(nn, dtype=real_dtype)
         if nn <= 7:
+            re, im = initial_state_parts(nn, dtype=real_dtype)
             ops = fuse_k(ops, max_qubits=nn)
             re, im = build_megakernel(ops, nn, real_dtype)(re, im)
+        elif self.config.dtype == "complex128":
+            # float64 path for parity checking at ANY n <= 14: the XLA
+            # apply primitives place dense blocks at arbitrary positions
+            # (bra-side ops live entirely on high qubits), no Mosaic f64
+            # kernels needed.  Slower than the f32 engines; exact.
+            from .engine.naive import run_oplist
+
+            re, im = initial_state_parts(nn, dtype=real_dtype)
+            # cap fusion at 2 qubits: wider blocks route through the
+            # host-expanded wide apply, which needs concrete matrices
+            ops = fuse_k(ops, max_qubits=2)
+            re, im = run_oplist(ops, nn, re, im, real_dtype)
         elif nn == 8:
             # only qubit 7 is above the lane region: the wide engine hosts
             # every op (kh <= 1) without any planning
             from .engine.wide import build_wide_program
 
+            re, im = initial_state_parts(nn, dtype=real_dtype)
             ops = fuse_k(ops, max_qubits=7, max_high=2)
             re, im = build_wide_program(
                 ops, nn, real_dtype, precision=self.config.precision
@@ -243,15 +283,21 @@ class DensitySimulator:
             # lanes+kh<=2 placement cannot host them — but the prefetch
             # planner swaps ANY op's qubits into the matmul window and
             # routes the state back to the canonical basis in-plan.
-            if self.config.dtype == "complex128":
-                raise ValueError(
-                    "complex128 density simulation supports n <= 4 "
-                    "(the float32 prefetch engine serves larger registers)")
-            from .engine.prefetch import build_prefetch_program
+            from .engine.prefetch import build_prefetch_program, initial_halves
 
+            inplace = self.config.prefetch_inplace
+            if inplace is None:
+                # the doubled register hits the chip ceiling at 2n = 30:
+                # aliased in-place chains + split-half measurement helpers
+                inplace = nn >= 30
             ops = fuse_k(ops, max_qubits=7)
             prog = build_prefetch_program(
                 ops, nn, real_dtype, precision=self.config.precision,
-                final_layout=np.arange(nn))
+                final_layout=np.arange(nn), inplace=bool(inplace))
+            if inplace:
+                parts = prog.run_parts(*initial_halves(nn, real_dtype))
+                parts[0].block_until_ready()
+                return DensityResult(n, None, None, halves=tuple(parts))
+            re, im = initial_state_parts(nn, dtype=real_dtype)
             re, im = prog(re, im)
         return DensityResult(n, re, im)

@@ -149,3 +149,54 @@ def test_bad_kraus_rejected():
 def test_superoperator_identity():
     s = superoperator([np.eye(2, dtype=complex)])
     np.testing.assert_allclose(s, np.eye(4))
+
+
+def test_density_inplace_halves_route():
+    """The in-place split-half route (the 2n=30 path, forced small here via
+    prefetch_inplace) matches the flat engine: probabilities, purity,
+    matrix."""
+    from gpu_quantum_simulator_tpu.config import SimulatorConfig
+
+    n = 6  # 2n = 12 >= MIN_QUBITS: prefetch plans apply
+    nc = NoisyCircuit(n)
+    nc.h(0)
+    for q in range(1, n):
+        nc.cx(q - 1, q)
+    nc.channel("depolarizing", 2, p=0.3)
+    nc.channel("amplitude_damping", 4, gamma=0.2)
+    flat = DensitySimulator(SimulatorConfig(prefetch_inplace=False)).run(nc)
+    half = DensitySimulator(SimulatorConfig(prefetch_inplace=True)).run(nc)
+    assert half.halves is not None and flat.halves is None
+    np.testing.assert_allclose(half.probabilities(), flat.probabilities(),
+                               atol=2e-6)
+    assert abs(half.purity() - flat.purity()) < 2e-6
+    np.testing.assert_allclose(half.matrix(), flat.matrix(), atol=2e-6)
+
+
+def test_density_complex128_any_n():
+    """complex128 density now runs beyond the old n<=4 cap (float64 XLA
+    apply primitives) and agrees with the float32 engines."""
+    from gpu_quantum_simulator_tpu.config import SimulatorConfig
+
+    n = 6
+    nc = NoisyCircuit(n)
+    nc.h(0).cx(0, 1).cx(1, 2)
+    nc.channel("dephasing", 1, p=0.5)
+    nc.rz(0.7, 3)
+    nc.channel("bit_flip", 5, p=0.25)
+    f64 = DensitySimulator(SimulatorConfig(dtype="complex128")).run(nc)
+    f32 = DensitySimulator().run(nc)
+    p64, p32 = f64.probabilities(), f32.probabilities()
+    assert abs(p64.sum() - 1.0) < 1e-12
+    np.testing.assert_allclose(p32, p64, atol=2e-6)
+    assert abs(f64.purity() - f32.purity()) < 2e-6
+
+
+def test_density_n15_rejected_for_complex128_only():
+    from gpu_quantum_simulator_tpu.config import SimulatorConfig
+
+    with pytest.raises(ValueError, match="n <= 15"):
+        DensitySimulator().run(NoisyCircuit(16))
+    with pytest.raises(ValueError, match="n <= 14"):
+        DensitySimulator(SimulatorConfig(dtype="complex128")).run(
+            NoisyCircuit(15))
