@@ -155,8 +155,14 @@ def _get_expander(C: int, cap: int, real_dtype):
 
     Tables ship over the (slow) host link as compact factors — a width-7 op
     is 2x64 KB instead of 2x256 KB, and the 256x256 writes happen at HBM
-    bandwidth on device instead of on the host: out_T[i, j] =
-    u[m(j), m(i)] * (h(i) == h(j)).
+    bandwidth on device instead of on the host: out_T[w, v] =
+    u[mo(v), mi(w)] * (ho(v) == hi(w)).
+
+    The input- and output-side index vectors are SEPARATE: a perm step
+    emitted directly after a mat (the victim rotation between ops) is folded
+    into that mat as an output-window relabeling — (mo, ho) are the mat's
+    (m, h) composed with the folded permutation, and the standalone perm
+    matmul pass vanishes (plan_prefetch add_perm).
     """
     dt = np.dtype(real_dtype)
     key = (C, cap, dt.str)
@@ -167,20 +173,39 @@ def _get_expander(C: int, cap: int, real_dtype):
     hi = jax.lax.Precision.HIGHEST  # 0/1 selections: exact in f32 only then
 
     @jax.jit
-    def expand(u_re, u_im, mvec, hvec):
-        sel = (mvec[..., :, None] == jnp.arange(UPAD, dtype=mvec.dtype)).astype(dt)
-        mask = (hvec[..., None, :] == hvec[..., :, None]).astype(dt)
+    def expand(u_re, u_im, mvec_i, hvec_i, mvec_o, hvec_o):
+        rng = jnp.arange(UPAD, dtype=mvec_i.dtype)
+        sel_i = (mvec_i[..., :, None] == rng).astype(dt)
+        sel_o = (mvec_o[..., :, None] == rng).astype(dt)
+        mask = (hvec_o[..., None, :] == hvec_i[..., :, None]).astype(dt)
 
         def one(u):
-            # out_T[w, v] = u[m(v), m(w)] = sum_{k,l} sel[w,k] u[l,k] sel[v,l]
-            t = jnp.einsum("bswk,bslk->bswl", sel, u, precision=hi)
-            t = jnp.einsum("bswl,bsvl->bswv", t, sel, precision=hi)
+            # out_T[w, v] = u[mo(v), mi(w)]
+            #            = sum_{k,l} sel_i[w,k] u[l,k] sel_o[v,l]
+            t = jnp.einsum("bswk,bslk->bswl", sel_i, u, precision=hi)
+            t = jnp.einsum("bswl,bsvl->bswv", t, sel_o, precision=hi)
             return t * mask
 
         return one(u_re), one(u_im)
 
     _EXPANDER_CACHE[key] = expand
     return expand
+
+
+_WSWAP_CACHE: dict = {}
+
+
+def _window_swap_index(v: int) -> np.ndarray:
+    """Index map sigma over window indices exchanging bits v and 7:
+    applying a perm step to window state s yields s'[w] = s[sigma(w)]."""
+    s = _WSWAP_CACHE.get(v)
+    if s is None:
+        idx = np.arange(DVIEW)
+        bv, b7 = (idx >> v) & 1, (idx >> LANE_QUBITS) & 1
+        s = ((idx & ~((1 << v) | (1 << LANE_QUBITS)))
+             | (b7 << v) | (bv << LANE_QUBITS)).astype(np.int32)
+        _WSWAP_CACHE[v] = s
+    return s
 
 
 def _perm_matrix_256(a: int, b: int) -> np.ndarray:
@@ -214,9 +239,12 @@ def perm_table(real_dtype) -> jnp.ndarray:
 class _Block:
     kinds: List[int] = field(default_factory=list)   # 0 mat, 1..logt tswap, logt+1 perm
     midx: List[int] = field(default_factory=list)    # mat slot / perm lane
-    # deferred matrix specs (u, window positions); expanded straight into
-    # the stacked device tables at materialization time
-    mats: List[Tuple[np.ndarray, Tuple[int, ...]]] = field(default_factory=list)
+    # deferred matrix specs (u, window positions, output perm | None);
+    # expanded straight into the stacked device tables at materialization
+    # time; the output perm is the composition of perm steps folded into
+    # this mat's output-window relabeling (see _get_expander)
+    mats: List[Tuple[np.ndarray, Tuple[int, ...], Optional[np.ndarray]]] = (
+        field(default_factory=list))
     # pending cross-tile swap applied to this block's INPUT: (tmask, shift)
     prologue: Optional[Tuple[int, int]] = None
     # standalone multi-qubit relayout entry: sigma over exposed slots
@@ -238,6 +266,7 @@ class PrefetchPlan:
     logt: int
     num_relayouts: int = 0
     num_gswaps: int = 0
+    num_pfolds: int = 0
 
 
 def _op_dag(ops: Sequence[Op]):
@@ -322,6 +351,7 @@ def plan_prefetch(
 
     blocks: List[_Block] = [_Block()]
     num_tswaps = num_xswaps = num_perms = num_relayouts = num_gswaps = 0
+    num_pfolds = 0
 
     def cur() -> _Block:
         return blocks[-1]
@@ -351,10 +381,35 @@ def plan_prefetch(
         kind = kind_mat128 if all(p < LANE_QUBITS for p in positions) else 0
         b.kinds.append(kind)
         b.midx.append(len(b.mats))
-        b.mats.append((u, positions))
+        b.mats.append((u, positions, None))
+
+    def _fold_target() -> Optional[_Block]:
+        # a perm step commutes backward over relayout entries (row-block
+        # bits are disjoint from the window) but NOT over anything touching
+        # window bit 7 (tswap / xswap prologue / gswap); if the last real
+        # step is a mat, the perm folds into its output relabeling
+        for b in reversed(blocks):
+            if b.relayout is not None:
+                continue
+            if (b.gswap is None and b.kinds
+                    and b.kinds[-1] in (0, kind_mat128)):
+                return b
+            return None
+        return None
 
     def add_perm(v: int) -> None:
-        nonlocal num_perms
+        nonlocal num_perms, num_pfolds
+        b = _fold_target()
+        if b is not None:
+            if b.kinds[-1] == kind_mat128:
+                # the combined table mixes column halves: full-width mat
+                b.kinds[-1] = 0
+            u, pos, operm = b.mats[b.midx[-1]]
+            sig = _window_swap_index(v)
+            operm = sig if operm is None else operm[sig]
+            b.mats[b.midx[-1]] = (u, pos, operm)
+            num_pfolds += 1
+            return
         b = room(1, 0)
         b.kinds.append(kind_perm)
         b.midx.append(v)
@@ -584,7 +639,7 @@ def plan_prefetch(
         blocks.pop()
     return PrefetchPlan(
         blocks, np.asarray(pos_of), len(ops), num_tswaps, num_xswaps,
-        num_perms, logt, num_relayouts, num_gswaps,
+        num_perms, logt, num_relayouts, num_gswaps, num_pfolds,
     )
 
 
@@ -642,24 +697,26 @@ def get_block_kernel(n: int, real_dtype, precision: str, interpret: bool,
             return f
 
         def perm_step(j, sre, sim):
-            # 0/1 permutation matrix: EXACT 3-pass form at half the cost
-            # of HIGHEST (Mosaic lowers only DEFAULT/HIGHEST).  Split the
-            # f32 activation into three bf16-exact components (8+8+8
-            # mantissa bits = the full 24); each single-pass product
-            # against a one-nonzero-per-row matrix is exact, and the f32
-            # recombination is the permuted exact components.
-            p = p_ref[scal_ref[4 + cap_steps + j]]  # symmetric 0/1 matrix
+            # lane-bit v <-> window-bit 7 exchange as a pure VPU shuffle:
+            # out[half h][lanes with bit_v = b] = in[half b][lane bit_v = h]
+            # = two lane-rolls (+-2^v) + selects per component — exact, and
+            # ~4x cheaper than the old 256-wide permutation matmul pass
+            # (which an 8-bit-window basis change would otherwise cost)
+            v = scal_ref[4 + cap_steps + j]
+            sh = jnp.int32(1) << v
+            lane = jax.lax.broadcasted_iota(jnp.int32, (T, LANES), 1)
+            bv0 = ((lane >> v) & 1) == 0
 
-            def pdot(x):
-                hi = x.astype(jnp.bfloat16).astype(dt)
-                r1 = x - hi
-                mid = r1.astype(jnp.bfloat16).astype(dt)
-                lo = r1 - mid
-                d = lambda t: jnp.dot(t, p, preferred_element_type=dt,
-                                      precision=jax.lax.Precision.DEFAULT)
-                return (d(hi) + d(mid)) + d(lo)
+            def one(x):
+                x2 = x.reshape(T, 2, LANES)
+                x0, x1 = x2[:, 0, :], x2[:, 1, :]
+                o0 = jnp.where(bv0, x0, pltpu.roll(x1, sh, 1))
+                o1 = jnp.where(bv0, pltpu.roll(x0, LANES - sh, 1), x1)
+                return jnp.concatenate(
+                    [o0[:, None, :], o1[:, None, :]], axis=1
+                ).reshape(T, DVIEW)
 
-            return pdot(sre), pdot(sim)
+            return one(sre), one(sim)
 
         def mat128_step(j, sre, sim):
             # lane-only op (positions subset of [0,7)): the 256x256 table is
@@ -902,24 +959,26 @@ def get_split_kernels(n: int, real_dtype, precision: str, interpret: bool,
             return f
 
         def perm_step(j, sre, sim):
-            # 0/1 permutation matrix: EXACT 3-pass form at half the cost
-            # of HIGHEST (Mosaic lowers only DEFAULT/HIGHEST).  Split the
-            # f32 activation into three bf16-exact components (8+8+8
-            # mantissa bits = the full 24); each single-pass product
-            # against a one-nonzero-per-row matrix is exact, and the f32
-            # recombination is the permuted exact components.
-            p = p_ref[scal_ref[4 + cap_steps + j]]  # symmetric 0/1 matrix
+            # lane-bit v <-> window-bit 7 exchange as a pure VPU shuffle:
+            # out[half h][lanes with bit_v = b] = in[half b][lane bit_v = h]
+            # = two lane-rolls (+-2^v) + selects per component — exact, and
+            # ~4x cheaper than the old 256-wide permutation matmul pass
+            # (which an 8-bit-window basis change would otherwise cost)
+            v = scal_ref[4 + cap_steps + j]
+            sh = jnp.int32(1) << v
+            lane = jax.lax.broadcasted_iota(jnp.int32, (T, LANES), 1)
+            bv0 = ((lane >> v) & 1) == 0
 
-            def pdot(x):
-                hi = x.astype(jnp.bfloat16).astype(dt)
-                r1 = x - hi
-                mid = r1.astype(jnp.bfloat16).astype(dt)
-                lo = r1 - mid
-                d = lambda t: jnp.dot(t, p, preferred_element_type=dt,
-                                      precision=jax.lax.Precision.DEFAULT)
-                return (d(hi) + d(mid)) + d(lo)
+            def one(x):
+                x2 = x.reshape(T, 2, LANES)
+                x0, x1 = x2[:, 0, :], x2[:, 1, :]
+                o0 = jnp.where(bv0, x0, pltpu.roll(x1, sh, 1))
+                o1 = jnp.where(bv0, pltpu.roll(x0, LANES - sh, 1), x1)
+                return jnp.concatenate(
+                    [o0[:, None, :], o1[:, None, :]], axis=1
+                ).reshape(T, DVIEW)
 
-            return pdot(sre), pdot(sim)
+            return one(sre), one(sim)
 
         def mat128_step(j, sre, sim):
             # lane-only op (positions subset of [0,7)): the 256x256 table is
@@ -1184,10 +1243,11 @@ def materialize_entries(entries: Sequence[_Block], cap_steps: int,
     traffic than the expanded 256x256 tables) and are expanded on device
     per chunk (_get_expander).
 
-    Returns a list of (cap, chunk_sizes, scal, u_re, u_im, mvec, hvec);
-    chunk_sizes may cover more rows than real entries (zero rows = identity
-    blocks).  Shared by PrefetchProgram and the mesh engine
-    (parallel/sharded_prefetch.py).
+    Returns a list of (cap, chunk_sizes, scal, u_re, u_im, mvec, hvec,
+    mvec_o, hvec_o); chunk_sizes may cover more rows than real entries
+    (zero rows = identity blocks).  The _o vectors are the output-side
+    window indices with any folded perm steps composed in.  Shared by
+    PrefetchProgram and the mesh engine (parallel/sharded_prefetch.py).
     """
     if single_class:
         # large-n mode: every entry shares ONE capacity class so the whole
@@ -1230,6 +1290,8 @@ def materialize_entries(entries: Sequence[_Block], cap_steps: int,
         u_im = np.zeros((Bp, cap, UPAD, UPAD), dtype=dt)
         mvec = np.zeros((Bp, cap, DVIEW), dtype=np.int32)
         hvec = np.zeros((Bp, cap, DVIEW), dtype=np.int32)
+        mvec_o = np.zeros((Bp, cap, DVIEW), dtype=np.int32)
+        hvec_o = np.zeros((Bp, cap, DVIEW), dtype=np.int32)
         for i, blk in enumerate(blks):
             k = len(blk.kinds)
             scal[i, 0] = k
@@ -1252,14 +1314,22 @@ def materialize_entries(entries: Sequence[_Block], cap_steps: int,
                 continue
             scal[i, 4 : 4 + k] = blk.kinds
             scal[i, 4 + cap_steps : 4 + cap_steps + k] = blk.midx
-            for s, (u, positions) in enumerate(blk.mats):
+            for s, (u, positions, operm) in enumerate(blk.mats):
                 d = u.shape[0]
                 u_re[i, s, :d, :d] = u.real
                 u_im[i, s, :d, :d] = u.imag
                 m, h = _window_vectors(tuple(positions))
                 mvec[i, s] = m
                 hvec[i, s] = h
-        out.append((cap, sizes, scal, u_re, u_im, mvec, hvec))
+                if operm is None:
+                    mvec_o[i, s] = m
+                    hvec_o[i, s] = h
+                else:
+                    # folded perm steps: output window index v reads the
+                    # mat's output at operm(v) (see _get_expander)
+                    mvec_o[i, s] = m[operm]
+                    hvec_o[i, s] = h[operm]
+        out.append((cap, sizes, scal, u_re, u_im, mvec, hvec, mvec_o, hvec_o))
     return out
 
 
@@ -1319,7 +1389,8 @@ class PrefetchProgram:
         self._chain_parts = []
         self._host_parts = []
         single_class = (not inplace) and cap_mats <= 4
-        for cap, sizes, scal, u_re, u_im, mvec, hvec in materialize_entries(
+        for (cap, sizes, scal, u_re, u_im, mvec, hvec, mvec_o,
+             hvec_o) in materialize_entries(
                 entries, cap_steps, cap_mats, dt, inplace=inplace,
                 single_class=single_class):
             off = 0
@@ -1340,6 +1411,8 @@ class PrefetchProgram:
                             np.ascontiguousarray(u_im[off : off + c]),
                             np.ascontiguousarray(mvec[off : off + c]),
                             np.ascontiguousarray(hvec[off : off + c]),
+                            np.ascontiguousarray(mvec_o[off : off + c]),
+                            np.ascontiguousarray(hvec_o[off : off + c]),
                         )
                     )
                 else:
@@ -1349,6 +1422,8 @@ class PrefetchProgram:
                         jnp.asarray(u_im[off : off + c]),
                         jnp.asarray(mvec[off : off + c]),
                         jnp.asarray(hvec[off : off + c]),
+                        jnp.asarray(mvec_o[off : off + c]),
+                        jnp.asarray(hvec_o[off : off + c]),
                     )
                     self._chain_parts.append(
                         (chain, jnp.asarray(scal[off : off + c]), a_tab, b_tab)
@@ -1365,12 +1440,13 @@ class PrefetchProgram:
         assert self.inplace
         dt = self._dt
         parts = (re0, re1, im0, im1)
-        for i, (chain, c, cap, scal, u_re, u_im, mvec, hvec) in enumerate(
-                self._host_parts):
+        for i, (chain, c, cap, scal, u_re, u_im, mvec, hvec, mvec_o,
+                hvec_o) in enumerate(self._host_parts):
             expander = _get_expander(c, cap, dt)
             a_tab, b_tab = expander(
                 jnp.asarray(u_re), jnp.asarray(u_im),
                 jnp.asarray(mvec), jnp.asarray(hvec),
+                jnp.asarray(mvec_o), jnp.asarray(hvec_o),
             )
             parts = chain(*parts, jnp.asarray(scal), a_tab, b_tab, self._ptab)
             del a_tab, b_tab

@@ -196,7 +196,8 @@ class ShardedPrefetchProgram:
         self._chain_parts = []
         self.chunk_sizes = []
         single_class = cap_mats <= 4
-        for cap, sizes, scal, u_re, u_im, mvec, hvec in materialize_entries(
+        for (cap, sizes, scal, u_re, u_im, mvec, hvec, mvec_o,
+             hvec_o) in materialize_entries(
                 plan.blocks, cap_steps, cap_mats, dt,
                 single_class=single_class):
             off = 0
@@ -210,6 +211,8 @@ class ShardedPrefetchProgram:
                     jnp.asarray(u_im[off : off + c]),
                     jnp.asarray(mvec[off : off + c]),
                     jnp.asarray(hvec[off : off + c]),
+                    jnp.asarray(mvec_o[off : off + c]),
+                    jnp.asarray(hvec_o[off : off + c]),
                 )
                 self._chain_parts.append(
                     (chain, jnp.asarray(scal[off : off + c]), a_tab, b_tab))

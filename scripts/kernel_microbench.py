@@ -59,6 +59,7 @@ def main():
             mvec[:, s] = m
             hvec[:, s] = h
         return expander(jnp.asarray(u_re), jnp.asarray(u_im),
+                        jnp.asarray(mvec), jnp.asarray(hvec),
                         jnp.asarray(mvec), jnp.asarray(hvec))
 
     a_tab, b_tab = make_tabs(cap_mats)
