@@ -192,6 +192,11 @@ def _get_expander(C: int, cap: int, real_dtype):
     return expand
 
 
+# debug/ablation knob: fold perm steps into the preceding mat's tables
+PERM_FOLD = True
+# debug/ablation knob: parallel grid dimension on the block kernel
+_PARALLEL_GRID = True
+
 _WSWAP_CACHE: dict = {}
 
 
@@ -399,7 +404,7 @@ def plan_prefetch(
 
     def add_perm(v: int) -> None:
         nonlocal num_perms, num_pfolds
-        b = _fold_target()
+        b = _fold_target() if PERM_FOLD else None
         if b is not None:
             if b.kinds[-1] == kind_mat128:
                 # the combined table mixes column halves: full-width mat
@@ -790,7 +795,8 @@ def get_block_kernel(n: int, real_dtype, precision: str, interpret: bool,
         # overlap each tile's input DMA with the previous tile's compute
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
-            dimension_semantics=("parallel",)),
+            dimension_semantics=(
+                ("parallel",) if _PARALLEL_GRID else ("arbitrary",))),
         interpret=interpret,
     )
 
@@ -1171,7 +1177,16 @@ def get_block_chain(n: int, real_dtype, precision: str, interpret: bool,
     return chain
 
 
-def _chunks(total: int) -> List[int]:
+# Per-dispatch work budget: blocks x grid-steps in ONE chain executable.
+# A single device execution that runs too long (~65 s measured at n=29 with
+# a 512-block chain, grid 4096) crashes/restarts the TPU worker — an
+# execution-time watchdog, not a memory or correctness limit (the same 512
+# blocks pass as eight 64-block dispatches, norm exact).  2^19 is half the
+# longest single dispatch observed healthy (n=28, 512 x 2048).
+DISPATCH_GRID_BUDGET = 1 << 19
+
+
+def _chunks(total: int, max_chunk: int = 1 << 30) -> List[int]:
     """Power-of-2 chunk sizes covering ``total`` blocks, padding allowed.
 
     Each chunk is one dispatch, and a dispatch over the axon tunnel costs
@@ -1180,14 +1195,15 @@ def _chunks(total: int) -> List[int]:
     under ~25% of the real blocks; otherwise split greedily and recurse.
     The returned sizes may sum to more than ``total``: callers pad tables
     with zero rows (nsteps=0, inactive prologue = identity block).
+    ``max_chunk`` bounds any single chunk (the watchdog budget above).
     """
     out = []
     while total > 0:
         up = 1 << (total - 1).bit_length()  # smallest pow2 >= total
-        if up - total <= max(total // 4, 2):
+        if up <= max_chunk and up - total <= max(total // 4, 2):
             out.append(up)
             return out
-        c = 1 << (total.bit_length() - 1)
+        c = min(1 << (total.bit_length() - 1), max_chunk)
         out.append(c)
         total -= c
     return out
@@ -1232,7 +1248,8 @@ def join_halves(re0, re1, im0, im1):
 # ------------------------------------------------------------------ program
 def materialize_entries(entries: Sequence[_Block], cap_steps: int,
                         cap_mats: int, dt, inplace: bool = False,
-                        single_class: bool = False):
+                        single_class: bool = False,
+                        max_chunk: int = 1 << 30):
     """Pack plan entries into grouped, pow-2-chunked scal + factor tables.
 
     Two block classes keep table H2D near the real content volume:
@@ -1283,7 +1300,7 @@ def materialize_entries(entries: Sequence[_Block], cap_steps: int,
     out = []
     for cap, blks in groups:
         B = len(blks)
-        sizes = _chunks(B)
+        sizes = _chunks(B, max_chunk)
         Bp = sum(sizes)
         scal = np.zeros((Bp, 4 + 2 * cap_steps), dtype=np.int32)
         u_re = np.zeros((Bp, cap, UPAD, UPAD), dtype=dt)
@@ -1389,10 +1406,12 @@ class PrefetchProgram:
         self._chain_parts = []
         self._host_parts = []
         single_class = (not inplace) and cap_mats <= 4
+        grid_rows = max(self._R2 // tile_rows(n), 1)
+        max_chunk = max(32, DISPATCH_GRID_BUDGET // grid_rows)
         for (cap, sizes, scal, u_re, u_im, mvec, hvec, mvec_o,
              hvec_o) in materialize_entries(
                 entries, cap_steps, cap_mats, dt, inplace=inplace,
-                single_class=single_class):
+                single_class=single_class, max_chunk=max_chunk):
             off = 0
             for c in sizes:
                 chain_builder = get_block_chain_split if inplace else get_block_chain

@@ -42,6 +42,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from ..engine.prefetch import (
     CAP_MATS,
     CAP_STEPS,
+    DISPATCH_GRID_BUDGET,
     DVIEW,
     LANES,
     LOCAL_QUBITS,
@@ -196,10 +197,15 @@ class ShardedPrefetchProgram:
         self._chain_parts = []
         self.chunk_sizes = []
         single_class = cap_mats <= 4
+        # per-device grid rows bound the watchdog budget (see prefetch.py
+        # DISPATCH_GRID_BUDGET); local state is 2^(n - d) amplitudes
+        nl = n - d
+        grid_rows = max((1 << max(nl - LOCAL_QUBITS, 0)) // tile_rows(nl), 1)
+        max_chunk = max(32, DISPATCH_GRID_BUDGET // grid_rows)
         for (cap, sizes, scal, u_re, u_im, mvec, hvec, mvec_o,
              hvec_o) in materialize_entries(
                 plan.blocks, cap_steps, cap_mats, dt,
-                single_class=single_class):
+                single_class=single_class, max_chunk=max_chunk):
             off = 0
             for c in sizes:
                 chain = get_sharded_chain(

@@ -101,6 +101,7 @@ def main():
         ("tswap_k5", [5], [0]),
         (f"tswap_k{logt}", [logt], [0]),
         ("tswap4", [1, 5, logt, 3], [0, 0, 0, 0]),
+        ("mat128_1", [logt + 2], [0]),
     ):
         t = timed(scal_steps(kinds, midx))
         out[label + "_ms"] = t / C * 1e3

@@ -349,3 +349,27 @@ def test_relayout_final_layout_restore():
         PF.TILE_ROWS, PF.RELAYOUT_TILE_ROWS = old_t, old_r
         PF._KERNEL_CACHE.clear()
         PF._CHAIN_CACHE.clear()
+
+
+def test_dispatch_budget_chunks():
+    """No single chain dispatch may exceed the watchdog budget of
+    blocks x grid-steps (a ~65 s single execution at n=29 crashed the TPU
+    worker; the same blocks pass as smaller dispatches — prefetch.py
+    DISPATCH_GRID_BUDGET)."""
+    # unit: _chunks respects max_chunk including the round-up branch
+    assert PF._chunks(512, 128) == [128, 128, 128, 128]
+    assert PF._chunks(576, 128) == [128] * 4 + [64]
+    assert PF._chunks(5, 128) == [8] or sum(PF._chunks(5, 128)) >= 5
+    assert max(PF._chunks(1000, 64)) <= 64
+    # planning: a deep n=29 flat plan must chunk to <= 2^19 / (R2 / T)
+    n = 29
+    c = models.grover_like(n, num_gates=2445, seed=29)
+    ops = _fuse_pipeline(c, 7, max_high=2, window=8)
+    plan = PF.plan_prefetch(ops, n, PF.CAP_STEPS, 4, reorder=True,
+                            allow_relayout=True)
+    grid_rows = (1 << (n - PF.LOCAL_QUBITS)) // PF.tile_rows(n)
+    budget = max(32, PF.DISPATCH_GRID_BUDGET // grid_rows)
+    for _, sizes, *_ in PF.materialize_entries(
+            plan.blocks, PF.CAP_STEPS, 4, np.dtype(np.float32),
+            single_class=True, max_chunk=budget):
+        assert max(sizes) <= budget, sizes
