@@ -301,6 +301,7 @@ def plan_prefetch(
     reorder: bool = True,
     allow_relayout: bool = True,
     num_global: int = 0,
+    involution_relayout: bool = False,
 ) -> PrefetchPlan:
     """Lower fused ops to uniform kernel blocks.
 
@@ -333,8 +334,8 @@ def plan_prefetch(
     ``allow_relayout``: when >= 2 cold qubits are demanded at once, emit a
     single multi-qubit relayout pass (get_relayout_kernel) that parks them
     all inside tswap reach — one state round-trip replaces one forced block
-    boundary per qubit.  The in-place (aliased) executor cannot steer input
-    DMA across tiles, so it plans with ``allow_relayout=False``.
+    boundary per qubit.  The in-place (aliased) executor runs relayouts as
+    disjoint HBM block swaps and so plans with ``involution_relayout=True``.
     """
     n = num_qubits
     nl = n - num_global          # local qubits: window + tile + cross-tile
@@ -500,14 +501,44 @@ def plan_prefetch(
 
     def add_relayout(mapping: dict) -> None:
         """One multi-qubit relayout entry; ``mapping`` is a bijection
-        position -> position over exposed row-block slots [8+lr, nl-1]."""
+        position -> position over exposed row-block slots [8+lr, nl-1].
+
+        ``involution_relayout`` (the in-place executor): the pair-swap
+        kernel moves data as disjoint block swaps, so each emitted sigma
+        must be an involution — a general bijection is split into two
+        involutions (any cycle is the product of two reflections)."""
         nonlocal num_relayouts
         sigma = np.arange(m_exposed, dtype=np.int32)
         for pa, pb in mapping.items():
             sigma[eidx(pa)] = eidx(pb)
-        blk = fresh()
-        blk.relayout = sigma
-        num_relayouts += 1
+        if involution_relayout and not np.array_equal(
+                sigma[sigma], np.arange(m_exposed)):
+            s1 = np.arange(m_exposed, dtype=np.int32)
+            s2 = np.arange(m_exposed, dtype=np.int32)
+            seen = np.zeros(m_exposed, dtype=bool)
+            for c0 in range(m_exposed):
+                if seen[c0]:
+                    continue
+                cyc = [c0]
+                seen[c0] = True
+                j = int(sigma[c0])
+                while j != c0:
+                    cyc.append(j)
+                    seen[j] = True
+                    j = int(sigma[j])
+                k = len(cyc)
+                for t in range(k):          # reflections: sigma = s2 o s1
+                    s1[cyc[t]] = cyc[(-t) % k]
+                    s2[cyc[t]] = cyc[(1 - t) % k]
+            assert np.array_equal(s2[s1], sigma)
+            for s in (s1, s2):
+                blk = fresh()
+                blk.relayout = s
+                num_relayouts += 1
+        else:
+            blk = fresh()
+            blk.relayout = sigma
+            num_relayouts += 1
         moved = {pb: qubit_at[pa] for pa, pb in mapping.items()}
         for pb, q in moved.items():
             qubit_at[pb] = q
@@ -914,6 +945,140 @@ def get_relayout_kernel(n: int, real_dtype, interpret: bool):
     return fn
 
 
+def get_inplace_relayout_kernel(n: int, real_dtype, interpret: bool):
+    """Multi-qubit cross-tile relayout for the ALIASED split-state engine.
+
+    The flat relayout (get_relayout_kernel) copies input -> output, which
+    an n >= 30 state cannot afford (no second buffer).  Here sigma is an
+    INVOLUTION over the exposed row-block bits (plan_prefetch splits any
+    general bijection into two involutions), so the induced block
+    permutation partitions into disjoint swap pairs (i, j = P(i)).  Pairs
+    execute as windowed 3-phase swaps in the state's own buffers — batch W
+    pairs, then (1) stage x[i] into VMEM, (2) x[i] <- x[j] HBM->HBM,
+    (3) x[j] <- staged copy — phase barriers keep W*4 copies in flight, so
+    throughput is DMA-bandwidth-bound while correctness never needs a
+    second state buffer.  Same scal encoding as the flat form (scal[1] == 3,
+    scal[4 + a] = sigma(a) over slots a = qubit 8 + log2 Tr + a).
+
+    Returns f(scal, re0, re1, im0, im1) -> the four aliased (R2, 128)
+    column-half arrays.
+    """
+    dt = np.dtype(real_dtype)
+    Tr = relayout_rows(n)
+    key = ("relayout-inplace", n, Tr, dt.str, interpret)
+    fn = _KERNEL_CACHE.get(key)
+    if fn is not None:
+        return fn
+
+    R2 = 1 << (n - LOCAL_QUBITS)
+    nblk = R2 // Tr
+    mrow = (nblk - 1).bit_length()      # exposed row-block bits
+    W = max(1, min(RELAYOUT_DMA_WINDOW, nblk // 2))
+
+    def kernel(scal_ref, i0, i1, i2, i3, o0, o1, o2, o3,
+               tmp_ref, bi_ref, bj_ref, sems):
+        outs = (o0, o1, o2, o3)   # aliased onto the inputs
+
+        def P(i):
+            j = jnp.zeros((), jnp.int32)
+            for a in range(mrow):
+                j = j | (((i >> scal_ref[4 + a]) & 1) << a)
+            return j
+
+        def phase(copies_of):
+            # start cnt*4 same-shape copies, then drain them — the barrier
+            # between phases is what makes in-place pair swaps safe
+            def start(s, cnt):
+                @pl.when(s < cnt)
+                def _():
+                    for q, cp in enumerate(copies_of(s)):
+                        cp.start()
+                return cnt
+
+            def drain(s, cnt):
+                @pl.when(s < cnt)
+                def _():
+                    for q, cp in enumerate(copies_of(s)):
+                        cp.wait()
+                return cnt
+
+            return start, drain
+
+        def batch(cursor):
+            # collect up to W disjoint swap pairs (i < j = P(i)) into SMEM
+            def collect(cst):
+                cur, cnt = cst
+                j = P(cur)
+                take = j > cur
+
+                @pl.when(take)
+                def _():
+                    bi_ref[cnt] = cur
+                    bj_ref[cnt] = j
+
+                return cur + 1, jnp.where(take, cnt + 1, cnt)
+
+            cur, cnt = jax.lax.while_loop(
+                lambda cst: jnp.logical_and(cst[0] < nblk, cst[1] < W),
+                collect, (cursor, jnp.zeros((), jnp.int32)))
+
+            def stage(s):
+                return [pltpu.make_async_copy(
+                    outs[q].at[pl.ds(bi_ref[s] * Tr, Tr), :],
+                    tmp_ref.at[s, q], sems.at[s, q]) for q in range(4)]
+
+            def move(s):
+                return [pltpu.make_async_copy(
+                    outs[q].at[pl.ds(bj_ref[s] * Tr, Tr), :],
+                    outs[q].at[pl.ds(bi_ref[s] * Tr, Tr), :],
+                    sems.at[s, q]) for q in range(4)]
+
+            def unstage(s):
+                return [pltpu.make_async_copy(
+                    tmp_ref.at[s, q],
+                    outs[q].at[pl.ds(bj_ref[s] * Tr, Tr), :],
+                    sems.at[s, q]) for q in range(4)]
+
+            for copies_of in (stage, move, unstage):
+                start, drain = phase(copies_of)
+                jax.lax.fori_loop(0, W, start, cnt)
+                jax.lax.fori_loop(0, W, drain, cnt)
+            return cur
+
+        jax.lax.while_loop(lambda c: c < nblk, batch,
+                           jnp.zeros((), jnp.int32))
+
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(1,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
+            out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
+            scratch_shapes=[
+                pltpu.VMEM((W, 4, Tr, LANES), dt),
+                pltpu.SMEM((W,), jnp.int32),
+                pltpu.SMEM((W,), jnp.int32),
+                pltpu.SemaphoreType.DMA((W, 4)),
+            ],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((R2, LANES), dt)] * 4,
+        input_output_aliases={1: 0, 2: 1, 3: 2, 4: 3},
+        cost_estimate=pl.CostEstimate(
+            flops=0,
+            bytes_accessed=4 * dt.itemsize * R2 * LANES,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )
+
+    def fn(scal, re0, re1, im0, im1):
+        return call(scal, re0, re1, im0, im1)
+
+    _KERNEL_CACHE[key] = fn
+    return fn
+
+
 def get_split_kernels(n: int, real_dtype, precision: str, interpret: bool,
                       cap_steps: int = CAP_STEPS, cap_mats: int = CAP_MATS):
     """In-place variant for states too large to double-buffer (n >= 30:
@@ -1108,6 +1273,9 @@ def get_block_chain_split(n: int, real_dtype, precision: str, interpret: bool,
         return fn
     block_fn, xswap_fn = get_split_kernels(
         n, dt, precision, interpret, cap_steps, cap_mats)
+    R2s = 1 << (n - LOCAL_QUBITS)
+    relay = (get_inplace_relayout_kernel(n, dt, interpret)
+             if R2s > tile_rows(n) else None)
 
     def chain_pure(re0, re1, im0, im1, scal, a_tab, b_tab, p_tab):
         def body(carry, x):
@@ -1119,7 +1287,17 @@ def get_block_chain_split(n: int, real_dtype, precision: str, interpret: bool,
             def run_xswap(c):
                 return xswap_fn(s, *c)
 
-            return jax.lax.cond(s[1] == 2, run_xswap, run_block, carry), None
+            if relay is None:
+                return jax.lax.cond(s[1] == 2, run_xswap, run_block,
+                                    carry), None
+
+            def run_relayout(c):
+                return relay(s, *c)
+
+            def other(c):
+                return jax.lax.cond(s[1] == 2, run_xswap, run_block, c)
+
+            return jax.lax.cond(s[1] == 3, run_relayout, other, carry), None
 
         carry, _ = jax.lax.scan(
             body, (re0, re1, im0, im1), (scal, a_tab, b_tab))
@@ -1319,7 +1497,8 @@ def materialize_entries(entries: Sequence[_Block], cap_steps: int,
                 scal[i, 2] = blk.prologue[0]
                 scal[i, 3] = blk.prologue[1]
             if blk.relayout is not None:
-                assert not inplace, "aliased chains cannot relayout"
+                # flat: one-pass DMA relabeling; inplace: pair-swap kernel
+                # (both take the same sigma encoding)
                 scal[i, 1] = 3
                 scal[i, 4 : 4 + len(blk.relayout)] = blk.relayout
                 continue
@@ -1378,7 +1557,7 @@ class PrefetchProgram:
         dt = np.dtype(real_dtype)
         plan = plan_prefetch(ops, n, cap_steps, cap_mats,
                              final_layout=final_layout, reorder=reorder,
-                             allow_relayout=not inplace)
+                             involution_relayout=inplace)
         self.num_qubits = n
         self.final_position = plan.final_position
         self.num_ops = plan.num_ops
@@ -1396,6 +1575,10 @@ class PrefetchProgram:
             # every prologue is hoisted into a standalone pair-swap entry
             entries = []
             for blk in plan.blocks:
+                if blk.relayout is not None:
+                    # standalone in-place pair-swap relayout entry
+                    entries.append(blk)
+                    continue
                 if blk.prologue is not None:
                     entries.append(_Block(prologue=blk.prologue))
                 entries.append(

@@ -373,3 +373,107 @@ def test_dispatch_budget_chunks():
             plan.blocks, PF.CAP_STEPS, 4, np.dtype(np.float32),
             single_class=True, max_chunk=budget):
         assert max(sizes) <= budget, sizes
+
+
+def test_inplace_relayout_kernel_unit():
+    """The in-place pair-swap relayout kernel applies an involution sigma
+    exactly (numpy bit-shuffle oracle), in the state's own buffers."""
+    import jax.numpy as jnp
+
+    n = 11
+    old_t, old_r = PF.TILE_ROWS, PF.RELAYOUT_TILE_ROWS
+    PF.TILE_ROWS, PF.RELAYOUT_TILE_ROWS = 4, 1
+    try:
+        PF._KERNEL_CACHE.clear()
+        PF._CHAIN_CACHE.clear()
+        relay = PF.get_inplace_relayout_kernel(n, np.float32, True)
+        m = n - PF.LOCAL_QUBITS
+        rng = np.random.default_rng(1)
+        state = (rng.standard_normal(1 << n)
+                 + 1j * rng.standard_normal(1 << n))
+        # involution: swap slots 0<->2, fix the rest
+        sigma = np.array([2, 1, 0] + list(range(3, m)), dtype=np.int32)
+        scal = np.zeros(4 + 2 * PF.CAP_STEPS, dtype=np.int32)
+        scal[1] = 3
+        scal[4 : 4 + m] = sigma
+        from gpu_quantum_simulator_tpu.ops.apply import initial_state_parts
+        re = np.ascontiguousarray(state.real.astype(np.float32))
+        im = np.ascontiguousarray(state.imag.astype(np.float32))
+        R2 = 1 << (n - PF.LOCAL_QUBITS)
+        re0, re1 = [np.ascontiguousarray(h) for h in
+                    np.split(re.reshape(R2, PF.DVIEW), 2, axis=1)]
+        im0, im1 = [np.ascontiguousarray(h) for h in
+                    np.split(im.reshape(R2, PF.DVIEW), 2, axis=1)]
+        o = relay(jnp.asarray(scal), jnp.asarray(re0), jnp.asarray(re1),
+                  jnp.asarray(im0), jnp.asarray(im1))
+        got = (np.concatenate([np.asarray(o[0]), np.asarray(o[1])], axis=1)
+               .reshape(-1)
+               + 1j * np.concatenate([np.asarray(o[2]), np.asarray(o[3])],
+                                     axis=1).reshape(-1))
+        pos = [8 + a for a in range(m)]
+        perm = list(range(n))
+        for a in range(m):
+            perm[pos[a]] = pos[sigma[a]]
+        idx = np.arange(1 << n)
+        src = np.zeros(1 << n, dtype=np.int64)
+        for b in range(n):
+            src |= ((idx >> perm[b]) & 1) << b
+        np.testing.assert_allclose(got, state[src].astype(np.complex64),
+                                   rtol=0, atol=0)
+    finally:
+        PF.TILE_ROWS, PF.RELAYOUT_TILE_ROWS = old_t, old_r
+        PF._KERNEL_CACHE.clear()
+        PF._CHAIN_CACHE.clear()
+
+
+def test_involution_split():
+    """plan_prefetch with involution_relayout splits a 3-cycle restore
+    bijection into two involutions whose composition is the original."""
+    n = 12
+    old_t, old_r = PF.TILE_ROWS, PF.RELAYOUT_TILE_ROWS
+    PF.TILE_ROWS, PF.RELAYOUT_TILE_ROWS = 4, 1
+    try:
+        c = models.grover_like(n, num_gates=300, seed=13)
+        ops = _fuse_pipeline(c, 7, max_high=2)
+        plan = PF.plan_prefetch(ops, n, involution_relayout=True)
+        assert plan.num_relayouts > 0
+        m = n - PF.LOCAL_QUBITS  # Tr = 1: all row-block bits exposed
+        for blk in plan.blocks:
+            if blk.relayout is not None:
+                sig = np.asarray(blk.relayout)
+                np.testing.assert_array_equal(sig[sig], np.arange(len(sig)))
+    finally:
+        PF.TILE_ROWS, PF.RELAYOUT_TILE_ROWS = old_t, old_r
+
+
+def test_inplace_relayout_execution_parity():
+    """End-to-end parity of the ALIASED engine on a plan that contains
+    relayout entries (shrunken tiles force the path at n=12)."""
+    n = 12
+    old_t, old_r = PF.TILE_ROWS, PF.RELAYOUT_TILE_ROWS
+    PF.TILE_ROWS, PF.RELAYOUT_TILE_ROWS = 4, 1
+    try:
+        PF._KERNEL_CACHE.clear()
+        PF._CHAIN_CACHE.clear()
+        c = models.grover_like(n, num_gates=300, seed=13)
+        ops = _fuse_pipeline(c, 7, max_high=2)
+        plan = PF.plan_prefetch(ops, n, involution_relayout=True)
+        assert plan.num_relayouts > 0, "test needs the relayout path"
+        prog = PF.PrefetchProgram(ops, n, interpret=True, inplace=True)
+        import jax.numpy as jnp
+        from gpu_quantum_simulator_tpu.ops.apply import join_state
+        from gpu_quantum_simulator_tpu.engine.prefetch import (
+            initial_halves, join_halves)
+
+        parts = initial_halves(n, jnp.float32)
+        re0, re1, im0, im1 = prog.run_parts(*parts)
+        re, im = join_halves(re0, re1, im0, im1)
+        state = unpermute_state(
+            join_state(np.asarray(re), np.asarray(im)), prog.final_position
+        )
+        want = simulate_reference(c)
+        assert np.max(np.abs(state - want)) < TOL
+    finally:
+        PF.TILE_ROWS, PF.RELAYOUT_TILE_ROWS = old_t, old_r
+        PF._KERNEL_CACHE.clear()
+        PF._CHAIN_CACHE.clear()
