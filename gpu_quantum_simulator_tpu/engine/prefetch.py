@@ -346,7 +346,6 @@ def plan_prefetch(
         raise ValueError(f"op touches {widest} qubits > window {LOCAL_QUBITS}")
     logt = int(np.log2(tile_rows(nl)))
     kind_perm = logt + 1
-    kind_mat128 = logt + 2   # lane-only op: half-width matmul step
 
     pos_of = list(range(n))
     qubit_at = list(range(n))
@@ -382,10 +381,12 @@ def plan_prefetch(
 
     def add_mat(u: np.ndarray, positions: Tuple[int, ...]) -> None:
         b = room(1, 1)
-        # ops living entirely in the lanes run as two 128-wide matmuls
-        # (half the MXU flops of the full 256 window)
-        kind = kind_mat128 if all(p < LANE_QUBITS for p in positions) else 0
-        b.kinds.append(kind)
+        # NOTE: lane-only ops used to run as two 128-wide matmuls (a
+        # retired mat128 step kind), but the (T, 256) -> (2T, 128) reshape
+        # is a sublane/lane relayout that costs MORE than the halved MXU
+        # work (measured 2.53 ms vs 1.99 ms per 64-block chain at n=24,
+        # kernel_micro_n24.json) — always emit the full-width step
+        b.kinds.append(0)
         b.midx.append(len(b.mats))
         b.mats.append((u, positions, None))
 
@@ -397,8 +398,7 @@ def plan_prefetch(
         for b in reversed(blocks):
             if b.relayout is not None:
                 continue
-            if (b.gswap is None and b.kinds
-                    and b.kinds[-1] in (0, kind_mat128)):
+            if b.gswap is None and b.kinds and b.kinds[-1] == 0:
                 return b
             return None
         return None
@@ -407,9 +407,6 @@ def plan_prefetch(
         nonlocal num_perms, num_pfolds
         b = _fold_target() if PERM_FOLD else None
         if b is not None:
-            if b.kinds[-1] == kind_mat128:
-                # the combined table mixes column halves: full-width mat
-                b.kinds[-1] = 0
             u, pos, operm = b.mats[b.midx[-1]]
             sig = _window_swap_index(v)
             operm = sig if operm is None else operm[sig]
@@ -692,12 +689,72 @@ def _precision(name: str):
     }[name]
 
 
+def _steps_loop(scal_ref, a_ref, b_ref, p_ref, sre, sim,
+                cap_steps: int, T: int, dt, prec):
+    """Shared step interpreter: run the block's step list on one tile."""
+    logt = int(np.log2(T))
+
+    def mat_step(j, sre, sim):
+        a = a_ref[scal_ref[4 + cap_steps + j]]  # M_re^T
+        b = b_ref[scal_ref[4 + cap_steps + j]]  # M_im^T
+        dot = lambda x, m: jnp.dot(x, m, preferred_element_type=dt, precision=prec)
+        t1 = dot(sre + sim, a)
+        t2 = dot(sre, b - a)
+        t3 = dot(sim, a + b)
+        return t1 - t3, t1 + t2
+
+    def make_tswap(k):
+        # exchange column bit 7 (qubit 7) with tile-row bit k-1 (qubit 7+k)
+        def f(j, sre, sim):
+            def one(x):
+                t = x.reshape(T >> k, 2, 1 << (k - 1), 2, LANES)
+                return jnp.swapaxes(t, 1, 3).reshape(T, DVIEW)
+
+            return one(sre), one(sim)
+
+        return f
+
+    def perm_step(j, sre, sim):
+        # lane-bit v <-> window-bit 7 exchange: one real matmul per
+        # component against the process-wide 0/1 table p_tab[v] —
+        # exact under precision=highest, and cheaper than the previous
+        # two-lane-roll VPU shuffle, whose DYNAMIC shift lowered to a
+        # log-shift chain (~8.5 us/grid-step vs ~5.2 for a full
+        # Karatsuba mat, kernel_micro_n24.json perm1; a real dot pair
+        # is ~2/3 of a mat).  A static-shift lax.switch shuffle is
+        # arithmetically cheaper still but blows up the remote Mosaic
+        # compile (>17 min at n=18 vs ~3 min).
+        p = p_ref[scal_ref[4 + cap_steps + j]]
+        dot = lambda x: jnp.dot(x, p, preferred_element_type=dt, precision=prec)
+        return dot(sre), dot(sim)
+
+    branches = (
+        [mat_step] + [make_tswap(k) for k in range(1, logt + 1)]
+        + [perm_step]
+    )
+
+    def step(j, carry):
+        sre, sim = carry
+        return jax.lax.switch(
+            scal_ref[4 + j], [partial(b, j) for b in branches], sre, sim
+        )
+
+    return jax.lax.fori_loop(0, scal_ref[0], step, (sre, sim))
+
+
 def get_block_kernel(n: int, real_dtype, precision: str, interpret: bool,
                      cap_steps: int = CAP_STEPS, cap_mats: int = CAP_MATS):
     """The circuit-independent pallas_call: one block of steps, one state
     round-trip.  Returns f(scal, re, im, a_tab, b_tab, p_tab) -> (re, im)
     on (R2, DVIEW) arrays; ``scal`` = int32[4 + 2*cap_steps]:
     [nsteps, pro_active, pro_tmask, pro_shift, kinds..., midx...].
+
+    TWO executables back the call, selected by ``scal[1]`` at run time:
+    the steered form reads the state as four (T, 128) column-half streams
+    whose index maps fold the pending cross-tile swap into the input DMA;
+    the plain form (no prologue) reads full (T, 256) tiles — half the DMA
+    issues and no in-kernel half concatenation, which is most of the
+    fixed ~10.4 us/grid-step empty-pass overhead (kernel_micro_n24.json).
     """
     dt = np.dtype(real_dtype)
     key = (n, cap_steps, cap_mats, dt.str, precision, interpret)
@@ -707,82 +764,21 @@ def get_block_kernel(n: int, real_dtype, precision: str, interpret: bool,
 
     R2 = 1 << (n - LOCAL_QUBITS)
     T = tile_rows(n)
-    logt = int(np.log2(T))
     prec = _precision(precision)
 
     def kernel(scal_ref, rea_ref, reb_ref, ima_ref, imb_ref,
                a_ref, b_ref, p_ref, ore_ref, oim_ref):
-        def mat_step(j, sre, sim):
-            a = a_ref[scal_ref[4 + cap_steps + j]]  # M_re^T
-            b = b_ref[scal_ref[4 + cap_steps + j]]  # M_im^T
-            dot = lambda x, m: jnp.dot(x, m, preferred_element_type=dt, precision=prec)
-            t1 = dot(sre + sim, a)
-            t2 = dot(sre, b - a)
-            t3 = dot(sim, a + b)
-            return t1 - t3, t1 + t2
-
-        def make_tswap(k):
-            # exchange column bit 7 (qubit 7) with tile-row bit k-1 (qubit 7+k)
-            def f(j, sre, sim):
-                def one(x):
-                    t = x.reshape(T >> k, 2, 1 << (k - 1), 2, LANES)
-                    return jnp.swapaxes(t, 1, 3).reshape(T, DVIEW)
-
-                return one(sre), one(sim)
-
-            return f
-
-        def perm_step(j, sre, sim):
-            # lane-bit v <-> window-bit 7 exchange as a pure VPU shuffle:
-            # out[half h][lanes with bit_v = b] = in[half b][lane bit_v = h]
-            # = two lane-rolls (+-2^v) + selects per component — exact, and
-            # ~4x cheaper than the old 256-wide permutation matmul pass
-            # (which an 8-bit-window basis change would otherwise cost)
-            v = scal_ref[4 + cap_steps + j]
-            sh = jnp.int32(1) << v
-            lane = jax.lax.broadcasted_iota(jnp.int32, (T, LANES), 1)
-            bv0 = ((lane >> v) & 1) == 0
-
-            def one(x):
-                x2 = x.reshape(T, 2, LANES)
-                x0, x1 = x2[:, 0, :], x2[:, 1, :]
-                o0 = jnp.where(bv0, x0, pltpu.roll(x1, sh, 1))
-                o1 = jnp.where(bv0, pltpu.roll(x0, LANES - sh, 1), x1)
-                return jnp.concatenate(
-                    [o0[:, None, :], o1[:, None, :]], axis=1
-                ).reshape(T, DVIEW)
-
-            return one(sre), one(sim)
-
-        def mat128_step(j, sre, sim):
-            # lane-only op (positions subset of [0,7)): the 256x256 table is
-            # two identical diagonal 128-blocks, so apply the 128x128 block
-            # to each column half — HALF the MXU flops of a full mat step
-            idx = scal_ref[4 + cap_steps + j]
-            a = a_ref[idx][:LANES, :LANES]
-            b = b_ref[idx][:LANES, :LANES]
-            dot = lambda x, m: jnp.dot(x, m, preferred_element_type=dt, precision=prec)
-            r2 = lambda x: x.reshape(T * 2, LANES)
-            r1 = lambda x: x.reshape(T, DVIEW)
-            t1 = dot(r2(sre + sim), a)
-            t2 = dot(r2(sre), b - a)
-            t3 = dot(r2(sim), a + b)
-            return r1(t1 - t3), r1(t1 + t2)
-
-        branches = (
-            [mat_step] + [make_tswap(k) for k in range(1, logt + 1)]
-            + [perm_step, mat128_step]
-        )
-
-        def step(j, carry):
-            sre, sim = carry
-            return jax.lax.switch(
-                scal_ref[4 + j], [partial(b, j) for b in branches], sre, sim
-            )
-
         sre = jnp.concatenate([rea_ref[:], reb_ref[:]], axis=1)
         sim = jnp.concatenate([ima_ref[:], imb_ref[:]], axis=1)
-        sre, sim = jax.lax.fori_loop(0, scal_ref[0], step, (sre, sim))
+        sre, sim = _steps_loop(scal_ref, a_ref, b_ref, p_ref, sre, sim,
+                               cap_steps, T, dt, prec)
+        ore_ref[:] = sre
+        oim_ref[:] = sim
+
+    def kernel_full(scal_ref, re_ref, im_ref,
+                    a_ref, b_ref, p_ref, ore_ref, oim_ref):
+        sre, sim = _steps_loop(scal_ref, a_ref, b_ref, p_ref,
+                               re_ref[:], im_ref[:], cap_steps, T, dt, prec)
         ore_ref[:] = sre
         oim_ref[:] = sim
 
@@ -805,6 +801,18 @@ def get_block_kernel(n: int, real_dtype, precision: str, interpret: bool,
     tab = lambda m: pl.BlockSpec(
         (m, DVIEW, DVIEW), lambda i, scal: (0, 0, 0), memory_space=pltpu.VMEM
     )
+    cost = pl.CostEstimate(
+        flops=3 * 2 * R2 * DVIEW * DVIEW * cap_steps,
+        bytes_accessed=dt.itemsize
+        * (4 * R2 * DVIEW + 2 * cap_mats * DVIEW * DVIEW),
+        transcendentals=0,
+    )
+    # tiles are independent: a parallel grid dimension lets Mosaic
+    # overlap each tile's input DMA with the previous tile's compute
+    params = pltpu.CompilerParams(
+        vmem_limit_bytes=100 * 1024 * 1024,
+        dimension_semantics=(
+            ("parallel",) if _PARALLEL_GRID else ("arbitrary",)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(R2 // T,),
@@ -816,23 +824,36 @@ def get_block_kernel(n: int, real_dtype, precision: str, interpret: bool,
         kernel,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((R2, DVIEW), dt)] * 2,
-        cost_estimate=pl.CostEstimate(
-            flops=3 * 2 * R2 * DVIEW * DVIEW * cap_steps,
-            bytes_accessed=dt.itemsize
-            * (4 * R2 * DVIEW + 2 * cap_mats * DVIEW * DVIEW),
-            transcendentals=0,
-        ),
-        # tiles are independent: a parallel grid dimension lets Mosaic
-        # overlap each tile's input DMA with the previous tile's compute
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-            dimension_semantics=(
-                ("parallel",) if _PARALLEL_GRID else ("arbitrary",))),
+        cost_estimate=cost,
+        compiler_params=params,
+        interpret=interpret,
+    )
+    grid_spec_full = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(R2 // T,),
+        in_specs=[out_spec, out_spec,
+                  tab(cap_mats), tab(cap_mats), tab(LANE_QUBITS)],
+        out_specs=[out_spec, out_spec],
+    )
+    call_full = pl.pallas_call(
+        kernel_full,
+        grid_spec=grid_spec_full,
+        out_shape=[jax.ShapeDtypeStruct((R2, DVIEW), dt)] * 2,
+        cost_estimate=cost,
+        compiler_params=params,
         interpret=interpret,
     )
 
     def fn(scal, re, im, a_tab, b_tab, p_tab):
-        return call(scal, re, re, im, im, a_tab, b_tab, p_tab)
+        def steered(args):
+            r, i = args
+            return call(scal, r, r, i, i, a_tab, b_tab, p_tab)
+
+        def plain(args):
+            r, i = args
+            return call_full(scal, r, i, a_tab, b_tab, p_tab)
+
+        return jax.lax.cond(scal[1] == 1, steered, plain, (re, im))
 
     _KERNEL_CACHE[key] = fn
     return fn
@@ -1105,81 +1126,14 @@ def get_split_kernels(n: int, real_dtype, precision: str, interpret: bool,
 
     R2 = 1 << (n - LOCAL_QUBITS)
     T = tile_rows(n)
-    logt = int(np.log2(T))
     prec = _precision(precision)
 
     def kernel(scal_ref, re0_ref, re1_ref, im0_ref, im1_ref,
                a_ref, b_ref, p_ref, ore0_ref, ore1_ref, oim0_ref, oim1_ref):
-        def mat_step(j, sre, sim):
-            a = a_ref[scal_ref[4 + cap_steps + j]]
-            b = b_ref[scal_ref[4 + cap_steps + j]]
-            dot = lambda x, m: jnp.dot(x, m, preferred_element_type=dt, precision=prec)
-            t1 = dot(sre + sim, a)
-            t2 = dot(sre, b - a)
-            t3 = dot(sim, a + b)
-            return t1 - t3, t1 + t2
-
-        def make_tswap(k):
-            def f(j, sre, sim):
-                def one(x):
-                    t = x.reshape(T >> k, 2, 1 << (k - 1), 2, LANES)
-                    return jnp.swapaxes(t, 1, 3).reshape(T, DVIEW)
-
-                return one(sre), one(sim)
-
-            return f
-
-        def perm_step(j, sre, sim):
-            # lane-bit v <-> window-bit 7 exchange as a pure VPU shuffle:
-            # out[half h][lanes with bit_v = b] = in[half b][lane bit_v = h]
-            # = two lane-rolls (+-2^v) + selects per component — exact, and
-            # ~4x cheaper than the old 256-wide permutation matmul pass
-            # (which an 8-bit-window basis change would otherwise cost)
-            v = scal_ref[4 + cap_steps + j]
-            sh = jnp.int32(1) << v
-            lane = jax.lax.broadcasted_iota(jnp.int32, (T, LANES), 1)
-            bv0 = ((lane >> v) & 1) == 0
-
-            def one(x):
-                x2 = x.reshape(T, 2, LANES)
-                x0, x1 = x2[:, 0, :], x2[:, 1, :]
-                o0 = jnp.where(bv0, x0, pltpu.roll(x1, sh, 1))
-                o1 = jnp.where(bv0, pltpu.roll(x0, LANES - sh, 1), x1)
-                return jnp.concatenate(
-                    [o0[:, None, :], o1[:, None, :]], axis=1
-                ).reshape(T, DVIEW)
-
-            return one(sre), one(sim)
-
-        def mat128_step(j, sre, sim):
-            # lane-only op (positions subset of [0,7)): the 256x256 table is
-            # two identical diagonal 128-blocks, so apply the 128x128 block
-            # to each column half — HALF the MXU flops of a full mat step
-            idx = scal_ref[4 + cap_steps + j]
-            a = a_ref[idx][:LANES, :LANES]
-            b = b_ref[idx][:LANES, :LANES]
-            dot = lambda x, m: jnp.dot(x, m, preferred_element_type=dt, precision=prec)
-            r2 = lambda x: x.reshape(T * 2, LANES)
-            r1 = lambda x: x.reshape(T, DVIEW)
-            t1 = dot(r2(sre + sim), a)
-            t2 = dot(r2(sre), b - a)
-            t3 = dot(r2(sim), a + b)
-            return r1(t1 - t3), r1(t1 + t2)
-
-        branches = (
-            [mat_step] + [make_tswap(k) for k in range(1, logt + 1)]
-            + [perm_step, mat128_step]
-        )
-
-        def step(j, carry):
-            sre, sim = carry
-            return jax.lax.switch(
-                scal_ref[4 + j], [partial(b, j) for b in branches], sre, sim
-            )
-
         sre = jnp.concatenate([re0_ref[:], re1_ref[:]], axis=1)
         sim = jnp.concatenate([im0_ref[:], im1_ref[:]], axis=1)
-        sre, sim = jax.lax.fori_loop(0, scal_ref[0], step, (sre, sim))
+        sre, sim = _steps_loop(scal_ref, a_ref, b_ref, p_ref, sre, sim,
+                               cap_steps, T, dt, prec)
         ore0_ref[:] = sre[:, :LANES]
         ore1_ref[:] = sre[:, LANES:]
         oim0_ref[:] = sim[:, :LANES]
