@@ -571,13 +571,33 @@ def plan_prefetch(
                 key = (cost, -pull, i)
                 if best_key is None or key < best_key:
                     best_key, best = key, i
+            if best_key is not None and can_relayout:
+                # lookahead: an op one dependency away (its only unemitted
+                # dep is the ready op j) joins the demand pool with lower
+                # priority, so one relayout pass also parks the NEXT wave's
+                # cold qubits instead of paying a fresh pass per wave
+                look: dict = {}
+                ahead = set()
+                for j in ready:
+                    for s in succs[j]:
+                        if indeg[s] == 1:
+                            ahead.update(ops[s].qubits)
+                            for q in ops[s].qubits:
+                                if pos_of[q] > xreach and q not in demand:
+                                    look[q] = look.get(q, 0) + 1
             if best_key is not None and can_relayout and len(demand) >= 2:
                 frontier = {q for j in ready for q in ops[j].qubits}
-                avail = [p for p in parks if qubit_at[p] not in frontier]
+                avail = [p for p in parks
+                         if qubit_at[p] not in frontier
+                         and qubit_at[p] not in ahead]
+                if len(avail) < 2:   # lookahead exclusions too greedy
+                    avail = [p for p in parks if qubit_at[p] not in frontier]
                 # relayout moves local cross-tile bits only; mesh-bit
                 # qubits travel one at a time via gswap entries
                 cold = sorted((q for q in demand if pos_of[q] < nl),
                               key=lambda q: (-demand[q], pos_of[q]))
+                cold += sorted((q for q in look if pos_of[q] < nl),
+                               key=lambda q: (-look[q], pos_of[q]))
                 k = min(len(cold), len(avail))
                 if k >= 2:
                     # evict the least-used park occupants to the cold slots
@@ -689,6 +709,12 @@ def _precision(name: str):
     }[name]
 
 
+TSWAP_ROLL_MIN_K = 4   # tswap strides >= 2^(k-1) rows run as static rolls
+# in-place kernel computes directly on the four column halves (no per-tile
+# (T, 256) concat + re-split); flip for A/B against the concat form
+_SPLIT_HALVES_NATIVE = True
+
+
 def _steps_loop(scal_ref, a_ref, b_ref, p_ref, sre, sim,
                 cap_steps: int, T: int, dt, prec):
     """Shared step interpreter: run the block's step list on one tile."""
@@ -705,14 +731,34 @@ def _steps_loop(scal_ref, a_ref, b_ref, p_ref, sre, sim,
 
     def make_tswap(k):
         # exchange column bit 7 (qubit 7) with tile-row bit k-1 (qubit 7+k)
-        def f(j, sre, sim):
+        s = 1 << (k - 1)
+
+        def f_reshape(j, sre, sim):
             def one(x):
-                t = x.reshape(T >> k, 2, 1 << (k - 1), 2, LANES)
+                t = x.reshape(T >> k, 2, s, 2, LANES)
                 return jnp.swapaxes(t, 1, 3).reshape(T, DVIEW)
 
             return one(sre), one(sim)
 
-        return f
+        def f_roll(j, sre, sim):
+            # rank-5 swapaxes cost grows with the stride (measured 1.8 ->
+            # 7.2 us/grid-step from k=1 to k=9, kernel_micro_n24.json);
+            # two STATIC sublane rolls + row-parity selects are
+            # stride-independent: pair (r, r+s) with bit k-1 of r clear
+            # exchanges h1[r] <-> h0[r+s]
+            rows = jax.lax.broadcasted_iota(jnp.int32, (T, LANES), 0)
+            lo = ((rows >> (k - 1)) & 1) == 0
+
+            def one(x):
+                x0, x1 = x[:, :LANES], x[:, LANES:]
+                up = pltpu.roll(x1, s, 0)       # h1[r] arrives at row r+s
+                dn = pltpu.roll(x0, T - s, 0)   # h0[r] arrives at row r-s
+                return jnp.concatenate(
+                    [jnp.where(lo, x0, up), jnp.where(lo, dn, x1)], axis=1)
+
+            return one(sre), one(sim)
+
+        return f_roll if k >= TSWAP_ROLL_MIN_K else f_reshape
 
     def perm_step(j, sre, sim):
         # lane-bit v <-> window-bit 7 exchange: one real matmul per
@@ -740,6 +786,76 @@ def _steps_loop(scal_ref, a_ref, b_ref, p_ref, sre, sim,
         )
 
     return jax.lax.fori_loop(0, scal_ref[0], step, (sre, sim))
+
+
+def _steps_loop_halves(scal_ref, a_ref, b_ref, p_ref, r0, r1, i0, i1,
+                       cap_steps: int, T: int, dt, prec):
+    """Step interpreter on SPLIT column halves: the in-place engine's state
+    arrives as four (T, 128) tiles, and concatenating them into (T, 256)
+    pairs (then re-splitting to write back) is pure VMEM relayout traffic
+    on every grid step.  This twin of ``_steps_loop`` keeps the halves
+    separate end to end: matmul steps run as blocked 2x2 half-matmuls
+    (identical MXU work — a 256-wide MXU contraction is four 128x128
+    passes either way), tswaps as static sublane rolls + row-parity
+    selects, perms as blocked products against the resident 0/1 table.
+    """
+    logt = int(np.log2(T))
+
+    def bdot(x0, x1, m):
+        # halves of x @ m for 256x256 m: (lo, hi) = x0 @ m[:128] + x1 @ m[128:]
+        d = lambda x, mm: jnp.dot(x, mm, preferred_element_type=dt,
+                                  precision=prec)
+        lo = d(x0, m[:LANES, :LANES]) + d(x1, m[LANES:, :LANES])
+        hi = d(x0, m[:LANES, LANES:]) + d(x1, m[LANES:, LANES:])
+        return lo, hi
+
+    def mat_step(j, r0, r1, i0, i1):
+        a = a_ref[scal_ref[4 + cap_steps + j]]  # M_re^T
+        b = b_ref[scal_ref[4 + cap_steps + j]]  # M_im^T
+        ba = b - a
+        ab = a + b
+        t1 = bdot(r0 + i0, r1 + i1, a)
+        t2 = bdot(r0, r1, ba)
+        t3 = bdot(i0, i1, ab)
+        return (t1[0] - t3[0], t1[1] - t3[1],
+                t1[0] + t2[0], t1[1] + t2[1])
+
+    def make_tswap(k):
+        # exchange column bit 7 (the half split) with tile-row bit k-1:
+        # pair (r, r+s) with bit k-1 of r clear exchanges h1[r] <-> h0[r+s]
+        s = 1 << (k - 1)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (T, LANES), 0)
+        lo = ((rows >> (k - 1)) & 1) == 0
+
+        def f(j, r0, r1, i0, i1):
+            def one(x0, x1):
+                up = pltpu.roll(x1, s, 0)       # h1[r] arrives at row r+s
+                dn = pltpu.roll(x0, T - s, 0)   # h0[r] arrives at row r-s
+                return jnp.where(lo, x0, up), jnp.where(lo, dn, x1)
+
+            o0, o1 = one(r0, r1)
+            p0, p1 = one(i0, i1)
+            return o0, o1, p0, p1
+
+        return f
+
+    def perm_step(j, r0, r1, i0, i1):
+        p = p_ref[scal_ref[4 + cap_steps + j]]
+        o0, o1 = bdot(r0, r1, p)
+        p0, p1 = bdot(i0, i1, p)
+        return o0, o1, p0, p1
+
+    branches = (
+        [mat_step] + [make_tswap(k) for k in range(1, logt + 1)]
+        + [perm_step]
+    )
+
+    def step(j, carry):
+        return jax.lax.switch(
+            scal_ref[4 + j], [partial(b, j) for b in branches], *carry
+        )
+
+    return jax.lax.fori_loop(0, scal_ref[0], step, (r0, r1, i0, i1))
 
 
 def get_block_kernel(n: int, real_dtype, precision: str, interpret: bool,
@@ -1130,6 +1246,16 @@ def get_split_kernels(n: int, real_dtype, precision: str, interpret: bool,
 
     def kernel(scal_ref, re0_ref, re1_ref, im0_ref, im1_ref,
                a_ref, b_ref, p_ref, ore0_ref, ore1_ref, oim0_ref, oim1_ref):
+        if _SPLIT_HALVES_NATIVE:
+            r0, r1, i0, i1 = _steps_loop_halves(
+                scal_ref, a_ref, b_ref, p_ref,
+                re0_ref[:], re1_ref[:], im0_ref[:], im1_ref[:],
+                cap_steps, T, dt, prec)
+            ore0_ref[:] = r0
+            ore1_ref[:] = r1
+            oim0_ref[:] = i0
+            oim1_ref[:] = i1
+            return
         sre = jnp.concatenate([re0_ref[:], re1_ref[:]], axis=1)
         sim = jnp.concatenate([im0_ref[:], im1_ref[:]], axis=1)
         sre, sim = _steps_loop(scal_ref, a_ref, b_ref, p_ref, sre, sim,

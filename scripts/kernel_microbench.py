@@ -28,14 +28,19 @@ os.makedirs(ART, exist_ok=True)
 
 
 def main():
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 24
-    C = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    args = [a for a in sys.argv[1:] if a != "inplace"]
+    inplace = "inplace" in sys.argv
+    n = int(args[0]) if args else 24
+    C = int(args[1]) if len(args) > 1 else 64
     dt = np.float32
     R2 = 1 << (n - PF.LOCAL_QUBITS)
     T = PF.tile_rows(n)
     logt = int(np.log2(T))
-    chain = PF.get_block_chain(n, dt, "highest", False, C)
     import jax as _jax
+    if inplace:
+        chain = PF.get_block_chain_split(n, dt, "highest", False, C)
+    else:
+        chain = PF.get_block_chain(n, dt, "highest", False, C)
     runner = _jax.jit(chain.pure)
     cap_steps, cap_mats = PF.CAP_STEPS, PF.CAP_MATS
     ptab = PF.perm_table(dt)
@@ -44,6 +49,13 @@ def main():
     rng = np.random.default_rng(0)
     re = jnp.asarray(rng.standard_normal((R2 * PF.DVIEW,)).astype(dt))
     im = jnp.asarray(rng.standard_normal((R2 * PF.DVIEW,)).astype(dt))
+    if inplace:
+        re2 = np.asarray(re).reshape(R2, PF.DVIEW)
+        im2 = np.asarray(im).reshape(R2, PF.DVIEW)
+        parts = tuple(jnp.asarray(np.ascontiguousarray(h))
+                      for h in (re2[:, :PF.LANES], re2[:, PF.LANES:],
+                                im2[:, :PF.LANES], im2[:, PF.LANES:]))
+        del re, im
 
     def make_tabs(nmats):
         u_re = np.zeros((C, cap_mats, PF.UPAD, PF.UPAD), dt)
@@ -66,16 +78,21 @@ def main():
 
     def timed(scal_np, reps=3):
         scal = jnp.asarray(scal_np)
-        r, i = runner(re, im, scal, a_tab, b_tab, ptab)   # compile+warm
-        np.asarray(r[:1])
-        del r, i
+
+        def once():
+            if inplace:
+                out = runner(*parts, scal, a_tab, b_tab, ptab)
+                np.asarray(out[0][:1, :1])
+            else:
+                r, i = runner(re, im, scal, a_tab, b_tab, ptab)
+                np.asarray(r[:1])
+
+        once()   # compile+warm
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            r, i = runner(re, im, scal, a_tab, b_tab, ptab)
-            np.asarray(r[:1])
+            once()
             ts.append(time.perf_counter() - t0)
-            del r, i
         return min(ts)
 
     def scal_steps(kinds, midx, flag=0, s2=0, s3=0):
@@ -98,18 +115,23 @@ def main():
         ("perm1", [logt + 1], [3]),
         ("perm4", [logt + 1] * 4, [3, 1, 5, 3]),
         ("tswap_k1", [1], [0]),
+        ("tswap_k4", [4], [0]),     # first static-roll stride
         ("tswap_k5", [5], [0]),
         (f"tswap_k{logt}", [logt], [0]),
         ("tswap4", [1, 5, logt, 3], [0, 0, 0, 0]),
-        ("mat128_1", [logt + 2], [0]),
     ):
         t = timed(scal_steps(kinds, midx))
         out[label + "_ms"] = t / C * 1e3
-    # prologue xswap riding the input DMA
     sh = n - 9 - logt
-    t = timed(scal_steps([], [], flag=1, s2=1 << sh, s3=sh))
-    out["xswap_prologue_ms"] = t / C * 1e3
-    # relayout pass (identity sigma)
+    if inplace:
+        # standalone pair-grid cross-tile swap entry
+        t = timed(scal_steps([], [], flag=2, s3=sh))
+        out["xswap_pairgrid_ms"] = t / C * 1e3
+    else:
+        # prologue xswap riding the input DMA
+        t = timed(scal_steps([], [], flag=1, s2=1 << sh, s3=sh))
+        out["xswap_prologue_ms"] = t / C * 1e3
+    # relayout pass (identity sigma — an involution, valid for both forms)
     if R2 > T:
         m = 1 + (n - PF.LOCAL_QUBITS - int(np.log2(PF.relayout_rows(n))))
         scal = np.zeros((C, 4 + 2 * cap_steps), np.int32)
@@ -120,7 +142,8 @@ def main():
     hbm_pass_ms = (2 * 2 * (1 << n) * 4) / 819e9 * 1e3
     out["hbm_roundtrip_bound_ms"] = hbm_pass_ms
     print(json.dumps(out, indent=1), flush=True)
-    with open(os.path.join(ART, f"kernel_micro_n{n}.json"), "w") as f:
+    tag = f"kernel_micro_n{n}_inplace" if inplace else f"kernel_micro_n{n}"
+    with open(os.path.join(ART, tag + ".json"), "w") as f:
         json.dump(out, f, indent=1)
 
 
