@@ -34,6 +34,13 @@ def main(argv=None) -> int:
     p.add_argument("--strategy", choices=STRATEGIES, default="mxu")
     p.add_argument("--dtype", choices=["complex64", "complex128"], default="complex64")
     p.add_argument("--permute", action="store_true", help="qubit-relabeling pass")
+    p.add_argument(
+        "--precision", choices=["highest", "high", "default"], default="highest",
+        help="MXU matmul passes per f32 product: highest = 6 bf16 passes "
+        "(~1e-7/gate, the parity default), high = 3 (~1e-6/gate, ~2x faster "
+        "mats — fine for sampling/expectation workloads), default = 1 bf16 "
+        "pass (~1e-3/gate, exploratory only)",
+    )
     p.add_argument("--seed", type=int, default=0, help="measurement RNG seed")
     p.add_argument(
         "--json", action="store_true", help="emit a structured JSON record instead"
@@ -70,7 +77,8 @@ def main(argv=None) -> int:
         initial = re0 + 1j * im0
 
     cfg = SimulatorConfig(
-        strategy=args.strategy, dtype=args.dtype, permute=args.permute
+        strategy=args.strategy, dtype=args.dtype, permute=args.permute,
+        precision=args.precision,
     )
     sim = Simulator(cfg)
     res = sim.run_detailed(circuit, initial=initial)

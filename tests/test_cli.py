@@ -87,3 +87,12 @@ def test_cli_expectation_bad_string(tmp_path, capsys):
     f.write_text(models.ghz(2).to_qasm())
     rc = main([str(f), "--strategy", "reference", "--expectation", "QQ"])
     assert rc == 1
+
+
+def test_cli_precision_flag():
+    # the speed/accuracy ladder knob: high must run and stay parity-close
+    # on a tiny circuit (on CPU f32 the precision enums are all exact)
+    r = _run_cli("/root/reference/entanglement.qasm", "--strategy",
+                 "megakernel", "--precision", "high", "--amplitudes", "2")
+    assert r.returncode == 0, r.stderr
+    assert "|00>" in r.stdout and "|11>" in r.stdout
