@@ -34,6 +34,7 @@ from gpu_quantum_simulator_tpu.passes.permute import plan_permutation  # noqa: E
 US = 1e-6
 BASE_STEERED = 10.4
 BASE_PLAIN = 6.0
+BASE_SPLIT = 8.0     # in-place 4-stream halves-native kernel (ESTIMATE)
 MAT = 5.2
 PERM = 3.5
 RELAYOUT = 10.9
@@ -57,11 +58,21 @@ def estimate(plan: P.PrefetchPlan, n: int, inplace: bool = False):
             continue
         if b.gswap is not None:
             continue
-        if inplace and b.prologue is not None and not b.kinds:
-            # standalone pair-grid swap entry: half-grid pure copy
+        if inplace and b.prologue is not None:
+            # materialization hoists the prologue into a standalone
+            # pair-grid swap entry (half grid) + a plain step block
             acc["xswap"] += BASE_PLAIN * gs / 2
+            acc["base"] += BASE_SPLIT * gs
+            for kind in b.kinds:
+                if kind == 0:
+                    acc["mat"] += MAT * gs
+                elif kind == logt + 1:
+                    acc["perm"] += PERM * gs
+                else:
+                    acc["tswap"] += tswap_us(kind) * gs
             continue
-        acc["base"] += (BASE_STEERED if b.prologue is not None
+        acc["base"] += (BASE_SPLIT if inplace else
+                        BASE_STEERED if b.prologue is not None
                         else BASE_PLAIN) * gs
         for kind in b.kinds:
             if kind == 0:
