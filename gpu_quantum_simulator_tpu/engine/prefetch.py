@@ -555,11 +555,21 @@ def plan_prefetch(
             # pass; (3) else the op with the fewest swaps, preferring the
             # most-demanded cold qubit (drains its whole ready set first)
             best = best_key = demand = None
+            best_aff = None
             for i in ready:
                 cost = sum(1 for q in ops[i].qubits if pos_of[q] > xreach)
                 if cost == 0:
-                    best = i  # ready is index-sorted: lowest index wins
-                    break
+                    # window affinity among in-reach ops: each qubit
+                    # outside the 8-bit window costs a tswap (and usually
+                    # a victim perm) — run the cheapest placements first
+                    # so window residents are reused before eviction
+                    aff = sum(1 for q in ops[i].qubits
+                              if pos_of[q] >= LOCAL_QUBITS)
+                    if best_aff is None or aff < best_aff[0]:
+                        best_aff = (aff, i)
+                        if aff == 0:
+                            break
+                    continue
                 if demand is None:
                     demand = {}
                     for j in ready:
@@ -571,6 +581,8 @@ def plan_prefetch(
                 key = (cost, -pull, i)
                 if best_key is None or key < best_key:
                     best_key, best = key, i
+            if best_aff is not None:   # an in-reach op always wins
+                best, best_key = best_aff[1], None
             if best_key is not None and can_relayout:
                 # lookahead: an op one dependency away (its only unemitted
                 # dep is the ready op j) joins the demand pool with lower
@@ -596,9 +608,17 @@ def plan_prefetch(
                 # qubits travel one at a time via gswap entries
                 cold = sorted((q for q in demand if pos_of[q] < nl),
                               key=lambda q: (-demand[q], pos_of[q]))
+                # TERMINATION: at least one READY-demanded qubit must be
+                # parked (cold is ready-first).  A lookahead-only relayout
+                # can evict other lookahead qubits (the avail fallback
+                # drops the `ahead` exclusion) and cycle park<->evict
+                # forever without any ready op ever becoming placeable;
+                # requiring ready-cold[0] + the frontier exclusion makes
+                # every relayout strictly decrease the ready swap cost.
+                have_ready_cold = bool(cold)
                 cold += sorted((q for q in look if pos_of[q] < nl),
                                key=lambda q: (-look[q], pos_of[q]))
-                k = min(len(cold), len(avail))
+                k = min(len(cold), len(avail)) if have_ready_cold else 0
                 if k >= 2:
                     # evict the least-used park occupants to the cold slots
                     avail.sort(key=lambda p: remaining[qubit_at[p]])
