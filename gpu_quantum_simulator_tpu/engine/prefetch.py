@@ -148,6 +148,39 @@ def _expand_local_into(
 _EXPANDER_CACHE: dict = {}
 UPAD = 128  # factor matrices ship padded to (128, 128); m indexes 128-stride
 
+_MONO_CACHE: dict = {}
+
+
+def _monomial_phases(u: np.ndarray) -> Optional[np.ndarray]:
+    """Row phases if ``u`` is MONOMIAL (a generalized permutation matrix:
+    exactly one unit-modulus entry per row and column), else None.
+
+    The grover-profile gate mix is dominated by cx/x/rz compositions, and
+    ~3/4 of FUSED ops stay monomial: u[r, sigma(r)] = e^{i theta_r}.  Such
+    an op needs no 3-matmul Karatsuba product — one 0/1-pattern matmul per
+    component gathers the columns, and the phase rotation is a VPU
+    broadcast multiply (the ``mono`` kernel step, ~2/3 the MXU work).
+    Returns theta[r] (zeros on padding rows).
+    """
+    key = id(u)   # planner reuses op matrices; cheap memo by identity
+    got = _MONO_CACHE.get(key)
+    if got is not None and got[0] is u:
+        return got[1]
+    az = np.abs(u)
+    nz = az > 1e-12
+    ok = ((nz.sum(axis=0) == 1).all() and (nz.sum(axis=1) == 1).all()
+          and np.allclose(az[nz], 1.0, rtol=0, atol=1e-12))
+    if ok:
+        rows, cols = np.nonzero(nz)
+        theta = np.zeros(u.shape[0])
+        theta[rows] = np.angle(u[rows, cols])
+    else:
+        theta = None
+    if len(_MONO_CACHE) > 4096:
+        _MONO_CACHE.clear()
+    _MONO_CACHE[key] = (u, theta)
+    return theta
+
 
 def _get_expander(C: int, cap: int, real_dtype):
     """Device-side table expansion: (C, cap, 128, 128) factors + (C, cap,
@@ -163,6 +196,11 @@ def _get_expander(C: int, cap: int, real_dtype):
     into that mat as an output-window relabeling — (mo, ho) are the mat's
     (m, h) composed with the folded permutation, and the standalone perm
     matmul pass vanishes (plan_prefetch add_perm).
+
+    MONOMIAL slots (mono[b, s] = 1): ``u_re`` ships the 0/1 pattern and
+    ``u_im`` zeros, so the a-table is the pure gather matrix; the phase
+    rotation vectors cos/sin(theta[mo(v)]) ride ROWS 0 and 1 of the
+    otherwise-unused b-table (``phases`` ships compact (cap, 2, 128) rows).
     """
     dt = np.dtype(real_dtype)
     key = (C, cap, dt.str)
@@ -173,7 +211,7 @@ def _get_expander(C: int, cap: int, real_dtype):
     hi = jax.lax.Precision.HIGHEST  # 0/1 selections: exact in f32 only then
 
     @jax.jit
-    def expand(u_re, u_im, mvec_i, hvec_i, mvec_o, hvec_o):
+    def expand(u_re, u_im, mvec_i, hvec_i, mvec_o, hvec_o, phases, mono):
         rng = jnp.arange(UPAD, dtype=mvec_i.dtype)
         sel_i = (mvec_i[..., :, None] == rng).astype(dt)
         sel_o = (mvec_o[..., :, None] == rng).astype(dt)
@@ -186,7 +224,16 @@ def _get_expander(C: int, cap: int, real_dtype):
             t = jnp.einsum("bswl,bsvl->bswv", t, sel_o, precision=hi)
             return t * mask
 
-        return one(u_re), one(u_im)
+        a = one(u_re)
+        b = one(u_im)
+        # phase-rotation rows for mono slots: row[v] = phases[., mo(v)]
+        pc = jnp.einsum("bsvl,bsl->bsv", sel_o, phases[..., 0, :], precision=hi)
+        ps = jnp.einsum("bsvl,bsl->bsv", sel_o, phases[..., 1, :], precision=hi)
+        bm = jnp.zeros_like(b)
+        bm = bm.at[..., 0, :].set(pc)
+        bm = bm.at[..., 1, :].set(ps)
+        b = jnp.where((mono != 0)[..., None, None], bm, b)
+        return a, b
 
     _EXPANDER_CACHE[key] = expand
     return expand
@@ -346,6 +393,7 @@ def plan_prefetch(
         raise ValueError(f"op touches {widest} qubits > window {LOCAL_QUBITS}")
     logt = int(np.log2(tile_rows(nl)))
     kind_perm = logt + 1
+    kind_mono = logt + 2   # monomial op: one gather matmul + phase rotation
 
     pos_of = list(range(n))
     qubit_at = list(range(n))
@@ -385,8 +433,10 @@ def plan_prefetch(
         # retired mat128 step kind), but the (T, 256) -> (2T, 128) reshape
         # is a sublane/lane relayout that costs MORE than the halved MXU
         # work (measured 2.53 ms vs 1.99 ms per 64-block chain at n=24,
-        # kernel_micro_n24.json) — always emit the full-width step
-        b.kinds.append(0)
+        # kernel_micro_n24.json) — full-width steps only.  Monomial ops
+        # (~3/4 of the grover-profile mix) take the 2-matmul mono step.
+        kind = kind_mono if _monomial_phases(u) is not None else 0
+        b.kinds.append(kind)
         b.midx.append(len(b.mats))
         b.mats.append((u, positions, None))
 
@@ -398,7 +448,8 @@ def plan_prefetch(
         for b in reversed(blocks):
             if b.relayout is not None:
                 continue
-            if b.gswap is None and b.kinds and b.kinds[-1] == 0:
+            if (b.gswap is None and b.kinds
+                    and b.kinds[-1] in (0, kind_mono)):
                 return b
             return None
         return None
@@ -794,9 +845,24 @@ def _steps_loop(scal_ref, a_ref, b_ref, p_ref, sre, sim,
         dot = lambda x: jnp.dot(x, p, preferred_element_type=dt, precision=prec)
         return dot(sre), dot(sim)
 
+    def mono_step(j, sre, sim):
+        # monomial op (one unit-modulus entry per row/column — cx/x/rz
+        # compositions, ~3/4 of the grover-profile fused mix): the a-table
+        # is the 0/1 gather pattern, so ONE real matmul per component
+        # replaces the 3-product Karatsuba; the phase rotation is a VPU
+        # broadcast multiply with cos/sin rows 0/1 of the b-table.
+        idx = scal_ref[4 + cap_steps + j]
+        p = a_ref[idx]
+        c = b_ref[idx, 0:1, :]
+        s = b_ref[idx, 1:2, :]
+        dot = lambda x: jnp.dot(x, p, preferred_element_type=dt, precision=prec)
+        gr = dot(sre)
+        gi = dot(sim)
+        return gr * c - gi * s, gr * s + gi * c
+
     branches = (
         [mat_step] + [make_tswap(k) for k in range(1, logt + 1)]
-        + [perm_step]
+        + [perm_step, mono_step]
     )
 
     def step(j, carry):
@@ -865,9 +931,23 @@ def _steps_loop_halves(scal_ref, a_ref, b_ref, p_ref, r0, r1, i0, i1,
         p0, p1 = bdot(i0, i1, p)
         return o0, o1, p0, p1
 
+    def mono_step(j, r0, r1, i0, i1):
+        # monomial op on halves (see _steps_loop.mono_step): one gather
+        # matmul per component + VPU phase rotation from b rows 0/1
+        idx = scal_ref[4 + cap_steps + j]
+        p = a_ref[idx]
+        c0 = b_ref[idx, 0:1, :LANES]
+        c1 = b_ref[idx, 0:1, LANES:]
+        s0 = b_ref[idx, 1:2, :LANES]
+        s1 = b_ref[idx, 1:2, LANES:]
+        gr0, gr1 = bdot(r0, r1, p)
+        gi0, gi1 = bdot(i0, i1, p)
+        return (gr0 * c0 - gi0 * s0, gr1 * c1 - gi1 * s1,
+                gr0 * s0 + gi0 * c0, gr1 * s1 + gi1 * c1)
+
     branches = (
         [mat_step] + [make_tswap(k) for k in range(1, logt + 1)]
-        + [perm_step]
+        + [perm_step, mono_step]
     )
 
     def step(j, carry):
@@ -1539,9 +1619,11 @@ def materialize_entries(entries: Sequence[_Block], cap_steps: int,
     per chunk (_get_expander).
 
     Returns a list of (cap, chunk_sizes, scal, u_re, u_im, mvec, hvec,
-    mvec_o, hvec_o); chunk_sizes may cover more rows than real entries
-    (zero rows = identity blocks).  The _o vectors are the output-side
-    window indices with any folded perm steps composed in.  Shared by
+    mvec_o, hvec_o, phases, mono); chunk_sizes may cover more rows than
+    real entries (zero rows = identity blocks).  The _o vectors are the
+    output-side window indices with any folded perm steps composed in.
+    MONOMIAL mats ship the 0/1 pattern in u_re plus compact (2, 128)
+    cos/sin row-phase vectors (see _get_expander).  Shared by
     PrefetchProgram and the mesh engine (parallel/sharded_prefetch.py).
     """
     if single_class:
@@ -1587,6 +1669,8 @@ def materialize_entries(entries: Sequence[_Block], cap_steps: int,
         hvec = np.zeros((Bp, cap, DVIEW), dtype=np.int32)
         mvec_o = np.zeros((Bp, cap, DVIEW), dtype=np.int32)
         hvec_o = np.zeros((Bp, cap, DVIEW), dtype=np.int32)
+        phases = np.zeros((Bp, cap, 2, UPAD), dtype=dt)
+        mono = np.zeros((Bp, cap), dtype=np.int32)
         for i, blk in enumerate(blks):
             k = len(blk.kinds)
             scal[i, 0] = k
@@ -1612,8 +1696,17 @@ def materialize_entries(entries: Sequence[_Block], cap_steps: int,
             scal[i, 4 + cap_steps : 4 + cap_steps + k] = blk.midx
             for s, (u, positions, operm) in enumerate(blk.mats):
                 d = u.shape[0]
-                u_re[i, s, :d, :d] = u.real
-                u_im[i, s, :d, :d] = u.imag
+                theta = _monomial_phases(u)
+                if theta is None:
+                    u_re[i, s, :d, :d] = u.real
+                    u_im[i, s, :d, :d] = u.imag
+                else:
+                    # mono slot: a-table = pure 0/1 gather pattern; the
+                    # phase rotation rides rows 0/1 of the b-table
+                    u_re[i, s, :d, :d] = (np.abs(u) > 1e-12).astype(dt)
+                    phases[i, s, 0, :d] = np.cos(theta)
+                    phases[i, s, 1, :d] = np.sin(theta)
+                    mono[i, s] = 1
                 m, h = _window_vectors(tuple(positions))
                 mvec[i, s] = m
                 hvec[i, s] = h
@@ -1625,7 +1718,8 @@ def materialize_entries(entries: Sequence[_Block], cap_steps: int,
                     # mat's output at operm(v) (see _get_expander)
                     mvec_o[i, s] = m[operm]
                     hvec_o[i, s] = h[operm]
-        out.append((cap, sizes, scal, u_re, u_im, mvec, hvec, mvec_o, hvec_o))
+        out.append((cap, sizes, scal, u_re, u_im, mvec, hvec, mvec_o, hvec_o,
+                    phases, mono))
     return out
 
 
@@ -1692,7 +1786,7 @@ class PrefetchProgram:
         grid_rows = max(self._R2 // tile_rows(n), 1)
         max_chunk = max(32, DISPATCH_GRID_BUDGET // grid_rows)
         for (cap, sizes, scal, u_re, u_im, mvec, hvec, mvec_o,
-             hvec_o) in materialize_entries(
+             hvec_o, phases, mono) in materialize_entries(
                 entries, cap_steps, cap_mats, dt, inplace=inplace,
                 single_class=single_class, max_chunk=max_chunk):
             off = 0
@@ -1715,6 +1809,8 @@ class PrefetchProgram:
                             np.ascontiguousarray(hvec[off : off + c]),
                             np.ascontiguousarray(mvec_o[off : off + c]),
                             np.ascontiguousarray(hvec_o[off : off + c]),
+                            np.ascontiguousarray(phases[off : off + c]),
+                            np.ascontiguousarray(mono[off : off + c]),
                         )
                     )
                 else:
@@ -1726,6 +1822,8 @@ class PrefetchProgram:
                         jnp.asarray(hvec[off : off + c]),
                         jnp.asarray(mvec_o[off : off + c]),
                         jnp.asarray(hvec_o[off : off + c]),
+                        jnp.asarray(phases[off : off + c]),
+                        jnp.asarray(mono[off : off + c]),
                     )
                     self._chain_parts.append(
                         (chain, jnp.asarray(scal[off : off + c]), a_tab, b_tab)
@@ -1743,12 +1841,13 @@ class PrefetchProgram:
         dt = self._dt
         parts = (re0, re1, im0, im1)
         for i, (chain, c, cap, scal, u_re, u_im, mvec, hvec, mvec_o,
-                hvec_o) in enumerate(self._host_parts):
+                hvec_o, phases, mono) in enumerate(self._host_parts):
             expander = _get_expander(c, cap, dt)
             a_tab, b_tab = expander(
                 jnp.asarray(u_re), jnp.asarray(u_im),
                 jnp.asarray(mvec), jnp.asarray(hvec),
                 jnp.asarray(mvec_o), jnp.asarray(hvec_o),
+                jnp.asarray(phases), jnp.asarray(mono),
             )
             parts = chain(*parts, jnp.asarray(scal), a_tab, b_tab, self._ptab)
             del a_tab, b_tab

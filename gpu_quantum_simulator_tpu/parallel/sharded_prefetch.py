@@ -203,7 +203,7 @@ class ShardedPrefetchProgram:
         grid_rows = max((1 << max(nl - LOCAL_QUBITS, 0)) // tile_rows(nl), 1)
         max_chunk = max(32, DISPATCH_GRID_BUDGET // grid_rows)
         for (cap, sizes, scal, u_re, u_im, mvec, hvec, mvec_o,
-             hvec_o) in materialize_entries(
+             hvec_o, phases, mono) in materialize_entries(
                 plan.blocks, cap_steps, cap_mats, dt,
                 single_class=single_class, max_chunk=max_chunk):
             off = 0
@@ -219,6 +219,8 @@ class ShardedPrefetchProgram:
                     jnp.asarray(hvec[off : off + c]),
                     jnp.asarray(mvec_o[off : off + c]),
                     jnp.asarray(hvec_o[off : off + c]),
+                    jnp.asarray(phases[off : off + c]),
+                    jnp.asarray(mono[off : off + c]),
                 )
                 self._chain_parts.append(
                     (chain, jnp.asarray(scal[off : off + c]), a_tab, b_tab))

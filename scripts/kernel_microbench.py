@@ -70,21 +70,47 @@ def main():
             m, h = PF._window_vectors(tuple(range(7)))
             mvec[:, s] = m
             hvec[:, s] = h
+        phases = np.zeros((C, cap_mats, 2, PF.UPAD), dt)
+        mono = np.zeros((C, cap_mats), np.int32)
         return expander(jnp.asarray(u_re), jnp.asarray(u_im),
                         jnp.asarray(mvec), jnp.asarray(hvec),
-                        jnp.asarray(mvec), jnp.asarray(hvec))
+                        jnp.asarray(mvec), jnp.asarray(hvec),
+                        jnp.asarray(phases), jnp.asarray(mono))
 
     a_tab, b_tab = make_tabs(cap_mats)
 
-    def timed(scal_np, reps=3):
+    def make_mono_tabs():
+        u_re = np.zeros((C, cap_mats, PF.UPAD, PF.UPAD), dt)
+        u_im = np.zeros((C, cap_mats, PF.UPAD, PF.UPAD), dt)
+        sig = rng.permutation(PF.UPAD)
+        u_re[:, :, np.arange(PF.UPAD), sig] = 1.0
+        mvec = np.zeros((C, cap_mats, PF.DVIEW), np.int32)
+        hvec = np.zeros((C, cap_mats, PF.DVIEW), np.int32)
+        m, h = PF._window_vectors(tuple(range(7)))
+        mvec[:, :] = m
+        hvec[:, :] = h
+        theta = rng.uniform(0, 2 * np.pi, PF.UPAD).astype(dt)
+        phases = np.zeros((C, cap_mats, 2, PF.UPAD), dt)
+        phases[:, :, 0] = np.cos(theta)
+        phases[:, :, 1] = np.sin(theta)
+        mono = np.ones((C, cap_mats), np.int32)
+        return expander(jnp.asarray(u_re), jnp.asarray(u_im),
+                        jnp.asarray(mvec), jnp.asarray(hvec),
+                        jnp.asarray(mvec), jnp.asarray(hvec),
+                        jnp.asarray(phases), jnp.asarray(mono))
+
+    mono_tabs = make_mono_tabs()
+
+    def timed(scal_np, reps=3, tabs=None):
         scal = jnp.asarray(scal_np)
+        at, bt = tabs if tabs is not None else (a_tab, b_tab)
 
         def once():
             if inplace:
-                out = runner(*parts, scal, a_tab, b_tab, ptab)
+                out = runner(*parts, scal, at, bt, ptab)
                 np.asarray(out[0][:1, :1])
             else:
-                r, i = runner(re, im, scal, a_tab, b_tab, ptab)
+                r, i = runner(re, im, scal, at, bt, ptab)
                 np.asarray(r[:1])
 
         once()   # compile+warm
@@ -121,6 +147,12 @@ def main():
         ("tswap4", [1, 5, logt, 3], [0, 0, 0, 0]),
     ):
         t = timed(scal_steps(kinds, midx))
+        out[label + "_ms"] = t / C * 1e3
+    for label, kinds, midx in (
+        ("mono1", [logt + 2], [0]),
+        ("mono4", [logt + 2] * 4, [0, 1, 2, 3]),
+    ):
+        t = timed(scal_steps(kinds, midx), tabs=mono_tabs)
         out[label + "_ms"] = t / C * 1e3
     sh = n - 9 - logt
     if inplace:

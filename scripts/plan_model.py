@@ -37,6 +37,7 @@ BASE_PLAIN = 6.0
 BASE_SPLIT = 8.0     # in-place 4-stream halves-native kernel (ESTIMATE)
 MAT = 5.2
 PERM = 3.5
+MONO = 3.7    # monomial op: one gather matmul + VPU phase rotation (EST)
 RELAYOUT = 10.9
 DISPATCH_S = 0.030        # per chain part over the axon tunnel
 
@@ -50,7 +51,7 @@ def estimate(plan: P.PrefetchPlan, n: int, inplace: bool = False):
     T = P.tile_rows(n)
     gs = max((1 << (n - P.LOCAL_QUBITS)) // T, 1)
     logt = plan.logt
-    acc = {"base": 0.0, "mat": 0.0, "tswap": 0.0, "perm": 0.0,
+    acc = {"base": 0.0, "mat": 0.0, "mono": 0.0, "tswap": 0.0, "perm": 0.0,
            "relayout": 0.0, "xswap": 0.0}
     for b in plan.blocks:
         if b.relayout is not None:
@@ -68,6 +69,8 @@ def estimate(plan: P.PrefetchPlan, n: int, inplace: bool = False):
                     acc["mat"] += MAT * gs
                 elif kind == logt + 1:
                     acc["perm"] += PERM * gs
+                elif kind == logt + 2:
+                    acc["mono"] += MONO * gs
                 else:
                     acc["tswap"] += tswap_us(kind) * gs
             continue
@@ -79,6 +82,8 @@ def estimate(plan: P.PrefetchPlan, n: int, inplace: bool = False):
                 acc["mat"] += MAT * gs
             elif kind == logt + 1:
                 acc["perm"] += PERM * gs
+            elif kind == logt + 2:
+                acc["mono"] += MONO * gs
             else:
                 acc["tswap"] += tswap_us(kind) * gs
     total = sum(acc.values()) * US
