@@ -477,3 +477,38 @@ def test_inplace_relayout_execution_parity():
         PF.TILE_ROWS, PF.RELAYOUT_TILE_ROWS = old_t, old_r
         PF._KERNEL_CACHE.clear()
         PF._CHAIN_CACHE.clear()
+
+
+def test_mono_step_used_and_exact():
+    """cx/x/rz-only circuits fuse to MONOMIAL ops; the plan must lower
+    them to the 2-matmul mono step kind and stay exact vs the reference."""
+    n = 10
+    c = models.Circuit(n) if hasattr(models, "Circuit") else None
+    from gpu_quantum_simulator_tpu.ir.circuit import Circuit
+
+    rng = np.random.default_rng(7)
+    c = Circuit(n)
+    for _ in range(200):
+        k = rng.integers(0, 3)
+        if k == 0:
+            a, b = rng.choice(n, 2, replace=False)
+            c.cx(int(a), int(b))
+        elif k == 1:
+            c.x(int(rng.integers(0, n)))
+        else:
+            c.rz(float(rng.uniform(0, 2 * np.pi)), int(rng.integers(0, n)))
+    ops = _fuse_pipeline(c, 7, max_high=2)
+    plan = PF.plan_prefetch(ops, n)
+    kind_mono = plan.logt + 2
+    nmono = sum(1 for b in plan.blocks for k in b.kinds if k == kind_mono)
+    nmat = sum(1 for b in plan.blocks for k in b.kinds if k == 0)
+    assert nmono > 0 and nmono >= nmat, (nmono, nmat)
+    prog = PF.PrefetchProgram(ops, n, interpret=True)
+    from gpu_quantum_simulator_tpu.ops.apply import initial_state_parts, join_state
+
+    re, im = initial_state_parts(n, dtype=np.float32)
+    re, im = prog(re, im)
+    state = unpermute_state(
+        join_state(np.asarray(re), np.asarray(im)), prog.final_position)
+    want = simulate_reference(c)
+    assert np.max(np.abs(state - want)) < TOL
