@@ -1,0 +1,64 @@
+#!/bin/bash
+# Serialized TPU work queue for post-change measurement refresh.
+# NEVER run two TPU jobs concurrently (shared HBM -> silent
+# RESOURCE_EXHAUSTED); this script is the only thing touching the chip.
+# Logs to bench_artifacts/queue_logs/; continues past individual failures.
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p bench_artifacts/queue_logs
+log() { echo "[$(date +%H:%M:%S)] $*" | tee -a bench_artifacts/queue_logs/queue.log; }
+
+run() { # run <name> <timeout_s> <cmd...>
+  local name=$1 to=$2; shift 2
+  log "START $name"
+  timeout "$to" "$@" > "bench_artifacts/queue_logs/$name.log" 2>&1
+  local rc=$?
+  log "END $name rc=$rc"
+}
+
+# 1. verify drive: parity + sampling on the real chip
+run verify 1800 python - <<'EOF'
+import numpy as np
+import gpu_quantum_simulator_tpu as Q
+bell = Q.parse_qasm_file('/root/reference/entanglement.qasm')
+v = Q.simulate(bell, strategy='mxu')
+assert np.allclose(v, [2**-0.5, 0, 0, 2**-0.5], atol=1e-6), v
+g = Q.parse_qasm_file('/root/reference/grover_3_18.qasm')
+sim = Q.Simulator(Q.SimulatorConfig(strategy='mxu'))
+res = sim.run_detailed(g)
+p = np.abs(res.state)**2
+assert set(np.argsort(p)[-2:].tolist()) == {3, 18}
+print('mxu OK', res.seconds, flush=True)
+sim2 = Q.Simulator(Q.SimulatorConfig(strategy='prefetch'))
+res2 = sim2.run_detailed(g)
+err = float(np.max(np.abs(res2.state - res.state)))
+assert err < 1e-6, err
+print('prefetch OK parity', err, res2.seconds, flush=True)
+s = sim.sample(bell, 1000)
+u, c = np.unique(s, return_counts=True)
+assert set(u.tolist()) <= {0, 3} and min(c) > 380, (u, c)
+print('sample OK', dict(zip(u.tolist(), c.tolist())), flush=True)
+EOF
+
+# 2. kernel microbench at n=24 (validates the new per-step costs)
+run micro24 3600 python scripts/kernel_microbench.py 24 64
+
+# 3. flagship bench at n=18
+run bench 2400 python bench.py
+
+# 4. sweep stage2: mxu 21-24 remainder + prefetch 18-26 re-measure
+run sweep2 14400 python scripts/sweep_fill.py stage2
+
+# 5. large-n demos with the new kernels
+run n29 7200 python scripts/n29_demo.py
+run n30 7200 python scripts/n30_demo.py
+
+# 6. sweep stage3: vmem 16-18 (compile-heavy, least urgent)
+run sweep3 7200 python scripts/sweep_fill.py stage3
+
+# 7. in-place microbench (halves-native A/B evidence)
+run micro24ip 3600 python scripts/kernel_microbench.py 24 64 inplace
+
+# 8. consolidate the CSV (freshest rows per strategy/n)
+run consolidate 600 python scripts/sweep_fill.py consolidate
+log "QUEUE DONE"
