@@ -39,11 +39,73 @@ MAT = 5.2
 PERM = 3.5
 MONO = 3.7    # monomial op: one gather matmul + VPU phase rotation (EST)
 RELAYOUT = 10.9
+XSWAP_SPLIT = None   # in-place pair-grid swap pass (derived or BASE/2)
 DISPATCH_S = 0.030        # per chain part over the axon tunnel
+
+_TSWAP_PTS = {}      # k -> us, measured anchors (linear fit fallback)
 
 
 def tswap_us(k: int) -> float:
+    if _TSWAP_PTS:
+        ks = sorted(_TSWAP_PTS)
+        if k <= ks[0]:
+            return _TSWAP_PTS[ks[0]]
+        for a, b in zip(ks, ks[1:]):
+            if k <= b:
+                t = (k - a) / (b - a)
+                return _TSWAP_PTS[a] * (1 - t) + _TSWAP_PTS[b] * t
+        return _TSWAP_PTS[ks[-1]]
     return 1.76 + 0.675 * (k - 1)
+
+
+def calibrate(n_cal: int = 24) -> bool:
+    """Refresh the per-grid-step constants from the committed microbench
+    JSONs (scripts/kernel_microbench.py output) when present; otherwise
+    keep the documented estimates.  Returns True if measured data loaded.
+
+    The microbench reports ms per block-chain entry; per-grid-step us =
+    ms / gs * 1000 with gs = 2^(n-8) / T.  Step increments are taken from
+    the widest multi-step entries (mat12, perm4, mono4) so the fixed pass
+    overhead amortizes out of the per-step figure.
+    """
+    global BASE_STEERED, BASE_PLAIN, BASE_SPLIT, MAT, PERM, MONO
+    global RELAYOUT, XSWAP_SPLIT
+    import json
+
+    art = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "bench_artifacts")
+    path = os.path.join(art, f"kernel_micro_n{n_cal}.json")
+    if not os.path.exists(path):
+        return False
+    with open(path) as f:
+        d = json.load(f)
+    gs = (1 << (d["n"] - 8)) // d["T"]
+    u = lambda ms: ms / gs * 1e3
+    base = d["empty_pass_ms"]
+    BASE_PLAIN = u(base)
+    if "mat12_ms" in d:
+        MAT = u(d["mat12_ms"] - base) / 12
+    if "perm4_ms" in d:
+        PERM = u(d["perm4_ms"] - base) / 4
+    if "mono4_ms" in d:
+        MONO = u(d["mono4_ms"] - base) / 4
+    for key, k in (("tswap_k1_ms", 1), ("tswap_k4_ms", 4),
+                   ("tswap_k5_ms", 5), ("tswap_k9_ms", 9)):
+        if key in d:
+            _TSWAP_PTS[k] = max(u(d[key] - base), 0.05)
+    if "relayout_ms" in d:
+        RELAYOUT = u(d["relayout_ms"])
+    if "xswap_prologue_ms" in d:
+        BASE_STEERED = u(d["xswap_prologue_ms"])
+    ip = os.path.join(art, f"kernel_micro_n{n_cal}_inplace.json")
+    if os.path.exists(ip):
+        with open(ip) as f:
+            di = json.load(f)
+        gsi = (1 << (di["n"] - 8)) // di["T"]
+        BASE_SPLIT = di["empty_pass_ms"] / gsi * 1e3
+        if "xswap_pairgrid_ms" in di:
+            XSWAP_SPLIT = di["xswap_pairgrid_ms"] / gsi * 1e3
+    return True
 
 
 def estimate(plan: P.PrefetchPlan, n: int, inplace: bool = False):
@@ -62,7 +124,8 @@ def estimate(plan: P.PrefetchPlan, n: int, inplace: bool = False):
         if inplace and b.prologue is not None:
             # materialization hoists the prologue into a standalone
             # pair-grid swap entry (half grid) + a plain step block
-            acc["xswap"] += BASE_PLAIN * gs / 2
+            acc["xswap"] += (XSWAP_SPLIT * gs if XSWAP_SPLIT is not None
+                             else BASE_PLAIN * gs / 2)
             acc["base"] += BASE_SPLIT * gs
             for kind in b.kinds:
                 if kind == 0:
@@ -97,6 +160,12 @@ def estimate(plan: P.PrefetchPlan, n: int, inplace: bool = False):
 
 
 def main():
+    fresh = calibrate()
+    print(f"calibration: {'measured kernel_micro_n24' if fresh else 'builtin estimates'}"
+          f"  base_plain={BASE_PLAIN:.1f} base_split={BASE_SPLIT:.1f} mat={MAT:.1f}"
+          f" mono={MONO:.1f} perm={PERM:.1f} relayout={RELAYOUT:.1f}"
+          f" tswap(1/4/9)={tswap_us(1):.1f}/{tswap_us(4):.1f}/{tswap_us(9):.1f} us/gs",
+          flush=True)
     ns = [int(a) for a in sys.argv[1:]] or [18, 22, 24, 26, 29, 30]
     for n in ns:
         c = circuits.grover_like(n)
