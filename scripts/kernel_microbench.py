@@ -163,12 +163,17 @@ def main():
         # prologue xswap riding the input DMA
         t = timed(scal_steps([], [], flag=1, s2=1 << sh, s3=sh))
         out["xswap_prologue_ms"] = t / C * 1e3
-    # relayout pass (identity sigma — an involution, valid for both forms)
+    # relayout pass: swap the two top exposed row-block bits (a real
+    # involution — identity sigma would find NO swap pairs in the in-place
+    # form and measure an empty scan)
     if R2 > T:
-        m = 1 + (n - PF.LOCAL_QUBITS - int(np.log2(PF.relayout_rows(n))))
+        m = n - PF.LOCAL_QUBITS - int(np.log2(PF.relayout_rows(n)))
+        sigma = np.arange(m)
+        if m >= 2:
+            sigma[m - 1], sigma[m - 2] = m - 2, m - 1
         scal = np.zeros((C, 4 + 2 * cap_steps), np.int32)
         scal[:, 1] = 3
-        scal[:, 4:4 + m] = np.arange(m)
+        scal[:, 4:4 + m] = sigma
         t = timed(scal)
         out["relayout_ms"] = t / C * 1e3
     hbm_pass_ms = (2 * 2 * (1 << n) * 4) / 819e9 * 1e3
