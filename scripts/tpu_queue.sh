@@ -40,7 +40,10 @@ assert set(u.tolist()) <= {0, 3} and min(c) > 380, (u, c)
 print('sample OK', dict(zip(u.tolist(), c.tolist())), flush=True)
 EOF
 
-# 2. kernel microbench at n=24 (validates the new per-step costs)
+# 2. DMA bandwidth probe (shapes the streaming block-kernel design)
+run dma24 3600 python scripts/dma_probe.py 24 32
+
+# 3. kernel microbench at n=24 (validates the new per-step costs)
 run micro24 3600 python scripts/kernel_microbench.py 24 64
 
 # 3. flagship bench at n=18
