@@ -161,6 +161,62 @@ def stream_copy(n, T, W, dt):
     return lambda re, im: call(scal, re, im)
 
 
+def hbm_direct(n, Tr, W, dt):
+    """Direct HBM->HBM block copies (relayout pattern, identity map):
+    separates block-size (issue-rate/latency) from window-depth effects."""
+    R2 = 1 << (n - PF.LOCAL_QUBITS)
+    nblk = R2 // Tr
+
+    def kernel(scal_ref, sre, sim, ore, oim, sems):
+        def dmas(i, slot):
+            return (pltpu.make_async_copy(sre.at[pl.ds(i * Tr, Tr), :],
+                                          ore.at[pl.ds(i * Tr, Tr), :],
+                                          sems.at[slot, 0]),
+                    pltpu.make_async_copy(sim.at[pl.ds(i * Tr, Tr), :],
+                                          oim.at[pl.ds(i * Tr, Tr), :],
+                                          sems.at[slot, 1]))
+
+        def body(i, _):
+            slot = jax.lax.rem(i, W)
+
+            @pl.when(i >= W)
+            def _():
+                for d in dmas(i - W, slot):
+                    d.wait()
+
+            for d in dmas(i, slot):
+                d.start()
+            return _
+
+        jax.lax.fori_loop(0, nblk, body, None, unroll=False)
+
+        def drain(k, _):
+            i = nblk - W + k
+
+            @pl.when(i >= 0)
+            def _():
+                for d in dmas(i, jax.lax.rem(i, W)):
+                    d.wait()
+            return _
+
+        jax.lax.fori_loop(0, W, drain, None, unroll=False)
+
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(1,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
+            out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
+            scratch_shapes=[pltpu.SemaphoreType.DMA((W, 2))],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((R2, PF.DVIEW), dt)] * 2,
+        interpret=INTERPRET,
+    )
+    scal = jnp.zeros((1,), jnp.int32)
+    return lambda re, im: call(scal, re, im)
+
+
 def main():
     args = [a for a in sys.argv[1:] if a != "interpret"]
     n = int(args[0]) if args else (14 if INTERPRET else 24)
@@ -178,6 +234,8 @@ def main():
         g = grid_copy(n, min(512, R2), 2, dt)
         o2 = g(re, im)
         np.testing.assert_array_equal(np.asarray(o2[0]), np.asarray(re))
+        h = hbm_direct(n, max(R2 // 8, 8), 4, dt)(re, im)
+        np.testing.assert_array_equal(np.asarray(h[1]), np.asarray(im))
         print("interpret self-test OK")
         return
 
@@ -232,9 +290,11 @@ def main():
                 record(f"stream_T{T}_W{W}",
                        timed_scan(stream_copy(n, T, W, dt), (re, im)))
 
-    rk = PF.get_relayout_kernel(n, dt, False)
-    ident = jnp.zeros((4 + 2 * PF.CAP_STEPS,), jnp.int32).at[1].set(3)
-    record("hbm_direct", timed_scan(lambda r, i: rk(ident, r, i), (re, im)))
+    for Tr in (64, 512, 4096):
+        for W in (16, 32):
+            if Tr <= R2 // W:
+                record(f"hbmTr{Tr}_W{W}",
+                       timed_scan(hbm_direct(n, Tr, W, dt), (re, im)))
 
     with open(os.path.join(ART, f"dma_probe_n{n}.json"), "w") as f:
         json.dump(out, f, indent=1)
