@@ -43,6 +43,7 @@ Complex multiply is the 3-matmul Karatsuba form; tables ship as
 from __future__ import annotations
 
 import hashlib
+import os
 from dataclasses import dataclass, field
 from functools import partial
 from typing import List, Optional, Sequence, Tuple
@@ -1060,6 +1061,10 @@ def get_block_kernel(n: int, real_dtype, precision: str, interpret: bool,
         interpret=interpret,
     )
 
+    stream = (get_stream_block_kernel(n, dt, precision, interpret,
+                                      cap_steps, cap_mats)
+              if _STREAM_PLAIN else None)
+
     def fn(scal, re, im, a_tab, b_tab, p_tab):
         def steered(args):
             r, i = args
@@ -1067,9 +1072,136 @@ def get_block_kernel(n: int, real_dtype, precision: str, interpret: bool,
 
         def plain(args):
             r, i = args
+            if stream is not None:
+                return stream(scal, r, i, a_tab, b_tab, p_tab)
             return call_full(scal, r, i, a_tab, b_tab, p_tab)
 
         return jax.lax.cond(scal[1] == 1, steered, plain, (re, im))
+
+    _KERNEL_CACHE[key] = fn
+    return fn
+
+
+STREAM_TILES = 4     # streaming block kernel: in-flight (T, 256) tiles
+# Route plain (no-prologue) blocks through the manual streaming kernel
+# instead of the Mosaic-pipelined grid form.  Default off until the DMA
+# probe (scripts/dma_probe.py) shows the manual window beating Mosaic's
+# revolving buffers on the empty pass.
+_STREAM_PLAIN = bool(int(os.environ.get("QSIM_STREAM_PLAIN", "0")))
+
+
+def get_stream_block_kernel(n: int, real_dtype, precision: str,
+                            interpret: bool, cap_steps: int = CAP_STEPS,
+                            cap_mats: int = CAP_MATS):
+    """Streaming twin of the PLAIN block kernel: grid (1,), state refs in
+    ANY memory space, and a manual W-deep window of async copies —
+    HBM -> VMEM in-slots, ``_steps_loop`` compute, VMEM out-slots -> HBM —
+    software-pipelined so input DMAs run up to W tiles ahead while output
+    DMAs drain one compute behind.  Motivation: the Mosaic-pipelined grid
+    form pays ~10.4 us of fixed per-grid-step overhead against a 2.6 us
+    HBM bound at T=512 (kernel_micro_n24.json empty_pass); the manual
+    window controls DMA issue order and depth directly.  Same signature
+    and scal encoding as ``get_block_kernel`` but WITHOUT the steered
+    xswap-prologue form (scal[1] == 1 blocks stay on the grid kernel).
+    """
+    dt = np.dtype(real_dtype)
+    key = ("stream", n, cap_steps, cap_mats, dt.str, precision, interpret)
+    fn = _KERNEL_CACHE.get(key)
+    if fn is not None:
+        return fn
+
+    R2 = 1 << (n - LOCAL_QUBITS)
+    T = tile_rows(n)
+    nt = R2 // T
+    W = min(STREAM_TILES, nt)
+    prec = _precision(precision)
+
+    def kernel(scal_ref, sre, sim, a_ref, b_ref, p_ref, ore, oim,
+               bre, bim, cre, cim, isem, osem):
+        def in_d(t, s):
+            return (pltpu.make_async_copy(sre.at[pl.ds(t * T, T), :],
+                                          bre.at[s], isem.at[s, 0]),
+                    pltpu.make_async_copy(sim.at[pl.ds(t * T, T), :],
+                                          bim.at[s], isem.at[s, 1]))
+
+        def out_d(t, s):
+            return (pltpu.make_async_copy(cre.at[s],
+                                          ore.at[pl.ds(t * T, T), :],
+                                          osem.at[s, 0]),
+                    pltpu.make_async_copy(cim.at[s],
+                                          oim.at[pl.ds(t * T, T), :],
+                                          osem.at[s, 1]))
+
+        def pro(s, _):
+            for d in in_d(s, s):
+                d.start()
+            return _
+
+        jax.lax.fori_loop(0, W, pro, None, unroll=False)
+
+        def body(t, _):
+            s = jax.lax.rem(t, W)
+            for d in in_d(t, s):
+                d.wait()
+
+            @pl.when(t >= W)           # out-slot s frees once out(t-W) lands
+            def _():
+                for d in out_d(t - W, s):
+                    d.wait()
+
+            r, i = _steps_loop(scal_ref, a_ref, b_ref, p_ref,
+                               bre[s], bim[s], cap_steps, T, dt, prec)
+            cre[s] = r
+            cim[s] = i
+            for d in out_d(t, s):
+                d.start()
+
+            @pl.when(t + W < nt)       # in-slot s free: compute(t) is done
+            def _():
+                for d in in_d(t + W, s):
+                    d.start()
+            return _
+
+        jax.lax.fori_loop(0, nt, body, None, unroll=False)
+
+        def drain(k, _):
+            t = nt - W + k
+
+            @pl.when(t >= 0)
+            def _():
+                for d in out_d(t, jax.lax.rem(t, W)):
+                    d.wait()
+            return _
+
+        jax.lax.fori_loop(0, W, drain, None, unroll=False)
+
+    tab = lambda m: pl.BlockSpec((m, DVIEW, DVIEW), lambda i, scal: (0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(1,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2
+            + [tab(cap_mats), tab(cap_mats), tab(LANE_QUBITS)],
+            out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
+            scratch_shapes=[pltpu.VMEM((W, T, DVIEW), dt)] * 4
+            + [pltpu.SemaphoreType.DMA((W, 2))] * 2,
+        ),
+        out_shape=[jax.ShapeDtypeStruct((R2, DVIEW), dt)] * 2,
+        cost_estimate=pl.CostEstimate(
+            flops=3 * 2 * R2 * DVIEW * DVIEW * cap_steps,
+            bytes_accessed=dt.itemsize
+            * (4 * R2 * DVIEW + 2 * cap_mats * DVIEW * DVIEW),
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+    def fn(scal, re, im, a_tab, b_tab, p_tab):
+        return call(scal, re, im, a_tab, b_tab, p_tab)
 
     _KERNEL_CACHE[key] = fn
     return fn

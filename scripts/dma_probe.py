@@ -296,6 +296,19 @@ def main():
                 record(f"hbmTr{Tr}_W{W}",
                        timed_scan(hbm_direct(n, Tr, W, dt), (re, im)))
 
+    # XLA leading-dim block gather: the flat relayout as jnp.take —
+    # if XLA streams this near-bandwidth the Pallas relayout is moot
+    Tr = PF.relayout_rows(n)
+    nblk = R2 // Tr
+    idx = jnp.asarray(np.arange(nblk)[::-1].copy())
+
+    def blockperm(r, i):
+        f = lambda x: jnp.take(x.reshape(nblk, Tr * PF.DVIEW), idx,
+                               axis=0).reshape(R2, PF.DVIEW)
+        return f(r), f(i)
+
+    record("xla_blockperm", timed_scan(blockperm, (re, im)))
+
     with open(os.path.join(ART, f"dma_probe_n{n}.json"), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out, indent=1), flush=True)

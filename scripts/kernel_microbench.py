@@ -28,8 +28,10 @@ os.makedirs(ART, exist_ok=True)
 
 
 def main():
-    args = [a for a in sys.argv[1:] if a != "inplace"]
+    args = [a for a in sys.argv[1:] if a not in ("inplace", "stream")]
     inplace = "inplace" in sys.argv
+    if "stream" in sys.argv:          # route plain blocks via manual DMA
+        PF._STREAM_PLAIN = True
     n = int(args[0]) if args else 24
     C = int(args[1]) if len(args) > 1 else 64
     dt = np.float32
@@ -180,6 +182,8 @@ def main():
     out["hbm_roundtrip_bound_ms"] = hbm_pass_ms
     print(json.dumps(out, indent=1), flush=True)
     tag = f"kernel_micro_n{n}_inplace" if inplace else f"kernel_micro_n{n}"
+    if PF._STREAM_PLAIN:
+        tag += "_stream"
     with open(os.path.join(ART, tag + ".json"), "w") as f:
         json.dump(out, f, indent=1)
 

@@ -46,6 +46,9 @@ run dma24 3600 python scripts/dma_probe.py 24 32
 # 3. kernel microbench at n=24 (validates the new per-step costs)
 run micro24 3600 python scripts/kernel_microbench.py 24 64
 
+# 3b. same through the manual streaming kernel (A/B vs Mosaic grid form)
+run micro24s 3600 python scripts/kernel_microbench.py 24 64 stream
+
 # 3. flagship bench at n=18
 run bench 2400 python bench.py
 

@@ -512,3 +512,39 @@ def test_mono_step_used_and_exact():
         join_state(np.asarray(re), np.asarray(im)), prog.final_position)
     want = simulate_reference(c)
     assert np.max(np.abs(state - want)) < TOL
+
+
+@pytest.mark.parametrize("tile_rows", [4, 8])
+def test_stream_plain_kernel_parity(tile_rows):
+    """Plain blocks routed through the manual streaming DMA kernel
+    (QSIM_STREAM_PLAIN) match the reference exactly.  Shrunken tiles at
+    n=12 exercise the full W-deep window (nt=4) and the shallow nt=2
+    boundary; xswap-prologue blocks still take the steered grid form, so
+    the mixed chain is covered too."""
+    n = 12
+    old_t, old_r = PF.TILE_ROWS, PF.RELAYOUT_TILE_ROWS
+    old_stream = PF._STREAM_PLAIN
+    PF.TILE_ROWS, PF.RELAYOUT_TILE_ROWS = tile_rows, 1
+    PF._STREAM_PLAIN = True
+    try:
+        PF._KERNEL_CACHE.clear()
+        PF._CHAIN_CACHE.clear()
+        c = models.grover_like(n, num_gates=300, seed=13)
+        ops = _fuse_pipeline(c, 7, max_high=2)
+        prog = PF.PrefetchProgram(ops, n, interpret=True)
+        assert ("stream", n) == tuple(
+            k[:2] for k in PF._KERNEL_CACHE if k[0] == "stream")[0]
+        from gpu_quantum_simulator_tpu.ops.apply import (
+            initial_state_parts, join_state)
+
+        re, im = initial_state_parts(n, dtype=np.float32)
+        re, im = prog(re, im)
+        state = unpermute_state(
+            join_state(np.asarray(re), np.asarray(im)), prog.final_position)
+        want = simulate_reference(c)
+        assert np.max(np.abs(state - want)) < TOL
+    finally:
+        PF.TILE_ROWS, PF.RELAYOUT_TILE_ROWS = old_t, old_r
+        PF._STREAM_PLAIN = old_stream
+        PF._KERNEL_CACHE.clear()
+        PF._CHAIN_CACHE.clear()
