@@ -1558,7 +1558,13 @@ def get_split_kernels(n: int, real_dtype, precision: str, interpret: bool,
         interpret=interpret,
     )
 
+    stream = (get_stream_split_kernel(n, dt, precision, interpret,
+                                      cap_steps, cap_mats)
+              if _STREAM_PLAIN else None)
+
     def block_fn(scal, re0, re1, im0, im1, a_tab, b_tab, p_tab):
+        if stream is not None:
+            return stream(scal, re0, re1, im0, im1, a_tab, b_tab, p_tab)
         return block_call(scal, re0, re1, im0, im1, a_tab, b_tab, p_tab)
 
     def xswap_fn(scal, re0, re1, im0, im1):
@@ -1567,6 +1573,128 @@ def get_split_kernels(n: int, real_dtype, precision: str, interpret: bool,
 
     _KERNEL_CACHE[key] = (block_fn, xswap_fn)
     return block_fn, xswap_fn
+
+
+def get_stream_split_kernel(n: int, real_dtype, precision: str,
+                            interpret: bool, cap_steps: int = CAP_STEPS,
+                            cap_mats: int = CAP_MATS):
+    """Streaming twin of the ALIASED split block kernel: the four column
+    halves stay in ANY memory space with outputs aliased onto inputs, and
+    a manual W-deep window streams (T, LANES) tiles HBM -> VMEM ->
+    ``_steps_loop_halves`` -> HBM.  Aliasing is safe under streaming
+    because writes strictly trail reads per tile: out(t) starts only
+    after compute(t) finished reading tile t, and read-ahead in(t+W)
+    touches a disjoint tile.  Every split step-block is prologue-free
+    (xswaps / relayouts are separate chain entries), so this covers the
+    whole in-place chain's block traffic.  Same signature as the split
+    ``block_fn``.
+    """
+    dt = np.dtype(real_dtype)
+    key = ("stream-split", n, cap_steps, cap_mats, dt.str, precision,
+           interpret)
+    fn = _KERNEL_CACHE.get(key)
+    if fn is not None:
+        return fn
+
+    R2 = 1 << (n - LOCAL_QUBITS)
+    T = tile_rows(n)
+    nt = R2 // T
+    W = min(STREAM_TILES, nt)
+    prec = _precision(precision)
+
+    def kernel(scal_ref, s0, s1, s2, s3, a_ref, b_ref, p_ref,
+               o0, o1, o2, o3, bufs, outs, isem, osem):
+        srcs, dsts = (s0, s1, s2, s3), (o0, o1, o2, o3)
+
+        def in_d(t, s):
+            return [pltpu.make_async_copy(src.at[pl.ds(t * T, T), :],
+                                          bufs.at[h, s], isem.at[s, h])
+                    for h, src in enumerate(srcs)]
+
+        def out_d(t, s):
+            return [pltpu.make_async_copy(outs.at[h, s],
+                                          dst.at[pl.ds(t * T, T), :],
+                                          osem.at[s, h])
+                    for h, dst in enumerate(dsts)]
+
+        def pro(s, _):
+            for d in in_d(s, s):
+                d.start()
+            return _
+
+        jax.lax.fori_loop(0, W, pro, None, unroll=False)
+
+        def body(t, _):
+            s = jax.lax.rem(t, W)
+            for d in in_d(t, s):
+                d.wait()
+
+            @pl.when(t >= W)
+            def _():
+                for d in out_d(t - W, s):
+                    d.wait()
+
+            r0, r1, i0, i1 = _steps_loop_halves(
+                scal_ref, a_ref, b_ref, p_ref,
+                bufs[0, s], bufs[1, s], bufs[2, s], bufs[3, s],
+                cap_steps, T, dt, prec)
+            outs[0, s] = r0
+            outs[1, s] = r1
+            outs[2, s] = i0
+            outs[3, s] = i1
+            for d in out_d(t, s):
+                d.start()
+
+            @pl.when(t + W < nt)
+            def _():
+                for d in in_d(t + W, s):
+                    d.start()
+            return _
+
+        jax.lax.fori_loop(0, nt, body, None, unroll=False)
+
+        def drain(k, _):
+            t = nt - W + k
+
+            @pl.when(t >= 0)
+            def _():
+                for d in out_d(t, jax.lax.rem(t, W)):
+                    d.wait()
+            return _
+
+        jax.lax.fori_loop(0, W, drain, None, unroll=False)
+
+    tab = lambda m: pl.BlockSpec((m, DVIEW, DVIEW), lambda i, scal: (0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(1,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4
+            + [tab(cap_mats), tab(cap_mats), tab(LANE_QUBITS)],
+            out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
+            scratch_shapes=[pltpu.VMEM((4, W, T, LANES), dt)] * 2
+            + [pltpu.SemaphoreType.DMA((W, 4))] * 2,
+        ),
+        out_shape=[jax.ShapeDtypeStruct((R2, LANES), dt)] * 4,
+        input_output_aliases={1: 0, 2: 1, 3: 2, 4: 3},
+        cost_estimate=pl.CostEstimate(
+            flops=3 * 2 * R2 * DVIEW * DVIEW * cap_steps,
+            bytes_accessed=dt.itemsize
+            * (4 * R2 * DVIEW + 2 * cap_mats * DVIEW * DVIEW),
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+    def fn(scal, re0, re1, im0, im1, a_tab, b_tab, p_tab):
+        return call(scal, re0, re1, im0, im1, a_tab, b_tab, p_tab)
+
+    _KERNEL_CACHE[key] = fn
+    return fn
 
 
 def get_block_chain_split(n: int, real_dtype, precision: str, interpret: bool,

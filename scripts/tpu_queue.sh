@@ -65,6 +65,9 @@ run sweep3 7200 python scripts/sweep_fill.py stage3
 # 7. in-place microbench (halves-native A/B evidence)
 run micro24ip 3600 python scripts/kernel_microbench.py 24 64 inplace
 
+# 7b. in-place through the manual streaming split kernel
+run micro24ips 3600 python scripts/kernel_microbench.py 24 64 inplace stream
+
 # 8. consolidate the CSV (freshest rows per strategy/n)
 run consolidate 600 python scripts/sweep_fill.py consolidate
 log "QUEUE DONE"

@@ -548,3 +548,39 @@ def test_stream_plain_kernel_parity(tile_rows):
         PF._STREAM_PLAIN = old_stream
         PF._KERNEL_CACHE.clear()
         PF._CHAIN_CACHE.clear()
+
+
+@pytest.mark.parametrize("tile_rows", [4, 8])
+def test_stream_split_kernel_parity(tile_rows):
+    """The ALIASED in-place chain with blocks routed through the manual
+    streaming split kernel (QSIM_STREAM_PLAIN) stays exact on a plan with
+    xswap and relayout entries interleaved between streamed blocks."""
+    n = 12
+    old_t, old_r = PF.TILE_ROWS, PF.RELAYOUT_TILE_ROWS
+    old_stream = PF._STREAM_PLAIN
+    PF.TILE_ROWS, PF.RELAYOUT_TILE_ROWS = tile_rows, 1
+    PF._STREAM_PLAIN = True
+    try:
+        PF._KERNEL_CACHE.clear()
+        PF._CHAIN_CACHE.clear()
+        c = models.grover_like(n, num_gates=300, seed=13)
+        ops = _fuse_pipeline(c, 7, max_high=2)
+        prog = PF.PrefetchProgram(ops, n, interpret=True, inplace=True)
+        assert any(k[0] == "stream-split" for k in PF._KERNEL_CACHE)
+        import jax.numpy as jnp
+        from gpu_quantum_simulator_tpu.ops.apply import join_state
+        from gpu_quantum_simulator_tpu.engine.prefetch import (
+            initial_halves, join_halves)
+
+        parts = initial_halves(n, jnp.float32)
+        re0, re1, im0, im1 = prog.run_parts(*parts)
+        re, im = join_halves(re0, re1, im0, im1)
+        state = unpermute_state(
+            join_state(np.asarray(re), np.asarray(im)), prog.final_position)
+        want = simulate_reference(c)
+        assert np.max(np.abs(state - want)) < TOL
+    finally:
+        PF.TILE_ROWS, PF.RELAYOUT_TILE_ROWS = old_t, old_r
+        PF._STREAM_PLAIN = old_stream
+        PF._KERNEL_CACHE.clear()
+        PF._CHAIN_CACHE.clear()
