@@ -514,13 +514,14 @@ def test_mono_step_used_and_exact():
     assert np.max(np.abs(state - want)) < TOL
 
 
-@pytest.mark.parametrize("tile_rows", [4, 8])
+@pytest.mark.parametrize("tile_rows", [4, 8, 16])
 def test_stream_plain_kernel_parity(tile_rows):
     """Plain blocks routed through the manual streaming DMA kernel
     (QSIM_STREAM_PLAIN) match the reference exactly.  Shrunken tiles at
-    n=12 exercise the full W-deep window (nt=4) and the shallow nt=2
-    boundary; xswap-prologue blocks still take the steered grid form, so
-    the mixed chain is covered too."""
+    n=12 exercise the full W-deep window (nt=4), the shallow nt=2
+    boundary, and the degenerate single-tile W=1 form; xswap-prologue
+    blocks still take the steered grid form, so the mixed chain is
+    covered too."""
     n = 12
     old_t, old_r = PF.TILE_ROWS, PF.RELAYOUT_TILE_ROWS
     old_stream = PF._STREAM_PLAIN
