@@ -12,6 +12,9 @@ import dataclasses
 from typing import Optional, Tuple
 
 STRATEGIES = (
+    "auto",        # width-based dispatch over the measured single-chip ladder
+                   # (prefetch <= 22, mxu 23..28, prefetch in-place >= 29;
+                   # sharded when a mesh is configured) — engine.simulator
     "reference",   # NumPy complex128 ground truth (quantum_simulator.c semantics)
     "naive",       # one jitted device call per gate (ref: naive launch-per-gate)
     "fused2x2",    # host-side per-qubit 2x2 accumulation (ref: preproces)

@@ -36,9 +36,36 @@ def _unpermute_jit(re, im, perm_tuple):
     return _UNPERMUTE(re, im, perm_tuple)
 
 
+def _auto_strategy(cfg: SimulatorConfig, n: int) -> str:
+    """Width-based engine dispatch for ``strategy='auto'``.
+
+    Encodes the measured single-chip ladder (bench_artifacts/
+    sweep_v5e.jsonl, docs/PERFORMANCE.md): the recompile-free prefetch
+    engine is fastest through n=22 and is the only engine with an
+    in-place path at n >= 29; mxu wins the 23..28 band where prefetch's
+    cross-tile traffic overtakes it.  An explicit device mesh always
+    means the sharded engine (the reference's multi-GPU analog, spread
+    over ICI instead of NVLink).
+    """
+    if cfg.mesh_shape is not None:
+        return "sharded"
+    if 23 <= n <= 28:
+        return "mxu"
+    return "prefetch"
+
+
 class Simulator:
     def __init__(self, config: Optional[SimulatorConfig] = None):
         self.config = config or SimulatorConfig()
+
+    def _resolved(self, n: int) -> "Simulator":
+        """Resolve ``strategy='auto'`` to a concrete engine for width n."""
+        if self.config.strategy != "auto":
+            return self
+        import dataclasses
+
+        return Simulator(dataclasses.replace(
+            self.config, strategy=_auto_strategy(self.config, n)))
 
     # ------------------------------------------------------------------ API
     def run(self, circuit: Circuit, initial=None) -> np.ndarray:
@@ -50,6 +77,9 @@ class Simulator:
         For n > 22 the distribution, CDF and inverse-CDF search run on the
         device (sampling.py) — the 2^n state is never transferred.
         """
+        sim = self._resolved(circuit.num_qubits)
+        if sim is not self:
+            return sim.sample(circuit, num_samples, seed=seed)
         if circuit.num_qubits > 22 and self.config.strategy != "reference":
             if self._prefetch_inplace(circuit.num_qubits):
                 from ..sampling import sample_halves
@@ -72,6 +102,9 @@ class Simulator:
         ``initial``: optional complex state vector (original basis) to resume
         from — e.g. a utils.checkpoint snapshot — instead of |0...0>.
         """
+        sim = self._resolved(circuit.num_qubits)
+        if sim is not self:
+            return sim.run_device(circuit, initial=initial)
         cfg = self.config
         perm = None
         work = circuit
@@ -132,6 +165,9 @@ class Simulator:
         the same caches as run_device_iterated, so repeated trajectories
         re-execute with zero re-planning or re-compilation.
         """
+        sim = self._resolved(circuit.num_qubits)
+        if sim is not self:
+            return sim.run_device_parts(circuit, parts)
         import jax.numpy as jnp
 
         real_dtype = _init_real_dtype(self.config)
@@ -179,6 +215,9 @@ class Simulator:
         (``sampling.sample_halves`` / ``norm_halves``) consumes the halves
         directly.  Original qubit basis, as always.
         """
+        sim = self._resolved(circuit.num_qubits)
+        if sim is not self:
+            return sim.run_device_halves(circuit)
         if not self._prefetch_inplace(circuit.num_qubits):
             raise ValueError(
                 "run_device_halves requires strategy='prefetch' with the "
@@ -216,6 +255,10 @@ class Simulator:
         engine's executables are reused across every iteration AND every
         later circuit at the same width.
         """
+        sim = self._resolved(body.num_qubits)
+        if sim is not self:
+            return sim.run_device_iterated(
+                body, repetitions, prefix=prefix, suffix=suffix)
         cfg = self.config
         if cfg.strategy not in ("mxu", "vmem", "megakernel", "sharded",
                                 "prefetch"):
@@ -361,6 +404,9 @@ class Simulator:
         return build_wide_program(ops, n, real_dtype, precision=cfg.precision), len(ops)
 
     def run_detailed(self, circuit: Circuit, initial=None) -> RunResult:
+        sim = self._resolved(circuit.num_qubits)
+        if sim is not self:
+            return sim.run_detailed(circuit, initial=initial)
         cfg = self.config
         t0 = time.perf_counter()
 

@@ -162,3 +162,25 @@ def test_wide_kh0_pallas_parity():
     got = join_state(np.asarray(re), np.asarray(im))
     want = REF.simulate_reference(c)
     assert np.max(np.abs(got - want)) < 2e-5
+
+
+def test_auto_strategy_dispatch():
+    """strategy='auto' resolves per circuit width over the measured
+    ladder and reports the resolved engine in RunResult.strategy."""
+    from gpu_quantum_simulator_tpu.engine.simulator import _auto_strategy
+    from gpu_quantum_simulator_tpu.config import SimulatorConfig
+
+    cfg = SimulatorConfig(strategy="auto")
+    assert _auto_strategy(cfg, 12) == "prefetch"
+    assert _auto_strategy(cfg, 22) == "prefetch"
+    assert _auto_strategy(cfg, 23) == "mxu"
+    assert _auto_strategy(cfg, 28) == "mxu"
+    assert _auto_strategy(cfg, 30) == "prefetch"
+    meshed = SimulatorConfig(strategy="auto", mesh_shape=(2,))
+    assert _auto_strategy(meshed, 20) == "sharded"
+
+    c = models.grover_like(11, num_gates=150, seed=4)
+    res = Simulator(SimulatorConfig(strategy="auto")).run_detailed(c)
+    assert res.strategy == "prefetch"
+    want = REF.simulate_reference(c)
+    assert np.max(np.abs(res.state - want)) < 2e-5
