@@ -1061,9 +1061,13 @@ def get_block_kernel(n: int, real_dtype, precision: str, interpret: bool,
         interpret=interpret,
     )
 
-    stream = (get_stream_block_kernel(n, dt, precision, interpret,
-                                      cap_steps, cap_mats)
-              if _STREAM_PLAIN else None)
+    if _STREAM_PLAIN:
+        # the streaming kernel handles BOTH forms (steered input copies
+        # fold the pending xswap exactly like map_half does)
+        fn = get_stream_block_kernel(n, dt, precision, interpret,
+                                     cap_steps, cap_mats)
+        _KERNEL_CACHE[key] = fn
+        return fn
 
     def fn(scal, re, im, a_tab, b_tab, p_tab):
         def steered(args):
@@ -1072,8 +1076,6 @@ def get_block_kernel(n: int, real_dtype, precision: str, interpret: bool,
 
         def plain(args):
             r, i = args
-            if stream is not None:
-                return stream(scal, r, i, a_tab, b_tab, p_tab)
             return call_full(scal, r, i, a_tab, b_tab, p_tab)
 
         return jax.lax.cond(scal[1] == 1, steered, plain, (re, im))
@@ -1101,8 +1103,11 @@ def get_stream_block_kernel(n: int, real_dtype, precision: str,
     form pays ~10.4 us of fixed per-grid-step overhead against a 2.6 us
     HBM bound at T=512 (kernel_micro_n24.json empty_pass); the manual
     window controls DMA issue order and depth directly.  Same signature
-    and scal encoding as ``get_block_kernel`` but WITHOUT the steered
-    xswap-prologue form (scal[1] == 1 blocks stay on the grid kernel).
+    and scal encoding as ``get_block_kernel`` INCLUDING the steered
+    xswap-prologue form: when scal[1] == 1 the input copies become four
+    (T, 128) column-half reads whose source tile/column fold the pending
+    cross-tile swap into the stream (the manual twin of the grid form's
+    ``map_half`` BlockSpec steering).
     """
     dt = np.dtype(real_dtype)
     key = ("stream", n, cap_steps, cap_mats, dt.str, precision, interpret)
@@ -1118,11 +1123,59 @@ def get_stream_block_kernel(n: int, real_dtype, precision: str,
 
     def kernel(scal_ref, sre, sim, a_ref, b_ref, p_ref, ore, oim,
                bre, bim, cre, cim, isem, osem):
-        def in_d(t, s):
+        active = scal_ref[1] == 1
+
+        def in_plain(t, s):
             return (pltpu.make_async_copy(sre.at[pl.ds(t * T, T), :],
                                           bre.at[s], isem.at[s, 0]),
                     pltpu.make_async_copy(sim.at[pl.ds(t * T, T), :],
                                           bim.at[s], isem.at[s, 1]))
+
+        def in_steered(t, s):
+            # pending xswap (column bit 7 <-> tile bit `shift`) rides the
+            # input: lo/hi halves of working tile t come from tiles
+            # t & ~tmask / t | tmask, column half rb = bit `shift` of t
+            tmask = scal_ref[2]
+            rb = (t >> scal_ref[3]) & 1
+            lo = (t & ~tmask) * T
+            hi = (t | tmask) * T
+            col = pl.ds(rb * LANES, LANES)
+            return (
+                pltpu.make_async_copy(sre.at[pl.ds(lo, T), col],
+                                      bre.at[s, :, pl.ds(0, LANES)],
+                                      isem.at[s, 0]),
+                pltpu.make_async_copy(sre.at[pl.ds(hi, T), col],
+                                      bre.at[s, :, pl.ds(LANES, LANES)],
+                                      isem.at[s, 2]),
+                pltpu.make_async_copy(sim.at[pl.ds(lo, T), col],
+                                      bim.at[s, :, pl.ds(0, LANES)],
+                                      isem.at[s, 1]),
+                pltpu.make_async_copy(sim.at[pl.ds(hi, T), col],
+                                      bim.at[s, :, pl.ds(LANES, LANES)],
+                                      isem.at[s, 3]),
+            )
+
+        def start_in(t, s):
+            @pl.when(active)
+            def _():
+                for d in in_steered(t, s):
+                    d.start()
+
+            @pl.when(jnp.logical_not(active))
+            def _():
+                for d in in_plain(t, s):
+                    d.start()
+
+        def wait_in(t, s):
+            @pl.when(active)
+            def _():
+                for d in in_steered(t, s):
+                    d.wait()
+
+            @pl.when(jnp.logical_not(active))
+            def _():
+                for d in in_plain(t, s):
+                    d.wait()
 
         def out_d(t, s):
             return (pltpu.make_async_copy(cre.at[s],
@@ -1133,16 +1186,14 @@ def get_stream_block_kernel(n: int, real_dtype, precision: str,
                                           osem.at[s, 1]))
 
         def pro(s, _):
-            for d in in_d(s, s):
-                d.start()
+            start_in(s, s)
             return _
 
         jax.lax.fori_loop(0, W, pro, None, unroll=False)
 
         def body(t, _):
             s = jax.lax.rem(t, W)
-            for d in in_d(t, s):
-                d.wait()
+            wait_in(t, s)
 
             @pl.when(t >= W)           # out-slot s frees once out(t-W) lands
             def _():
@@ -1158,8 +1209,7 @@ def get_stream_block_kernel(n: int, real_dtype, precision: str,
 
             @pl.when(t + W < nt)       # in-slot s free: compute(t) is done
             def _():
-                for d in in_d(t + W, s):
-                    d.start()
+                start_in(t + W, s)
             return _
 
         jax.lax.fori_loop(0, nt, body, None, unroll=False)
@@ -1186,7 +1236,8 @@ def get_stream_block_kernel(n: int, real_dtype, precision: str,
             + [tab(cap_mats), tab(cap_mats), tab(LANE_QUBITS)],
             out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
             scratch_shapes=[pltpu.VMEM((W, T, DVIEW), dt)] * 4
-            + [pltpu.SemaphoreType.DMA((W, 2))] * 2,
+            + [pltpu.SemaphoreType.DMA((W, 4)),
+               pltpu.SemaphoreType.DMA((W, 2))],
         ),
         out_shape=[jax.ShapeDtypeStruct((R2, DVIEW), dt)] * 2,
         cost_estimate=pl.CostEstimate(

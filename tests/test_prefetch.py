@@ -520,8 +520,8 @@ def test_stream_plain_kernel_parity(tile_rows):
     (QSIM_STREAM_PLAIN) match the reference exactly.  Shrunken tiles at
     n=12 exercise the full W-deep window (nt=4), the shallow nt=2
     boundary, and the degenerate single-tile W=1 form; xswap-prologue
-    blocks still take the steered grid form, so the mixed chain is
-    covered too."""
+    blocks stream too (steered input copies), so the mixed chain is
+    covered end to end."""
     n = 12
     old_t, old_r = PF.TILE_ROWS, PF.RELAYOUT_TILE_ROWS
     old_stream = PF._STREAM_PLAIN
