@@ -49,8 +49,9 @@ run micro24 3600 python scripts/kernel_microbench.py 24 64
 # 3b. same through the manual streaming kernel (A/B vs Mosaic grid form)
 run micro24s 3600 python scripts/kernel_microbench.py 24 64 stream
 
-# 3. flagship bench at n=18
+# 4. flagship bench at n=18 (grid form, then streaming A/B)
 run bench 2400 python bench.py
+run bench_stream 2400 env QSIM_STREAM_PLAIN=1 python bench.py
 
 # 4. sweep stage2: mxu 21-24 remainder + prefetch 18-26 re-measure
 run sweep2 14400 python scripts/sweep_fill.py stage2
