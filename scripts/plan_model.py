@@ -58,7 +58,7 @@ def tswap_us(k: int) -> float:
     return 1.76 + 0.675 * (k - 1)
 
 
-def calibrate(n_cal: int = 24) -> bool:
+def calibrate(n_cal: int = 24, variant: str = "") -> bool:
     """Refresh the per-grid-step constants from the committed microbench
     JSONs (scripts/kernel_microbench.py output) when present; otherwise
     keep the documented estimates.  Returns True if measured data loaded.
@@ -74,7 +74,8 @@ def calibrate(n_cal: int = 24) -> bool:
 
     art = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "bench_artifacts")
-    path = os.path.join(art, f"kernel_micro_n{n_cal}.json")
+    suffix = f"_{variant}" if variant else ""
+    path = os.path.join(art, f"kernel_micro_n{n_cal}{suffix}.json")
     if not os.path.exists(path):
         return False
     with open(path) as f:
@@ -97,7 +98,10 @@ def calibrate(n_cal: int = 24) -> bool:
         RELAYOUT = u(d["relayout_ms"])
     if "xswap_prologue_ms" in d:
         BASE_STEERED = u(d["xswap_prologue_ms"])
-    ip = os.path.join(art, f"kernel_micro_n{n_cal}_inplace.json")
+    ip = os.path.join(
+        art, f"kernel_micro_n{n_cal}_inplace{suffix or ''}.json")
+    if variant and not os.path.exists(ip):
+        ip = os.path.join(art, f"kernel_micro_n{n_cal}_inplace.json")
     if os.path.exists(ip):
         with open(ip) as f:
             di = json.load(f)
@@ -160,8 +164,13 @@ def estimate(plan: P.PrefetchPlan, n: int, inplace: bool = False):
 
 
 def main():
-    fresh = calibrate()
-    print(f"calibration: {'measured kernel_micro_n24' if fresh else 'builtin estimates'}"
+    # `--stream` calibrates from the kernel_micro_n24_stream.json pair
+    # (the manual streaming kernels) once the queued A/B lands
+    variant = "stream" if "--stream" in sys.argv else ""
+    sys.argv = [a for a in sys.argv if a != "--stream"]
+    fresh = calibrate(variant=variant)
+    tag = f"measured kernel_micro_n24{'_' + variant if variant else ''}"
+    print(f"calibration: {tag if fresh else 'builtin estimates'}"
           f"  base_plain={BASE_PLAIN:.1f} base_split={BASE_SPLIT:.1f} mat={MAT:.1f}"
           f" mono={MONO:.1f} perm={PERM:.1f} relayout={RELAYOUT:.1f}"
           f" tswap(1/4/9)={tswap_us(1):.1f}/{tswap_us(4):.1f}/{tswap_us(9):.1f} us/gs",

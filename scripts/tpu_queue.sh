@@ -53,22 +53,21 @@ run micro24s 3600 python scripts/kernel_microbench.py 24 64 stream
 run bench 2400 python bench.py
 run bench_stream 2400 env QSIM_STREAM_PLAIN=1 python bench.py
 
-# 4. sweep stage2: mxu 21-24 remainder + prefetch 18-26 re-measure
-run sweep2 14400 python scripts/sweep_fill.py stage2
+# 5. in-place microbench pair (halves-native + streaming split A/B) —
+# cheap and decision-relevant, so it runs before the multi-hour stages
+run micro24ip 3600 python scripts/kernel_microbench.py 24 64 inplace
+run micro24ips 3600 python scripts/kernel_microbench.py 24 64 inplace stream
 
-# 5. large-n demos with the new kernels
+# 6. large-n demos with the new kernels
 run n29 7200 python scripts/n29_demo.py
 run n30 7200 python scripts/n30_demo.py
 
-# 6. sweep stage3: vmem 16-18 (compile-heavy, least urgent)
+# 7. sweep stage2: mxu 21-24 remainder + prefetch 18-26 re-measure
+run sweep2 14400 python scripts/sweep_fill.py stage2
+
+# 8. sweep stage3: vmem 16-18 (compile-heavy, least urgent)
 run sweep3 7200 python scripts/sweep_fill.py stage3
 
-# 7. in-place microbench (halves-native A/B evidence)
-run micro24ip 3600 python scripts/kernel_microbench.py 24 64 inplace
-
-# 7b. in-place through the manual streaming split kernel
-run micro24ips 3600 python scripts/kernel_microbench.py 24 64 inplace stream
-
-# 8. consolidate the CSV (freshest rows per strategy/n)
+# 9. consolidate the CSV (freshest rows per strategy/n)
 run consolidate 600 python scripts/sweep_fill.py consolidate
 log "QUEUE DONE"
