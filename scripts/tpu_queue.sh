@@ -8,9 +8,21 @@ cd "$(dirname "$0")/.."
 mkdir -p bench_artifacts/queue_logs
 log() { echo "[$(date +%H:%M:%S)] $*" | tee -a bench_artifacts/queue_logs/queue.log; }
 
+# Hard deadline (epoch seconds): the driver runs bench.py on this same
+# chip at round end — never let a queue job overlap it (shared HBM).
+# Default: QSIM_QUEUE_DEADLINE env, else now + 8 h.
+DEADLINE=${QSIM_QUEUE_DEADLINE:-$(( $(date +%s) + 8 * 3600 ))}
+
 run() { # run <name> <timeout_s> <cmd...>
   local name=$1 to=$2; shift 2
-  log "START $name"
+  local now left
+  now=$(date +%s); left=$(( DEADLINE - now ))
+  if [ "$left" -le 120 ]; then
+    log "SKIP $name (deadline reached)"
+    return
+  fi
+  [ "$to" -gt "$left" ] && to=$left
+  log "START $name (budget ${to}s)"
   timeout "$to" "$@" > "bench_artifacts/queue_logs/$name.log" 2>&1
   local rc=$?
   log "END $name rc=$rc"

@@ -16,6 +16,11 @@ for attempt in $(seq 1 48); do
     bash scripts/tpu_queue.sh
     exit 0
   fi
+  if [ -n "${QSIM_QUEUE_DEADLINE:-}" ] \
+      && [ "$(date +%s)" -ge "$QSIM_QUEUE_DEADLINE" ]; then
+    log "deadline passed while waiting; giving up"
+    exit 1
+  fi
   log "probe $attempt failed; sleeping 300"
   sleep 300
 done
