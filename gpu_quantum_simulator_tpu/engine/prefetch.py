@@ -1635,10 +1635,20 @@ def get_stream_split_kernel(n: int, real_dtype, precision: str,
     ``_steps_loop_halves`` -> HBM.  Aliasing is safe under streaming
     because writes strictly trail reads per tile: out(t) starts only
     after compute(t) finished reading tile t, and read-ahead in(t+W)
-    touches a disjoint tile.  Every split step-block is prologue-free
-    (xswaps / relayouts are separate chain entries), so this covers the
-    whole in-place chain's block traffic.  Same signature as the split
-    ``block_fn``.
+    touches a disjoint tile.
+
+    PAIR MODE (scal[1] == 1): a block whose plan carries a pending
+    cross-tile swap streams as swap-pair traffic instead of a separate
+    pair-grid xswap pass — the xswap becomes free.  Loop index t maps to
+    (pair p = t >> 1, member m = t & 1); member m's working tile is the
+    post-swap tile (tl if m == 0 else th = tl | tmask) whose four halves
+    gather from srcs[m]/srcs[2+m] at tiles (tl, th) (the swap exchanges
+    h1[tl] <-> h0[th], so tl collects the two h0 halves and th the two
+    h1 halves).  Aliasing hazard handled explicitly: member 0's output
+    overwrites re1[tl]/im1[tl], which member 1 still reads — so at even
+    t BOTH members' input copies are waited before member 0's output
+    starts; odd t skips its (already-waited) input wait.  Same signature
+    as the split ``block_fn``.
     """
     dt = np.dtype(real_dtype)
     key = ("stream-split", n, cap_steps, cap_mats, dt.str, precision,
@@ -1656,11 +1666,59 @@ def get_stream_split_kernel(n: int, real_dtype, precision: str,
     def kernel(scal_ref, s0, s1, s2, s3, a_ref, b_ref, p_ref,
                o0, o1, o2, o3, bufs, outs, isem, osem):
         srcs, dsts = (s0, s1, s2, s3), (o0, o1, o2, o3)
+        active = scal_ref[1] == 1
+        even = lambda t: (t & 1) == 0
+
+        def pair_tiles(t):
+            p, sh = t >> 1, scal_ref[3]
+            tl = ((p >> sh) << (sh + 1)) | (p & ((1 << sh) - 1))
+            return tl, tl | scal_ref[2]
 
         def in_d(t, s):
             return [pltpu.make_async_copy(src.at[pl.ds(t * T, T), :],
                                           bufs.at[h, s], isem.at[s, h])
                     for h, src in enumerate(srcs)]
+
+        def in_pair(m, t, s):
+            # m is the STATIC member parity (tuple indexing needs it)
+            tl, th = pair_tiles(t)
+            return [pltpu.make_async_copy(
+                src.at[pl.ds(tile * T, T), :], bufs.at[h, s],
+                isem.at[s, h])
+                for h, (src, tile) in enumerate((
+                    (srcs[m], tl), (srcs[m], th),
+                    (srcs[2 + m], tl), (srcs[2 + m], th)))]
+
+        def start_in(t, s):
+            @pl.when(active & even(t))
+            def _():
+                for d in in_pair(0, t, s):
+                    d.start()
+
+            @pl.when(active & jnp.logical_not(even(t)))
+            def _():
+                for d in in_pair(1, t, s):
+                    d.start()
+
+            @pl.when(jnp.logical_not(active))
+            def _():
+                for d in in_d(t, s):
+                    d.start()
+
+        def wait_in(t, s):
+            # pair mode: even t waits BOTH members (see docstring)
+            @pl.when(active & even(t))
+            def _():
+                for d in in_pair(0, t, s):
+                    d.wait()
+                s2 = jax.lax.rem(t + 1, W)
+                for d in in_pair(1, t + 1, s2):
+                    d.wait()
+
+            @pl.when(jnp.logical_not(active))
+            def _():
+                for d in in_d(t, s):
+                    d.wait()
 
         def out_d(t, s):
             return [pltpu.make_async_copy(outs.at[h, s],
@@ -1668,22 +1726,49 @@ def get_stream_split_kernel(n: int, real_dtype, precision: str,
                                           osem.at[s, h])
                     for h, dst in enumerate(dsts)]
 
+        def out_pair(t, s):
+            tl, th = pair_tiles(t)
+            tile = jnp.where(even(t), tl, th)
+            return [pltpu.make_async_copy(outs.at[h, s],
+                                          dst.at[pl.ds(tile * T, T), :],
+                                          osem.at[s, h])
+                    for h, dst in enumerate(dsts)]
+
+        def start_out(t, s):
+            @pl.when(active)
+            def _():
+                for d in out_pair(t, s):
+                    d.start()
+
+            @pl.when(jnp.logical_not(active))
+            def _():
+                for d in out_d(t, s):
+                    d.start()
+
+        def wait_out(t, s):
+            @pl.when(active)
+            def _():
+                for d in out_pair(t, s):
+                    d.wait()
+
+            @pl.when(jnp.logical_not(active))
+            def _():
+                for d in out_d(t, s):
+                    d.wait()
+
         def pro(s, _):
-            for d in in_d(s, s):
-                d.start()
+            start_in(s, s)
             return _
 
         jax.lax.fori_loop(0, W, pro, None, unroll=False)
 
         def body(t, _):
             s = jax.lax.rem(t, W)
-            for d in in_d(t, s):
-                d.wait()
+            wait_in(t, s)
 
             @pl.when(t >= W)
             def _():
-                for d in out_d(t - W, s):
-                    d.wait()
+                wait_out(t - W, s)
 
             r0, r1, i0, i1 = _steps_loop_halves(
                 scal_ref, a_ref, b_ref, p_ref,
@@ -1693,13 +1778,11 @@ def get_stream_split_kernel(n: int, real_dtype, precision: str,
             outs[1, s] = r1
             outs[2, s] = i0
             outs[3, s] = i1
-            for d in out_d(t, s):
-                d.start()
+            start_out(t, s)
 
             @pl.when(t + W < nt)
             def _():
-                for d in in_d(t + W, s):
-                    d.start()
+                start_in(t + W, s)
             return _
 
         jax.lax.fori_loop(0, nt, body, None, unroll=False)
@@ -1709,8 +1792,7 @@ def get_stream_split_kernel(n: int, real_dtype, precision: str,
 
             @pl.when(t >= 0)
             def _():
-                for d in out_d(t, jax.lax.rem(t, W)):
-                    d.wait()
+                wait_out(t, jax.lax.rem(t, W))
             return _
 
         jax.lax.fori_loop(0, W, drain, None, unroll=False)
@@ -1986,9 +2068,11 @@ def materialize_entries(entries: Sequence[_Block], cap_steps: int,
             k = len(blk.kinds)
             scal[i, 0] = k
             if blk.prologue is not None:
-                # inplace: a standalone pair-swap entry (flag 2);
-                # otherwise: the block's input-DMA prologue (flag 1)
-                scal[i, 1] = 2 if inplace else 1
+                # inplace (grid kernels): a standalone pair-swap entry
+                # (flag 2) — unless streaming, where the pair-mode split
+                # kernel folds the swap into the block (flag 1, like the
+                # flat engine's input-DMA prologue)
+                scal[i, 1] = 2 if (inplace and not _STREAM_PLAIN) else 1
                 scal[i, 2] = blk.prologue[0]
                 scal[i, 3] = blk.prologue[1]
             if blk.relayout is not None:
@@ -2074,10 +2158,12 @@ class PrefetchProgram:
         self._ptab = perm_table(dt)
 
         entries = plan.blocks
-        if inplace:
-            # aliased in-place chains cannot steer a cross-tile swap through
-            # the input DMA (a grid step may only read what it writes), so
-            # every prologue is hoisted into a standalone pair-swap entry
+        if inplace and not _STREAM_PLAIN:
+            # aliased in-place GRID chains cannot steer a cross-tile swap
+            # through the input DMA (a grid step may only read what it
+            # writes), so every prologue is hoisted into a standalone
+            # pair-swap entry; the streaming split kernel instead folds
+            # the swap into the block's pair-mode input stream
             entries = []
             for blk in plan.blocks:
                 if blk.relayout is not None:

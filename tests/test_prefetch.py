@@ -568,6 +568,10 @@ def test_stream_split_kernel_parity(tile_rows):
         ops = _fuse_pipeline(c, 7, max_high=2)
         prog = PF.PrefetchProgram(ops, n, interpret=True, inplace=True)
         assert any(k[0] == "stream-split" for k in PF._KERNEL_CACHE)
+        # pair-mode coverage: the plan's xswaps must ride blocks (flag 1)
+        # instead of standalone pair-grid entries (flag 2)
+        flags = [int(f) for part in prog._host_parts for f in part[3][:, 1]]
+        assert 1 in flags and 2 not in flags, flags
         import jax.numpy as jnp
         from gpu_quantum_simulator_tpu.ops.apply import join_state
         from gpu_quantum_simulator_tpu.engine.prefetch import (
