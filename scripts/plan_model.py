@@ -112,8 +112,14 @@ def calibrate(n_cal: int = 24, variant: str = "") -> bool:
     return True
 
 
-def estimate(plan: P.PrefetchPlan, n: int, inplace: bool = False):
-    """(seconds, breakdown dict) for one plan at width n."""
+def estimate(plan: P.PrefetchPlan, n: int, inplace: bool = False,
+             stream: bool = False):
+    """(seconds, breakdown dict) for one plan at width n.
+
+    ``stream`` models the QSIM_STREAM_PLAIN chains: in-place xswaps ride
+    the block's pair-mode input stream (no standalone pass, no extra
+    block base), and steered flat blocks cost the streamed base.
+    """
     T = P.tile_rows(n)
     gs = max((1 << (n - P.LOCAL_QUBITS)) // T, 1)
     logt = plan.logt
@@ -126,10 +132,12 @@ def estimate(plan: P.PrefetchPlan, n: int, inplace: bool = False):
         if b.gswap is not None:
             continue
         if inplace and b.prologue is not None:
-            # materialization hoists the prologue into a standalone
-            # pair-grid swap entry (half grid) + a plain step block
-            acc["xswap"] += (XSWAP_SPLIT * gs if XSWAP_SPLIT is not None
-                             else BASE_PLAIN * gs / 2)
+            # grid chains hoist the prologue into a standalone pair-grid
+            # swap entry (half grid) + a plain step block; streaming
+            # chains fold the swap into the block's pair-mode input
+            if not stream:
+                acc["xswap"] += (XSWAP_SPLIT * gs if XSWAP_SPLIT is not None
+                                 else BASE_PLAIN * gs / 2)
             acc["base"] += BASE_SPLIT * gs
             for kind in b.kinds:
                 if kind == 0:
@@ -186,7 +194,7 @@ def main():
             ops, n, final_layout=np.argsort(perm),
             involution_relayout=inplace,
             cap_mats=(4 if (n >= 21 and not inplace) else P.CAP_MATS))
-        secs, acc = estimate(plan, n, inplace=inplace)
+        secs, acc = estimate(plan, n, inplace=inplace, stream=bool(variant))
         comp = " ".join(f"{k}={v if isinstance(v, int) else round(v * US, 3)}"
                         for k, v in acc.items())
         print(f"n={n} inplace={inplace} blocks={len(plan.blocks)} "
