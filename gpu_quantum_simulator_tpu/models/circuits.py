@@ -191,6 +191,139 @@ def grover(
     return c
 
 
+def _zz_interaction(c: Circuit, theta: float, a: int, b: int) -> None:
+    """exp(-i*(theta/2)*Z_a Z_b) up to a global phase.
+
+    CX(a,b); rz(theta, b); CX(a,b) puts phase e^{i*theta} on odd-parity
+    basis states (rz = diag(1, e^{i theta}), reference convention,
+    quantum_simulator.c:205-208), which equals e^{i theta/2} *
+    exp(-i (theta/2) ZZ)."""
+    c.cx(a, b)
+    c.rz(theta, b)
+    c.cx(a, b)
+
+
+def _rx_via_h(c: Circuit, theta: float, q: int) -> None:
+    """exp(-i*(theta/2)*X) up to a global phase: H; rz(theta); H."""
+    c.h(q)
+    c.rz(theta, q)
+    c.h(q)
+
+
+def ring_edges(n: int):
+    """Edge list of the n-cycle (the standard QAOA MaxCut benchmark graph)."""
+    return [(i, (i + 1) % n) for i in range(n)]
+
+
+def qaoa_maxcut_parts(
+    num_qubits: int,
+    edges: Optional[Sequence] = None,
+    gamma: float = 0.7,
+    beta: float = 0.4,
+    layers: int = 1,
+):
+    """(prefix, body, layers) for uniform-angle QAOA MaxCut.
+
+    ``prefix`` prepares |+...+>; ``body`` is ONE layer
+    U_B(beta) U_C(gamma) with U_C = prod_edges e^{-i gamma (1 - Z_a Z_b)/2}
+    (global phase dropped) and U_B = prod_q e^{-i beta X_q}.  Uniform
+    angles across layers make the body a fixed block, so it runs through
+    ``Simulator.run_device_iterated`` with one compile regardless of depth
+    (the TPU analog of the reference's constant-table re-upload loop,
+    quantum_simulator_preproces_constant_only.cu:312-340).
+    """
+    n = num_qubits
+    edges = list(edges) if edges is not None else ring_edges(n)
+    for a, b in edges:
+        if not (0 <= a < n and 0 <= b < n and a != b):
+            raise ValueError(f"bad edge ({a}, {b}) for n={n}")
+    prefix = Circuit(n)
+    for q in range(n):
+        prefix.h(q)
+    body = Circuit(n)
+    for a, b in edges:
+        _zz_interaction(body, -float(gamma), a, b)  # e^{+i gamma/2 ZZ} ~ e^{-i gamma C_edge}
+    for q in range(n):
+        _rx_via_h(body, 2.0 * float(beta), q)
+    return prefix, body, int(layers)
+
+
+def qaoa_maxcut(
+    num_qubits: int,
+    edges: Optional[Sequence] = None,
+    gammas: Sequence[float] = (0.7,),
+    betas: Sequence[float] = (0.4,),
+) -> Circuit:
+    """Full QAOA MaxCut circuit with a per-layer angle schedule."""
+    if len(gammas) != len(betas):
+        raise ValueError("gammas and betas must have equal length")
+    c = None
+    for gamma, beta in zip(gammas, betas):
+        prefix, body, _ = qaoa_maxcut_parts(num_qubits, edges, gamma, beta)
+        if c is None:
+            c = Circuit(prefix.num_qubits, list(prefix.gates))
+        c.gates.extend(body.gates)
+    if c is None:
+        c = Circuit(num_qubits)
+        for q in range(num_qubits):
+            c.h(q)
+    return c
+
+
+def maxcut_cost_terms(num_qubits: int, edges: Optional[Sequence] = None):
+    """MaxCut cost C = sum_edges (1 - Z_a Z_b)/2 as (coeff, pauli) terms
+    for ``observables.expectation_pauli_sum``."""
+    edges = list(edges) if edges is not None else ring_edges(num_qubits)
+    terms = [(0.5 * len(edges), "I" * num_qubits)]
+    for a, b in edges:
+        terms.append((-0.5, f"Z{a} Z{b}"))  # sparse Pauli spec (observables._parse_pauli)
+    return terms
+
+
+def trotter_tfim_parts(
+    num_qubits: int,
+    dt: float,
+    J: float = 1.0,
+    g: float = 1.0,
+    steps: int = 10,
+    periodic: bool = False,
+):
+    """(prefix, body, steps) for first-order Trotter evolution of the
+    transverse-field Ising model H = -J sum Z_i Z_{i+1} - g sum X_i
+    starting from |0...0>.
+
+    One step is prod_bonds e^{+i dt J Z Z} . prod_sites e^{+i dt g X}
+    (Lie-Trotter; global error O(dt)).  The body is the same block every
+    step — the canonical ``run_device_iterated`` workload."""
+    n = num_qubits
+    prefix = Circuit(n)  # |0...0> is the quench initial state
+    body = Circuit(n)
+    bonds = [(i, i + 1) for i in range(n - 1)]
+    if periodic and n > 2:
+        bonds.append((n - 1, 0))
+    for a, b in bonds:
+        _zz_interaction(body, -2.0 * float(J) * float(dt), a, b)  # e^{+i dt J ZZ}
+    for q in range(n):
+        _rx_via_h(body, -2.0 * float(g) * float(dt), q)  # e^{+i dt g X}
+    return prefix, body, int(steps)
+
+
+def trotter_tfim(
+    num_qubits: int,
+    dt: float,
+    J: float = 1.0,
+    g: float = 1.0,
+    steps: int = 10,
+    periodic: bool = False,
+) -> Circuit:
+    """Unrolled first-order Trotter TFIM circuit (see trotter_tfim_parts)."""
+    prefix, body, steps = trotter_tfim_parts(num_qubits, dt, J, g, steps, periodic)
+    c = Circuit(prefix.num_qubits, list(prefix.gates))
+    for _ in range(steps):
+        c.gates.extend(body.gates)
+    return c
+
+
 _REFERENCE_DIR = "/root/reference"
 
 
