@@ -70,6 +70,9 @@ run bench_stream 2400 env QSIM_STREAM_PLAIN=1 python bench.py
 run micro24ip 3600 python scripts/kernel_microbench.py 24 64 inplace
 run micro24ips 3600 python scripts/kernel_microbench.py 24 64 inplace stream
 
+# 5b. variational workloads through iterated prefetch (n=24, one compile)
+run variational 3600 python scripts/variational_demo.py 24 prefetch
+
 # 6. large-n demos with the new kernels
 run n29 7200 python scripts/n29_demo.py
 run n30 7200 python scripts/n30_demo.py
