@@ -171,6 +171,22 @@ def estimate(plan: P.PrefetchPlan, n: int, inplace: bool = False,
     return total, acc
 
 
+# v5e ICI: ~45 GB/s effective one-way per link (scaling-book class numbers;
+# a projection constant until a pod is available to measure).
+ICI_GBS = 45.0
+GSWAP_LAT_US = 25.0  # ppermute launch + barrier slack per exchange
+
+
+def estimate_sharded(plan: P.PrefetchPlan, n: int, d: int):
+    """(seconds, breakdown) for a mesh plan: local steps at nl = n - d per
+    chip (all chips in parallel) + gswap half-block ICI exchanges."""
+    nl = n - d
+    secs, acc = estimate(plan, nl)
+    gswap_us = (1 << nl) * 4 / (ICI_GBS * 1e9) * 1e6 + GSWAP_LAT_US
+    acc["gswap"] = plan.num_gswaps * gswap_us * US
+    return secs + acc["gswap"], acc
+
+
 def main():
     # `--stream` calibrates from the kernel_micro_n24_stream.json pair
     # (the manual streaming kernels) once the queued A/B lands
@@ -183,12 +199,28 @@ def main():
           f" mono={MONO:.1f} perm={PERM:.1f} relayout={RELAYOUT:.1f}"
           f" tswap(1/4/9)={tswap_us(1):.1f}/{tswap_us(4):.1f}/{tswap_us(9):.1f} us/gs",
           flush=True)
+    mesh_d = 0
+    if "--mesh" in sys.argv:
+        i = sys.argv.index("--mesh")
+        mesh_d = int(sys.argv[i + 1])
+        del sys.argv[i:i + 2]
     ns = [int(a) for a in sys.argv[1:]] or [18, 22, 24, 26, 29, 30]
     for n in ns:
         c = circuits.grover_like(n)
         perm = plan_permutation(c)
         work = c.relabeled(perm)
         ops = _fuse_pipeline(work, min(7, n), max_high=2, window=8)
+        if mesh_d:
+            plan = P.plan_prefetch(
+                ops, n, final_layout=np.argsort(perm), num_global=mesh_d)
+            secs, acc = estimate_sharded(plan, n, mesh_d)
+            comp = " ".join(
+                f"{k}={v if isinstance(v, int) else round(v * US, 3) if k != 'gswap' else round(v, 3)}"
+                for k, v in acc.items())
+            print(f"n={n} mesh=2^{mesh_d} chips, nl={n - mesh_d} "
+                  f"blocks={len(plan.blocks)} gswaps={plan.num_gswaps} "
+                  f"est={secs:.3f}s  [{comp}]", flush=True)
+            continue
         inplace = n >= 29
         plan = P.plan_prefetch(
             ops, n, final_layout=np.argsort(perm),
