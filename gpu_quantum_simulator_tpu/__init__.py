@@ -30,7 +30,7 @@ from .qasm.parser import parse_qasm, parse_qasm_file
 from .engine.simulator import Simulator, simulate
 from .config import SimulatorConfig
 from . import models
-from .dynamic import DynamicCircuit, run_dynamic
+from .dynamic import DynamicCircuit, run_dynamic, run_dynamic_batched
 from .density import DensitySimulator, NoisyCircuit
 from .gradients import parameter_shift
 from .observables import expectation_pauli, expectation_pauli_sum
@@ -60,6 +60,7 @@ __all__ = [
     "norm_device",
     "DynamicCircuit",
     "run_dynamic",
+    "run_dynamic_batched",
     "DensitySimulator",
     "NoisyCircuit",
     "parameter_shift",

@@ -116,6 +116,27 @@ class TrajectoryResult:
     clbits: Tuple[int, ...]          # classical register after the run
 
 
+def _split_segments(dc: DynamicCircuit, n: int) -> List[Tuple[str, object]]:
+    """Maximal unitary segments interleaved with non-unitary items.
+
+    Conditional gates split segments because their presence depends on
+    runtime clbits.  ``n`` may exceed ``dc.num_qubits`` (batched ensembles
+    lift circuits to the padded width; gate indices are unchanged)."""
+    segments: List[Tuple[str, object]] = []   # ("circuit", Circuit) | item
+    cur = Circuit(n)
+    for item in dc.items:
+        if isinstance(item, Gate):
+            cur.gates.append(item)
+            continue
+        if cur.gates:
+            segments.append(("circuit", cur))
+            cur = Circuit(n)
+        segments.append(("item", item))
+    if cur.gates:
+        segments.append(("circuit", cur))
+    return segments
+
+
 def run_dynamic(
     dc: DynamicCircuit,
     config: Optional[SimulatorConfig] = None,
@@ -127,7 +148,8 @@ def run_dynamic(
 
     Each trajectory replays the program; unitary segments are served from
     the Simulator's program caches so repeated shots re-execute without any
-    re-planning or re-compilation.
+    re-planning or re-compilation.  For many shots at moderate n, prefer
+    ``run_dynamic_batched`` — it executes ALL trajectories as one ensemble.
     """
     import jax
     import jax.numpy as jnp
@@ -143,22 +165,10 @@ def run_dynamic(
     real_dtype = jnp.float64 if cfg.dtype == "complex128" else jnp.float32
 
     # Pre-split the program into maximal unitary segments (shared by all
-    # trajectories; conditional gates split segments because their presence
-    # depends on runtime clbits).  Per-item helper circuits (reset flips,
-    # conditional gates) are built ONCE so every shot hits the same
+    # trajectories).  Per-item helper circuits (reset flips, conditional
+    # gates) are built ONCE so every shot hits the same
     # program-cache entries.
-    segments: List[Tuple[str, object]] = []   # ("circuit", Circuit) | item
-    cur = Circuit(n)
-    for item in dc.items:
-        if isinstance(item, Gate):
-            cur.gates.append(item)
-            continue
-        if cur.gates:
-            segments.append(("circuit", cur))
-            cur = Circuit(n)
-        segments.append(("item", item))
-    if cur.gates:
-        segments.append(("circuit", cur))
+    segments = _split_segments(dc, n)
     flip_for: dict = {}
     cond_for: dict = {}
     for kind, seg in segments:
@@ -204,4 +214,151 @@ def run_dynamic(
         if return_states:
             state = join_state(np.asarray(re), np.asarray(im))
         results.append(TrajectoryResult(state, tuple(clbits)))
+    return results
+
+
+_ENSEMBLE_JIT: dict = {}
+
+
+def _jitted(fn, name: str):
+    """Module-cached jax.jit wrapper (static q/n/s) so repeated batched
+    runs reuse compiled collapse/flip passes."""
+    import jax
+
+    w = _ENSEMBLE_JIT.get(name)
+    if w is None:
+        w = jax.jit(fn, static_argnums=(2, 3, 4))
+        _ENSEMBLE_JIT[name] = w
+    return w
+
+
+def _measure_ensemble(re, im, q: int, n: int, s: int, u):
+    """Collapse qubit ``q`` across all 2^s trajectory blocks at once.
+
+    The ensemble is flat (2^(n+s),) with the shot index in the high s
+    bits; one reshape puts the measured bit on its own axis (the apply_1q
+    low-rank form, ops/apply.py) so Born probabilities, outcome draws, and
+    the projective renormalization are a single fused elementwise+reduce
+    pass — no per-shot dispatch, no host round-trip."""
+    import jax.numpy as jnp
+
+    S, hi, lo = 1 << s, 1 << (n - 1 - q), 1 << q
+    re4 = re.reshape(S, hi, 2, lo)
+    im4 = im.reshape(S, hi, 2, lo)
+    p1 = jnp.sum(re4[:, :, 1, :] ** 2 + im4[:, :, 1, :] ** 2, axis=(1, 2))
+    out = (u < p1).astype(jnp.int32)           # per-shot Born outcome
+    sel = jnp.stack([1 - out, out], axis=1).astype(re.dtype)
+    norm = jnp.where(out == 1, p1, 1.0 - p1)
+    scale = (sel / jnp.sqrt(jnp.maximum(norm, 1e-30))[:, None]).reshape(
+        S, 1, 2, 1)
+    return (re4 * scale).reshape(-1), (im4 * scale).reshape(-1), out
+
+
+def _flip_where(re, im, q: int, n: int, s: int, cond):
+    """X on qubit ``q`` for the trajectory blocks where ``cond`` is true."""
+    import jax.numpy as jnp
+
+    S, hi, lo = 1 << s, 1 << (n - 1 - q), 1 << q
+    c = cond.astype(bool).reshape(S, 1, 1, 1)
+
+    def f(x):
+        x4 = x.reshape(S, hi, 2, lo)
+        return jnp.where(c, x4[:, :, ::-1, :], x4).reshape(-1)
+
+    return f(re), f(im)
+
+
+def run_dynamic_batched(
+    dc: DynamicCircuit,
+    config: Optional[SimulatorConfig] = None,
+    shots: int = 256,
+    seed: int = 0,
+    return_states: bool = False,
+) -> List[TrajectoryResult]:
+    """All ``shots`` Born-rule trajectories as ONE device-resident ensemble.
+
+    TPU-first batching: 2^s independent trajectories of an n-qubit state
+    ARE one flat state of n+s qubits whose high s bits index the shot —
+    so unitary segments run UNCHANGED through any engine at width n+s
+    (wider kernels, better MXU/HBM utilization), and a mid-circuit
+    measurement is one fused collapse pass over the ensemble with
+    per-shot on-device uniforms (jax.random).  One program execution
+    total instead of ``shots`` replays; per-dispatch tunnel latency
+    amortizes across the whole batch.  Memory: (re, im) of 2^(n+s)
+    floats — at n=20 a 4096-shot f32 ensemble is 8 GB, so size
+    ``shots`` to the chip.
+
+    ``shots`` is rounded up to a power of two internally; exactly
+    ``shots`` trajectories are returned.  Beyond-reference capability
+    (the reference's measurement loop is disabled dead code,
+    quantum_simulator.c:68-73).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .engine.simulator import Simulator
+    from .ops.apply import join_state
+
+    cfg = config or SimulatorConfig()
+    sim = Simulator(cfg)
+    n = dc.num_qubits
+    s = max(0, (int(shots) - 1).bit_length())
+    S = 1 << s
+    N = n + s
+    real_dtype = jnp.float64 if cfg.dtype == "complex128" else jnp.float32
+
+    # every shot block starts in its own |0...0>
+    dim = 1 << N
+    re = jnp.zeros(dim, real_dtype).at[:: 1 << n].set(1.0)
+    im = jnp.zeros(dim, real_dtype)
+
+    segments = _split_segments(dc, N)
+    cond_for: dict = {}
+    for kind, seg in segments:
+        if kind == "item" and isinstance(seg, CondGate):
+            one = Circuit(N)
+            one.gates.append(seg.gate)
+            cond_for[id(seg)] = one
+
+    key = jax.random.PRNGKey(seed)
+    clbits: List[object] = [jnp.zeros(S, jnp.int32)
+                            for _ in range(dc.num_clbits)]
+    event = 0
+    for kind, seg in segments:
+        if kind == "circuit":
+            re, im, _ = sim.run_device_parts(seg, (re, im))
+            continue
+        if isinstance(seg, (Measure, Reset)):
+            u = jax.random.uniform(jax.random.fold_in(key, event), (S,),
+                                   dtype=real_dtype)
+            event += 1
+            re, im, out = _jitted(_measure_ensemble, "measure")(
+                re, im, seg.qubit, n, s, u)
+            if isinstance(seg, Measure):
+                clbits[seg.clbit] = out
+            else:                      # Reset: flip the shots that read 1
+                re, im = _jitted(_flip_where, "flip")(
+                    re, im, seg.qubit, n, s, out)
+        elif isinstance(seg, CondGate):
+            # engine programs donate their inputs; the speculative branch
+            # must run on copies so the kept state survives
+            cre, cim, _ = sim.run_device_parts(
+                cond_for[id(seg)], (jnp.array(re, copy=True),
+                                    jnp.array(im, copy=True)))
+            hit = (clbits[seg.clbit] == seg.value).reshape(S, 1)
+            M = 1 << n
+            re = jnp.where(hit, cre.reshape(S, M), re.reshape(S, M)).reshape(-1)
+            im = jnp.where(hit, cim.reshape(S, M), im.reshape(S, M)).reshape(-1)
+        else:  # pragma: no cover
+            raise AssertionError(seg)
+
+    host_clbits = [np.asarray(c) for c in clbits]
+    states = None
+    if return_states:
+        states = join_state(np.asarray(re), np.asarray(im)).reshape(S, 1 << n)
+    results = []
+    for k in range(int(shots)):
+        bits = tuple(int(c[k]) for c in host_clbits)
+        results.append(TrajectoryResult(
+            None if states is None else states[k], bits))
     return results
