@@ -48,7 +48,26 @@ class CondGate:
     value: int = 1
 
 
-Item = Union[Gate, Measure, Reset, CondGate]
+@dataclass(frozen=True)
+class Noise:
+    """Stochastic single-qubit noise event (trajectory unraveling).
+
+    Kinds match density.NAMED_CHANNELS: ``depolarizing`` (X/Y/Z each w.p.
+    p/4), ``dephasing`` (Z w.p. p/2), ``bit_flip`` (X w.p. p),
+    ``amplitude_damping`` (quantum-jump unraveling of the T1 Kraus pair).
+    Trajectory averages converge to the DensitySimulator channel exactly
+    (differential tests), but trajectories scale as state VECTORS — noisy
+    simulation at any n the pure engines reach, vs the 2n-qubit density
+    ceiling."""
+
+    kind: str
+    qubit: int
+    p: float
+
+
+NOISE_KINDS = ("depolarizing", "dephasing", "bit_flip", "amplitude_damping")
+
+Item = Union[Gate, Measure, Reset, CondGate, Noise]
 
 
 @dataclass
@@ -107,6 +126,16 @@ class DynamicCircuit:
         for q in g.qubits:
             self._check_q(q)
         self.items.append(CondGate(g, clbit, value))
+        return self
+
+    def noise(self, kind: str, qubit: int, p: float):
+        """Insert a stochastic noise event (see ``Noise``)."""
+        if kind not in NOISE_KINDS:
+            raise ValueError(f"unknown noise kind {kind!r}; one of {NOISE_KINDS}")
+        if not (0.0 <= p <= 1.0):
+            raise ValueError(f"noise probability must be in [0, 1], got {p}")
+        self._check_q(qubit)
+        self.items.append(Noise(kind, qubit, float(p)))
         return self
 
 
@@ -208,6 +237,9 @@ def run_dynamic(
                 if clbits[seg.clbit] == seg.value:
                     re, im, _ = sim.run_device_parts(
                         cond_for[id(seg)], (re, im))
+            elif isinstance(seg, Noise):
+                u = jnp.full((1,), rng.random(), real_dtype)
+                re, im = _apply_noise(re, im, seg, n, 0, u, real_dtype)
             else:  # pragma: no cover
                 raise AssertionError(seg)
         state = None
@@ -252,6 +284,93 @@ def _measure_ensemble(re, im, q: int, n: int, s: int, u):
     scale = (sel / jnp.sqrt(jnp.maximum(norm, 1e-30))[:, None]).reshape(
         S, 1, 2, 1)
     return (re4 * scale).reshape(-1), (im4 * scale).reshape(-1), out
+
+
+def _pauli_probs(kind: str, p: float) -> Tuple[float, float, float]:
+    """(P(X), P(Y), P(Z)) for the Pauli-mixture channels, matching the
+    density.NAMED_CHANNELS Kraus weights exactly."""
+    if kind == "depolarizing":
+        return p / 4, p / 4, p / 4
+    if kind == "dephasing":
+        return 0.0, 0.0, p / 2
+    if kind == "bit_flip":
+        return p, 0.0, 0.0
+    raise ValueError(kind)
+
+
+def _pauli_ensemble(re, im, q: int, n: int, s: int, probs, u):
+    """Per-shot random Pauli on qubit ``q``: I/X/Y/Z drawn from the
+    cumulative thresholds of ``probs`` = (px, py, pz), applied exactly
+    (including Y's complex structure — no global-phase shortcut)."""
+    import jax.numpy as jnp
+
+    S, hi, lo = 1 << s, 1 << (n - 1 - q), 1 << q
+    re4 = re.reshape(S, hi, 2, lo)
+    im4 = im.reshape(S, hi, 2, lo)
+    px, py, pz = probs[0], probs[1], probs[2]
+    x_hit = (u < px).reshape(S, 1, 1, 1)
+    y_hit = ((u >= px) & (u < px + py)).reshape(S, 1, 1, 1)
+    z_hit = ((u >= px + py) & (u < px + py + pz)).reshape(S, 1, 1, 1)
+
+    flip = lambda a: a[:, :, ::-1, :]
+    sign = jnp.array([1.0, -1.0], re.dtype).reshape(1, 1, 2, 1)
+    # Y = [[0, -i], [i, 0]]: (Yψ)_0 = -i ψ_1, (Yψ)_1 = i ψ_0
+    re_y = jnp.stack([im4[:, :, 1, :], -im4[:, :, 0, :]], axis=2)
+    im_y = jnp.stack([-re4[:, :, 1, :], re4[:, :, 0, :]], axis=2)
+
+    out_re = jnp.where(x_hit, flip(re4),
+                       jnp.where(y_hit, re_y,
+                                 jnp.where(z_hit, re4 * sign, re4)))
+    out_im = jnp.where(x_hit, flip(im4),
+                       jnp.where(y_hit, im_y,
+                                 jnp.where(z_hit, im4 * sign, im4)))
+    return out_re.reshape(-1), out_im.reshape(-1)
+
+
+def _damp_ensemble(re, im, q: int, n: int, s: int, gamma, u):
+    """Quantum-jump unraveling of amplitude damping on qubit ``q``.
+
+    Per shot: jump w.p. gamma * P(1) — the |1> component moves to |0>
+    (K1, renormalized); otherwise K0 = diag(1, sqrt(1-gamma)) applies,
+    renormalized by sqrt(1 - gamma * P(1)).  Averaging trajectories
+    reproduces the density channel (kraus_amplitude_damping)."""
+    import jax.numpy as jnp
+
+    S, hi, lo = 1 << s, 1 << (n - 1 - q), 1 << q
+    re4 = re.reshape(S, hi, 2, lo)
+    im4 = im.reshape(S, hi, 2, lo)
+    p1 = jnp.sum(re4[:, :, 1, :] ** 2 + im4[:, :, 1, :] ** 2, axis=(1, 2))
+    pjump = gamma * p1
+    jump = (u < pjump).reshape(S, 1, 1, 1)
+    tiny = jnp.asarray(1e-30, re.dtype)
+
+    inv1 = (1.0 / jnp.sqrt(jnp.maximum(p1, tiny))).reshape(S, 1, 1, 1)
+    zeros = jnp.zeros_like(re4[:, :, 1, :])
+    re_j = jnp.stack([re4[:, :, 1, :], zeros], axis=2) * inv1
+    im_j = jnp.stack([im4[:, :, 1, :], zeros], axis=2) * inv1
+
+    k0 = jnp.stack([jnp.ones((), re.dtype),
+                    jnp.sqrt(jnp.asarray(1.0 - gamma, re.dtype))]).reshape(
+        1, 1, 2, 1)
+    invn = (1.0 / jnp.sqrt(jnp.maximum(1.0 - pjump, tiny))).reshape(S, 1, 1, 1)
+    re_n = re4 * k0 * invn
+    im_n = im4 * k0 * invn
+
+    out_re = jnp.where(jump, re_j, re_n)
+    out_im = jnp.where(jump, im_j, im_n)
+    return out_re.reshape(-1), out_im.reshape(-1)
+
+
+def _apply_noise(re, im, seg: Noise, n: int, s: int, u, real_dtype):
+    """Dispatch one Noise event on a (possibly s=0) ensemble state."""
+    import jax.numpy as jnp
+
+    if seg.kind == "amplitude_damping":
+        return _jitted(_damp_ensemble, "damp")(
+            re, im, seg.qubit, n, s, jnp.asarray(seg.p, real_dtype), u)
+    probs = jnp.asarray(_pauli_probs(seg.kind, seg.p), real_dtype)
+    return _jitted(_pauli_ensemble, "pauli")(
+        re, im, seg.qubit, n, s, probs, u)
 
 
 def _flip_where(re, im, q: int, n: int, s: int, cond):
@@ -349,6 +468,11 @@ def run_dynamic_batched(
             M = 1 << n
             re = jnp.where(hit, cre.reshape(S, M), re.reshape(S, M)).reshape(-1)
             im = jnp.where(hit, cim.reshape(S, M), im.reshape(S, M)).reshape(-1)
+        elif isinstance(seg, Noise):
+            u = jax.random.uniform(jax.random.fold_in(key, event), (S,),
+                                   dtype=real_dtype)
+            event += 1
+            re, im = _apply_noise(re, im, seg, n, s, u, real_dtype)
         else:  # pragma: no cover
             raise AssertionError(seg)
 

@@ -1,0 +1,118 @@
+"""Stochastic noise channels via trajectory unraveling (dynamic.Noise).
+
+Ground truth: the DensitySimulator's exact channel action on the same
+circuit.  Trajectory averages (batched ensembles) must converge to the
+density populations for every NAMED_CHANNELS kind — this pins both the
+Pauli-mixture probabilities and the amplitude-damping jump unraveling to
+the Kraus conventions in density.py.
+"""
+
+import numpy as np
+import pytest
+
+from gpu_quantum_simulator_tpu import models
+from gpu_quantum_simulator_tpu.density import DensitySimulator, NoisyCircuit
+from gpu_quantum_simulator_tpu.dynamic import (
+    DynamicCircuit,
+    Noise,
+    _pauli_ensemble,
+    run_dynamic,
+    run_dynamic_batched,
+)
+
+
+def _density_populations(n, pre, kind, q, p, post):
+    nc = NoisyCircuit(n, items=list(pre.gates))
+    kw = {"gamma": p} if kind == "amplitude_damping" else {"p": p}
+    nc.channel(kind, q, **kw)
+    for g in post.gates:
+        nc.items.append(g)
+    return DensitySimulator().run(nc).probabilities()
+
+
+def _trajectory_populations(n, pre, kind, q, p, post, shots, seed):
+    dc = DynamicCircuit(n)
+    dc.items.extend(pre.gates)
+    dc.noise(kind, q, p)
+    dc.items.extend(post.gates)
+    acc = np.zeros(1 << n)
+    for r in run_dynamic_batched(dc, shots=shots, seed=seed,
+                                 return_states=True):
+        acc += np.abs(r.state) ** 2
+    return acc / shots
+
+
+@pytest.mark.parametrize("kind,p", [
+    ("depolarizing", 0.35),
+    ("dephasing", 0.6),
+    ("bit_flip", 0.3),
+    ("amplitude_damping", 0.45),
+])
+def test_trajectory_average_matches_density(kind, p):
+    n = 3
+    pre = models.random_circuit(n, 20, seed=4)
+    post = models.random_circuit(n, 20, seed=5)
+    want = _density_populations(n, pre, kind, 1, p, post)
+    got = _trajectory_populations(n, pre, kind, 1, p, post,
+                                  shots=4096, seed=9)
+    assert np.max(np.abs(got - want)) < 0.04     # Monte-Carlo tolerance
+
+
+def test_amplitude_damping_decay_exact_rate():
+    # |1> under gamma: P(0) = gamma exactly (in expectation)
+    dc = DynamicCircuit(1)
+    dc.x(0)
+    dc.noise("amplitude_damping", 0, 0.3)
+    acc = 0.0
+    shots = 8192
+    for r in run_dynamic_batched(dc, shots=shots, seed=2,
+                                 return_states=True):
+        acc += np.abs(r.state[0]) ** 2
+    assert acc / shots == pytest.approx(0.3, abs=0.02)
+
+
+def test_pauli_y_applied_exactly():
+    # force the Y branch (u in [px, px+py)) and compare with dense Y
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    v = rng.normal(size=4) + 1j * rng.normal(size=4)
+    v /= np.linalg.norm(v)
+    re = jnp.asarray(v.real, jnp.float32)
+    im = jnp.asarray(v.imag, jnp.float32)
+    probs = jnp.asarray([0.2, 0.5, 0.1], jnp.float32)
+    u = jnp.asarray([0.4], jnp.float32)           # lands in the Y window
+    for q in (0, 1):
+        nre, nim = _pauli_ensemble(re, im, q, 2, 0, probs, u)
+        got = np.asarray(nre) + 1j * np.asarray(nim)
+        Y = np.array([[0, -1j], [1j, 0]])
+        full = np.kron(Y, np.eye(2)) if q == 1 else np.kron(np.eye(2), Y)
+        np.testing.assert_allclose(got, full @ v, atol=1e-6)
+
+
+def test_noise_per_shot_path_agrees():
+    # run_dynamic (per-shot, host RNG) must produce the same average as
+    # the batched path within Monte-Carlo error
+    n = 2
+    dc = DynamicCircuit(n)
+    dc.h(0).cx(0, 1)
+    dc.noise("depolarizing", 0, 0.5)
+    acc = np.zeros(1 << n)
+    shots = 600
+    for r in run_dynamic(dc, shots=shots, seed=3, return_states=True):
+        acc += np.abs(r.state) ** 2
+    per_shot = acc / shots
+    batched = _trajectory_populations(
+        n, models.bell(), "depolarizing", 0, 0.5,
+        models.random_circuit(n, 0, seed=0), shots=4096, seed=4)
+    assert np.max(np.abs(per_shot - batched)) < 0.06
+
+
+def test_noise_validation():
+    dc = DynamicCircuit(2)
+    with pytest.raises(ValueError):
+        dc.noise("thermal", 0, 0.1)
+    with pytest.raises(ValueError):
+        dc.noise("dephasing", 0, 1.5)
+    with pytest.raises(ValueError):
+        dc.noise("dephasing", 5, 0.1)
