@@ -486,3 +486,56 @@ def run_dynamic_batched(
         results.append(TrajectoryResult(
             None if states is None else states[k], bits))
     return results
+
+
+def with_noise(
+    circuit: Circuit,
+    kind: str = "depolarizing",
+    p1: float = 0.0,
+    p2: float = 0.0,
+) -> DynamicCircuit:
+    """Lift a pure circuit into a DynamicCircuit with per-gate noise.
+
+    After every 1-qubit gate a ``kind`` event with probability ``p1`` hits
+    its qubit; after every 2-qubit gate, ``p2`` hits BOTH participating
+    qubits (the standard independent-single-qubit-error gate-noise model).
+    """
+    dc = DynamicCircuit(circuit.num_qubits)
+    for g in circuit.gates:
+        dc.items.append(g)
+        p = p2 if len(g.qubits) >= 2 else p1
+        if p > 0.0:
+            for q in g.qubits:
+                dc.noise(kind, q, p)
+    return dc
+
+
+def sample_noisy(
+    circuit: Circuit,
+    shots: int,
+    kind: str = "depolarizing",
+    p1: float = 0.0,
+    p2: float = 0.0,
+    seed: int = 0,
+    config: Optional[SimulatorConfig] = None,
+) -> np.ndarray:
+    """One measurement sample per noisy trajectory, fully device-resident.
+
+    Runs ``with_noise(circuit)`` as ONE batched ensemble and then measures
+    every qubit (n fused collapse passes over the ensemble), yielding one
+    basis-state index per shot — the noisy analog of ``Simulator.sample``.
+    Only the (shots, n) outcome bits cross the device boundary.
+    """
+    dc = with_noise(circuit, kind, p1, p2)
+    n = circuit.num_qubits
+    dc.num_clbits = n
+    for q in range(n):
+        dc.measure(q, q)
+    results = run_dynamic_batched(dc, config=config, shots=shots, seed=seed)
+    out = np.zeros(len(results), dtype=np.int64)
+    for k, r in enumerate(results):
+        idx = 0
+        for q, bit in enumerate(r.clbits):
+            idx |= bit << q
+        out[k] = idx
+    return out

@@ -108,6 +108,46 @@ def test_noise_per_shot_path_agrees():
     assert np.max(np.abs(per_shot - batched)) < 0.06
 
 
+def test_with_noise_structure():
+    from gpu_quantum_simulator_tpu.dynamic import with_noise
+
+    c = models.bell()                       # h(0); cx(0,1)
+    dc = with_noise(c, p1=0.01, p2=0.02)
+    noises = [i for i in dc.items if isinstance(i, Noise)]
+    assert len(noises) == 3                 # 1 after h + 2 after cx
+    assert noises[0].p == 0.01 and noises[1].p == 0.02
+
+
+def test_sample_noisy_matches_density_distribution():
+    from gpu_quantum_simulator_tpu.dynamic import sample_noisy, with_noise
+
+    n, p = 2, 0.25
+    c = models.bell()
+    # exact distribution: density sim with the same per-gate channels
+    nc = NoisyCircuit(n)
+    for item in with_noise(c, p1=p, p2=p).items:
+        if isinstance(item, Noise):
+            nc.channel("depolarizing", item.qubit, p=item.p)
+        else:
+            nc.items.append(item)
+    want = DensitySimulator().run(nc).probabilities()
+
+    shots = 8192
+    samples = sample_noisy(c, shots, p1=p, p2=p, seed=6)
+    got = np.bincount(samples, minlength=1 << n) / shots
+    assert np.max(np.abs(got - want)) < 0.03
+
+
+def test_sample_noisy_zero_noise_is_pure_sampling():
+    from gpu_quantum_simulator_tpu.dynamic import sample_noisy
+
+    c = models.ghz(3)
+    samples = sample_noisy(c, 512, seed=1)
+    u = set(np.unique(samples).tolist())
+    assert u <= {0, 7}
+    assert len(u) == 2
+
+
 def test_noise_validation():
     dc = DynamicCircuit(2)
     with pytest.raises(ValueError):
