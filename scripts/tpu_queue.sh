@@ -73,6 +73,9 @@ run micro24ips 3600 python scripts/kernel_microbench.py 24 64 inplace stream
 # 5b. variational workloads through iterated prefetch (n=24, one compile)
 run variational 3600 python scripts/variational_demo.py 24 prefetch
 
+# 5c. noisy trajectory-ensemble sampling (1024 shots, one batch)
+run noisy 2400 python scripts/noisy_demo.py 16 1024
+
 # 6. large-n demos with the new kernels
 run n29 7200 python scripts/n29_demo.py
 run n30 7200 python scripts/n30_demo.py
