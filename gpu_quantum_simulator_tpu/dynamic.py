@@ -393,6 +393,7 @@ def run_dynamic_batched(
     shots: int = 256,
     seed: int = 0,
     return_states: bool = False,
+    max_width: int = 28,
 ) -> List[TrajectoryResult]:
     """All ``shots`` Born-rule trajectories as ONE device-resident ensemble.
 
@@ -408,8 +409,12 @@ def run_dynamic_batched(
     ``shots`` to the chip.
 
     ``shots`` is rounded up to a power of two internally; exactly
-    ``shots`` trajectories are returned.  Beyond-reference capability
-    (the reference's measurement loop is disabled dead code,
+    ``shots`` trajectories are returned.  If the padded ensemble width
+    n + s would exceed ``max_width`` (default 28, the flat single-chip
+    engine ceiling — above it the in-place halves path takes over and
+    flat parts no longer exist), the shot budget is split into
+    sequential ensemble chunks automatically.  Beyond-reference
+    capability (the reference's measurement loop is disabled dead code,
     quantum_simulator.c:68-73).
     """
     import jax
@@ -422,6 +427,21 @@ def run_dynamic_batched(
     sim = Simulator(cfg)
     n = dc.num_qubits
     s = max(0, (int(shots) - 1).bit_length())
+    if n + s > max_width:
+        if n >= max_width:
+            raise ValueError(
+                f"n={n} leaves no room for a batch under max_width="
+                f"{max_width}; use run_dynamic for per-shot trajectories")
+        chunk = 1 << (max_width - n)
+        out: List[TrajectoryResult] = []
+        done = 0
+        while done < int(shots):
+            take = min(chunk, int(shots) - done)
+            out.extend(run_dynamic_batched(
+                dc, config=config, shots=take, seed=seed + done,
+                return_states=return_states, max_width=max_width))
+            done += take
+        return out
     S = 1 << s
     N = n + s
     real_dtype = jnp.float64 if cfg.dtype == "complex128" else jnp.float32

@@ -110,7 +110,8 @@ def main():
                   f" on {better}/{len(wins)} step kinds"
                   " (flip QSIM_STREAM_PLAIN default if it wins broadly)")
 
-    for demo in ("n29_demo", "n30_demo", "fusion_ab", "density_demo", "kh0_ab"):
+    for demo in ("n29_demo", "n30_demo", "fusion_ab", "density_demo", "kh0_ab",
+                 "variational_demo", "noisy_demo"):
         d = _load(demo + ".json")
         if d:
             brief = {}

@@ -115,6 +115,20 @@ def test_non_power_of_two_shots():
     assert len(res) == 37
 
 
+def test_width_cap_chunks_shot_budget():
+    dc = DynamicCircuit(3, num_clbits=1)
+    dc.h(0).cx(0, 1)
+    dc.measure(0, 0)
+    # max_width 6 -> chunks of 2^3 = 8 shots; 20 shots = 3 chunks
+    res = run_dynamic_batched(dc, shots=20, seed=2, max_width=6)
+    assert len(res) == 20
+    ones = sum(r.clbits[0] for r in res)
+    assert 0 < ones < 20
+
+    with pytest.raises(ValueError):
+        run_dynamic_batched(dc, shots=4, max_width=3)
+
+
 def test_batched_strategies_agree():
     dc = DynamicCircuit(8, num_clbits=1)
     rng = np.random.default_rng(0)
