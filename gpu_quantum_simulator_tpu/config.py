@@ -63,6 +63,13 @@ class SimulatorConfig:
     # reused by every kernel, halving peak HBM (required from n=30 on one
     # 16 GB chip).  None = automatic (n >= 30).
     prefetch_inplace: Optional[bool] = None
+    # prefetch fusion high-qubit cap (None = default 2; the offline plan
+    # model favors 1 at n >= 24) and per-block mat-table capacity class
+    # (None = 4 at n >= 21 flat, else engine CAP_MATS).  Env overrides
+    # QSIM_PREFETCH_MAX_HIGH / QSIM_PREFETCH_CAP_MATS apply when unset —
+    # the on-chip A/B hook for plan_model --tune candidates.
+    prefetch_max_high: Optional[int] = None
+    prefetch_cap_mats: Optional[int] = None
     # sharding: number of global (mesh-sharded) qubits; None = auto from mesh.
     mesh_shape: Optional[Tuple[int, ...]] = None
     mesh_axis_names: Tuple[str, ...] = ("amp",)

@@ -2379,6 +2379,30 @@ def _circuit_fingerprint(circuit) -> str:
     return h.hexdigest()
 
 
+def resolve_prefetch_knobs(config, n: int, inplace: bool):
+    """(max_high, cap_mats) for the fusion/plan stage.
+
+    Config fields win; unset fields fall back to the QSIM_PREFETCH_MAX_HIGH
+    / QSIM_PREFETCH_CAP_MATS env overrides (the on-chip A/B hook for
+    scripts/plan_model.py --tune candidates), then to the measured
+    defaults: max_high=2; cap_mats=4 at n >= 21 flat (swap-bounded blocks
+    are thin — one small capacity class keeps the circuit to a handful of
+    chain dispatches), engine CAP_MATS otherwise."""
+    import os
+
+    max_high = getattr(config, "prefetch_max_high", None)
+    if max_high is None and os.environ.get("QSIM_PREFETCH_MAX_HIGH"):
+        max_high = int(os.environ["QSIM_PREFETCH_MAX_HIGH"])
+    if max_high is None:
+        max_high = 2
+    cap_mats = getattr(config, "prefetch_cap_mats", None)
+    if cap_mats is None and os.environ.get("QSIM_PREFETCH_CAP_MATS"):
+        cap_mats = int(os.environ["QSIM_PREFETCH_CAP_MATS"])
+    if cap_mats is None:
+        cap_mats = 4 if (n >= 21 and not inplace) else CAP_MATS
+    return int(max_high), int(cap_mats)
+
+
 def run_prefetch(circuit, config, initial_parts=None, return_halves=False):
     """Simulator facade entry; returns (re, im, num_items, residual_perm).
 
@@ -2435,14 +2459,12 @@ def run_prefetch(circuit, config, initial_parts=None, return_halves=False):
     reorder = getattr(config, "prefetch_reorder", None)
     if reorder is None:
         reorder = True
-    # n >= 21: swap-bounded blocks are thin — a small single capacity class
-    # keeps the whole circuit to a handful of chain dispatches
-    cap_mats = 4 if (n >= 21 and not inplace) else CAP_MATS
+    max_high, cap_mats = resolve_prefetch_knobs(config, n, bool(inplace))
 
     run_key = (
         _circuit_fingerprint(circuit), config.precision,
         config.max_fused_qubits, str(np.dtype(real_dtype)), bool(inplace),
-        bool(reorder),
+        bool(reorder), max_high, cap_mats,
     )
     cached = _RUN_CACHE.get(run_key)
     if cached is not None:
@@ -2455,7 +2477,8 @@ def run_prefetch(circuit, config, initial_parts=None, return_halves=False):
             work = circuit.relabeled(perm)
             final_layout = np.argsort(perm)
         ops = _fuse_pipeline(
-            work, min(config.max_fused_qubits, LANE_QUBITS), max_high=2, window=8
+            work, min(config.max_fused_qubits, LANE_QUBITS),
+            max_high=max_high, window=8
         )
         prog = build_prefetch_program(
             ops, n, real_dtype, precision=config.precision,

@@ -378,14 +378,14 @@ class Simulator:
                 ops = fuse_k(fuse_4x4(circuit),
                              max_qubits=min(cfg.max_fused_qubits, n))
                 return build_megakernel(ops, n, real_dtype), len(ops)
+            from .prefetch import resolve_prefetch_knobs
+
+            max_high, cap_mats = resolve_prefetch_knobs(cfg, n, False)
             ops = _fuse_pipeline(
-                circuit, min(cfg.max_fused_qubits, LANE_QUBITS), max_high=2,
-                window=8)
+                circuit, min(cfg.max_fused_qubits, LANE_QUBITS),
+                max_high=max_high, window=8)
             reorder = (cfg.prefetch_reorder
                        if cfg.prefetch_reorder is not None else True)
-            from .prefetch import CAP_MATS
-
-            cap_mats = 4 if n >= 21 else CAP_MATS
             # layout-closed: the plan routes the state back to the identity
             # layout, so repeated applications compose in the original basis
             prog = build_prefetch_program(

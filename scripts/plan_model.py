@@ -187,6 +187,40 @@ def estimate_sharded(plan: P.PrefetchPlan, n: int, d: int):
     return secs + acc["gswap"], acc
 
 
+def tune(ns):
+    """Grid-search fusion/planner knobs against the calibrated model.
+
+    Modeled time only — the winners are A/B CANDIDATES for the on-chip
+    queue, not decisions.  Knobs: fusion window, fusion max_high, plan
+    cap_mats."""
+    for n in ns:
+        c = circuits.grover_like(n)
+        perm = plan_permutation(c)
+        work = c.relabeled(perm)
+        inplace = n >= 29
+        rows = []
+        for window in (4, 8, 12, 16):
+            for max_high in (1, 2, 3):
+                ops = _fuse_pipeline(work, min(7, n), max_high=max_high,
+                                     window=window)
+                for cap_mats in (2, 4, 8, P.CAP_MATS):
+                    plan = P.plan_prefetch(
+                        ops, n, final_layout=np.argsort(perm),
+                        involution_relayout=inplace, cap_mats=cap_mats)
+                    secs, _ = estimate(plan, n, inplace=inplace)
+                    rows.append((secs, window, max_high, cap_mats,
+                                 len(plan.blocks)))
+        rows.sort()
+        base = [r for r in rows
+                if r[1] == 8 and r[2] == 2
+                and r[3] == (4 if (n >= 21 and not inplace) else P.CAP_MATS)]
+        print(f"n={n} default={base[0][0]:.3f}s" if base else f"n={n}",
+              flush=True)
+        for secs, window, max_high, cap_mats, blocks in rows[:5]:
+            print(f"  est={secs:.3f}s window={window} max_high={max_high} "
+                  f"cap_mats={cap_mats} blocks={blocks}", flush=True)
+
+
 def main():
     # `--stream` calibrates from the kernel_micro_n24_stream.json pair
     # (the manual streaming kernels) once the queued A/B lands
@@ -199,6 +233,10 @@ def main():
           f" mono={MONO:.1f} perm={PERM:.1f} relayout={RELAYOUT:.1f}"
           f" tswap(1/4/9)={tswap_us(1):.1f}/{tswap_us(4):.1f}/{tswap_us(9):.1f} us/gs",
           flush=True)
+    if "--tune" in sys.argv:
+        sys.argv.remove("--tune")
+        tune([int(a) for a in sys.argv[1:]] or [24, 26, 29])
+        return
     mesh_d = 0
     if "--mesh" in sys.argv:
         i = sys.argv.index("--mesh")

@@ -111,7 +111,7 @@ def main():
                   " (flip QSIM_STREAM_PLAIN default if it wins broadly)")
 
     for demo in ("n29_demo", "n30_demo", "fusion_ab", "density_demo", "kh0_ab",
-                 "variational_demo", "noisy_demo"):
+                 "variational_demo", "noisy_demo", "knob_ab"):
         d = _load(demo + ".json")
         if d:
             brief = {}

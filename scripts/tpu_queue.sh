@@ -76,6 +76,9 @@ run variational 3600 python scripts/variational_demo.py 24 prefetch
 # 5c. noisy trajectory-ensemble sampling (1024 shots, one batch)
 run noisy 2400 python scripts/noisy_demo.py 16 1024
 
+# 5d. planner-knob A/B (plan_model --tune candidates: max_high/cap_mats)
+run knob_ab 3600 python scripts/knob_ab.py 24 26
+
 # 6. large-n demos with the new kernels
 run n29 7200 python scripts/n29_demo.py
 run n30 7200 python scripts/n30_demo.py

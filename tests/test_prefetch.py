@@ -589,3 +589,30 @@ def test_stream_split_kernel_parity(tile_rows):
         PF._STREAM_PLAIN = old_stream
         PF._KERNEL_CACHE.clear()
         PF._CHAIN_CACHE.clear()
+
+
+def test_plan_knob_overrides_parity():
+    """prefetch_max_high / prefetch_cap_mats change the plan shape but
+    never the amplitudes (the plan_model --tune A/B hook)."""
+    c = models.grover_like(11, num_gates=250, seed=13)
+    want = simulate_reference(c)
+    for max_high, cap_mats in ((1, 12), (2, 2), (3, 8)):
+        got = Simulator(SimulatorConfig(
+            strategy="prefetch", prefetch_max_high=max_high,
+            prefetch_cap_mats=cap_mats)).run(c)
+        assert np.max(np.abs(got - want)) < TOL, (max_high, cap_mats)
+
+
+def test_plan_knob_env_fallback(monkeypatch):
+    monkeypatch.setenv("QSIM_PREFETCH_MAX_HIGH", "1")
+    monkeypatch.setenv("QSIM_PREFETCH_CAP_MATS", "12")
+    cfg = SimulatorConfig(strategy="prefetch")
+    assert PF.resolve_prefetch_knobs(cfg, 24, False) == (1, 12)
+    # explicit config wins over env
+    cfg2 = SimulatorConfig(strategy="prefetch", prefetch_max_high=3,
+                           prefetch_cap_mats=2)
+    assert PF.resolve_prefetch_knobs(cfg2, 24, False) == (3, 2)
+    monkeypatch.delenv("QSIM_PREFETCH_MAX_HIGH")
+    monkeypatch.delenv("QSIM_PREFETCH_CAP_MATS")
+    assert PF.resolve_prefetch_knobs(cfg, 24, False) == (2, 4)
+    assert PF.resolve_prefetch_knobs(cfg, 24, True) == (2, PF.CAP_MATS)
