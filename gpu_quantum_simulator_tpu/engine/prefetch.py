@@ -2380,14 +2380,15 @@ def _circuit_fingerprint(circuit) -> str:
 
 
 def resolve_prefetch_knobs(config, n: int, inplace: bool):
-    """(max_high, cap_mats) for the fusion/plan stage.
+    """(max_high, cap_mats, window) for the fusion/plan stage.
 
     Config fields win; unset fields fall back to the QSIM_PREFETCH_MAX_HIGH
-    / QSIM_PREFETCH_CAP_MATS env overrides (the on-chip A/B hook for
-    scripts/plan_model.py --tune candidates), then to the measured
-    defaults: max_high=2; cap_mats=4 at n >= 21 flat (swap-bounded blocks
-    are thin — one small capacity class keeps the circuit to a handful of
-    chain dispatches), engine CAP_MATS otherwise."""
+    / QSIM_PREFETCH_CAP_MATS / QSIM_FUSION_WINDOW env overrides (the
+    on-chip A/B hook for scripts/plan_model.py --tune candidates), then to
+    the measured defaults: max_high=2; cap_mats=4 at n >= 21 flat
+    (swap-bounded blocks are thin — one small capacity class keeps the
+    circuit to a handful of chain dispatches), engine CAP_MATS otherwise;
+    window=8 (fusion_ab.json)."""
     import os
 
     max_high = getattr(config, "prefetch_max_high", None)
@@ -2400,7 +2401,12 @@ def resolve_prefetch_knobs(config, n: int, inplace: bool):
         cap_mats = int(os.environ["QSIM_PREFETCH_CAP_MATS"])
     if cap_mats is None:
         cap_mats = 4 if (n >= 21 and not inplace) else CAP_MATS
-    return int(max_high), int(cap_mats)
+    window = getattr(config, "fusion_window", None)
+    if window is None and os.environ.get("QSIM_FUSION_WINDOW"):
+        window = int(os.environ["QSIM_FUSION_WINDOW"])
+    if not window:
+        window = 8
+    return int(max_high), int(cap_mats), int(window)
 
 
 def run_prefetch(circuit, config, initial_parts=None, return_halves=False):
@@ -2459,12 +2465,13 @@ def run_prefetch(circuit, config, initial_parts=None, return_halves=False):
     reorder = getattr(config, "prefetch_reorder", None)
     if reorder is None:
         reorder = True
-    max_high, cap_mats = resolve_prefetch_knobs(config, n, bool(inplace))
+    max_high, cap_mats, window = resolve_prefetch_knobs(
+        config, n, bool(inplace))
 
     run_key = (
         _circuit_fingerprint(circuit), config.precision,
         config.max_fused_qubits, str(np.dtype(real_dtype)), bool(inplace),
-        bool(reorder), max_high, cap_mats,
+        bool(reorder), max_high, cap_mats, window,
     )
     cached = _RUN_CACHE.get(run_key)
     if cached is not None:
@@ -2478,7 +2485,7 @@ def run_prefetch(circuit, config, initial_parts=None, return_halves=False):
             final_layout = np.argsort(perm)
         ops = _fuse_pipeline(
             work, min(config.max_fused_qubits, LANE_QUBITS),
-            max_high=max_high, window=8
+            max_high=max_high, window=window
         )
         prog = build_prefetch_program(
             ops, n, real_dtype, precision=config.precision,

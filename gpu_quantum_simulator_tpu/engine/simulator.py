@@ -380,10 +380,10 @@ class Simulator:
                 return build_megakernel(ops, n, real_dtype), len(ops)
             from .prefetch import resolve_prefetch_knobs
 
-            max_high, cap_mats = resolve_prefetch_knobs(cfg, n, False)
+            max_high, cap_mats, window = resolve_prefetch_knobs(cfg, n, False)
             ops = _fuse_pipeline(
                 circuit, min(cfg.max_fused_qubits, LANE_QUBITS),
-                max_high=max_high, window=8)
+                max_high=max_high, window=window)
             reorder = (cfg.prefetch_reorder
                        if cfg.prefetch_reorder is not None else True)
             # layout-closed: the plan routes the state back to the identity

@@ -38,6 +38,8 @@ CANDIDATES = {
     "default": {},
     "mh1_cm12": {"prefetch_max_high": 1, "prefetch_cap_mats": 12},
     "mh1_cm8": {"prefetch_max_high": 1, "prefetch_cap_mats": 8},
+    "mh1_cm12_w16": {"prefetch_max_high": 1, "prefetch_cap_mats": 12,
+                     "fusion_window": 16},
 }
 
 

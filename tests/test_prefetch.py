@@ -607,12 +607,12 @@ def test_plan_knob_env_fallback(monkeypatch):
     monkeypatch.setenv("QSIM_PREFETCH_MAX_HIGH", "1")
     monkeypatch.setenv("QSIM_PREFETCH_CAP_MATS", "12")
     cfg = SimulatorConfig(strategy="prefetch")
-    assert PF.resolve_prefetch_knobs(cfg, 24, False) == (1, 12)
+    assert PF.resolve_prefetch_knobs(cfg, 24, False) == (1, 12, 8)
     # explicit config wins over env
     cfg2 = SimulatorConfig(strategy="prefetch", prefetch_max_high=3,
                            prefetch_cap_mats=2)
-    assert PF.resolve_prefetch_knobs(cfg2, 24, False) == (3, 2)
+    assert PF.resolve_prefetch_knobs(cfg2, 24, False) == (3, 2, 8)
     monkeypatch.delenv("QSIM_PREFETCH_MAX_HIGH")
     monkeypatch.delenv("QSIM_PREFETCH_CAP_MATS")
-    assert PF.resolve_prefetch_knobs(cfg, 24, False) == (2, 4)
-    assert PF.resolve_prefetch_knobs(cfg, 24, True) == (2, PF.CAP_MATS)
+    assert PF.resolve_prefetch_knobs(cfg, 24, False) == (2, 4, 8)
+    assert PF.resolve_prefetch_knobs(cfg, 24, True) == (2, PF.CAP_MATS, 8)
