@@ -55,6 +55,19 @@ def main(argv=None) -> int:
         "--expectation", metavar="PAULI", action="append", default=[],
         help='print <P> for a Pauli string, e.g. "Z0 Z1" or "XIZ" (repeatable)',
     )
+    p.add_argument(
+        "--noise-p1", type=float, default=0.0,
+        help="per-1q-gate noise probability (trajectory sampling; needs -m)")
+    p.add_argument(
+        "--noise-p2", type=float, default=0.0,
+        help="per-2q-gate noise probability, applied to both qubits")
+    p.add_argument(
+        "--noise-kind", default="depolarizing",
+        choices=["depolarizing", "dephasing", "bit_flip", "amplitude_damping"])
+    p.add_argument(
+        "--trace", metavar="DIR",
+        help="write a jax.profiler trace of the run to DIR (view in "
+        "TensorBoard / Perfetto)")
     args = p.parse_args(argv)
 
     try:
@@ -80,8 +93,60 @@ def main(argv=None) -> int:
         strategy=args.strategy, dtype=args.dtype, permute=args.permute,
         precision=args.precision,
     )
+
+    noisy = args.noise_p1 > 0.0 or args.noise_p2 > 0.0
+    if noisy:
+        # noisy runs are trajectory ensembles: amplitudes are not a
+        # single-state concept there, only measurement statistics are
+        if not args.measurements:
+            print("ERROR: --noise-* requires -m (trajectory sampling)",
+                  file=sys.stderr)
+            return 1
+        for flag, val in (("--amplitudes", args.amplitudes),
+                          ("--expectation", args.expectation),
+                          ("--save-state", args.save_state),
+                          ("--load-state", args.load_state)):
+            if val:
+                print(f"ERROR: {flag} is not available with --noise-*",
+                      file=sys.stderr)
+                return 1
+        import time
+
+        from .dynamic import sample_noisy
+
+        t0 = time.perf_counter()
+        outcomes = sample_noisy(
+            circuit, args.measurements, kind=args.noise_kind,
+            p1=args.noise_p1, p2=args.noise_p2, seed=args.seed, config=cfg)
+        seconds = time.perf_counter() - t0
+        if args.json:
+            print(json.dumps({
+                "circuit": args.circuit,
+                "num_qubits": circuit.num_qubits,
+                "num_gates": len(circuit.gates),
+                "strategy": cfg.strategy,
+                "noise": {"kind": args.noise_kind, "p1": args.noise_p1,
+                          "p2": args.noise_p2},
+                "seconds": seconds,
+            }))
+        else:
+            print(f"{seconds:.6f}")
+        for o in outcomes:
+            print(f"MEASUREMENT: {_putb(int(o), circuit.num_qubits)} ({int(o)})")
+        return 0
+
+    trace_ctx = None
+    if args.trace:
+        import jax
+
+        trace_ctx = jax.profiler.trace(args.trace)
+        trace_ctx.__enter__()
+
     sim = Simulator(cfg)
     res = sim.run_detailed(circuit, initial=initial)
+
+    if trace_ctx is not None:
+        trace_ctx.__exit__(None, None, None)
 
     if args.save_state:
         from .utils.checkpoint import save_state

@@ -96,3 +96,36 @@ def test_cli_precision_flag():
                  "megakernel", "--precision", "high", "--amplitudes", "2")
     assert r.returncode == 0, r.stderr
     assert "|00>" in r.stdout and "|11>" in r.stdout
+
+
+def test_cli_noisy_sampling():
+    r = _run_cli("/root/reference/entanglement.qasm", "-m", "50",
+                 "--noise-p1", "0.2", "--noise-p2", "0.2", "--seed", "4")
+    assert r.returncode == 0, r.stderr
+    lines = [l for l in r.stdout.splitlines() if l.startswith("MEASUREMENT")]
+    assert len(lines) == 50
+    # depolarizing at p=0.2 must break perfect Bell correlation sometimes
+    outcomes = {int(l.split("(")[1].rstrip(")")) for l in lines}
+    assert outcomes - {0, 3}, outcomes
+
+
+def test_cli_noise_requires_measurements():
+    r = _run_cli("/root/reference/entanglement.qasm", "--noise-p1", "0.1")
+    assert r.returncode == 1
+    assert "requires -m" in r.stderr
+
+
+def test_cli_noise_rejects_amplitudes():
+    r = _run_cli("/root/reference/entanglement.qasm", "-m", "5",
+                 "--noise-p1", "0.1", "--amplitudes", "2")
+    assert r.returncode == 1
+    assert "--amplitudes" in r.stderr
+
+
+def test_cli_trace(tmp_path):
+    d = str(tmp_path / "trace")
+    r = _run_cli("/root/reference/entanglement.qasm", "--trace", d)
+    assert r.returncode == 0, r.stderr
+    import os
+
+    assert os.path.isdir(d) and any(os.scandir(d))
