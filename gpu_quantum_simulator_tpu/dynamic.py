@@ -442,6 +442,28 @@ def run_dynamic_batched(
                 return_states=return_states, max_width=max_width))
             done += take
         return out
+    re, im, clbits, S = _run_ensemble(dc, sim, s, seed)
+
+    host_clbits = [np.asarray(c) for c in clbits]
+    states = None
+    if return_states:
+        states = join_state(np.asarray(re), np.asarray(im)).reshape(
+            S, 1 << n)
+    results = []
+    for k in range(int(shots)):
+        bits = tuple(int(c[k]) for c in host_clbits)
+        results.append(TrajectoryResult(
+            None if states is None else states[k], bits))
+    return results
+
+
+def _run_ensemble(dc: DynamicCircuit, sim, s: int, seed: int):
+    """Core batched-ensemble loop: (re, im, clbits, S) at width n + s."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = sim.config
+    n = dc.num_qubits
     S = 1 << s
     N = n + s
     real_dtype = jnp.float64 if cfg.dtype == "complex128" else jnp.float32
@@ -496,16 +518,7 @@ def run_dynamic_batched(
         else:  # pragma: no cover
             raise AssertionError(seg)
 
-    host_clbits = [np.asarray(c) for c in clbits]
-    states = None
-    if return_states:
-        states = join_state(np.asarray(re), np.asarray(im)).reshape(S, 1 << n)
-    results = []
-    for k in range(int(shots)):
-        bits = tuple(int(c[k]) for c in host_clbits)
-        results.append(TrajectoryResult(
-            None if states is None else states[k], bits))
-    return results
+    return re, im, clbits, S
 
 
 def with_noise(
@@ -528,6 +541,70 @@ def with_noise(
             for q in g.qubits:
                 dc.noise(kind, q, p)
     return dc
+
+
+def expectation_noisy(
+    circuit: Circuit,
+    terms,
+    shots: int = 1024,
+    kind: str = "depolarizing",
+    p1: float = 0.0,
+    p2: float = 0.0,
+    seed: int = 0,
+    config: Optional[SimulatorConfig] = None,
+    max_width: int = 28,
+) -> float:
+    """<H> = sum_k c_k <P_k> under a per-gate noise model, via trajectories.
+
+    Terms use the observables.expectation_pauli_sum spec.  Per basis group
+    the noisy circuit (+ noiseless measurement-basis rotations) runs as ONE
+    batched ensemble; because every shot block is unit-norm, the
+    trajectory-averaged <Z-string> is a single global signed reduction over
+    the flat ensemble divided by the shot count — no per-shot readout at
+    all.  Noisy VQE/QAOA cost evaluation at state-vector widths.
+    """
+    from .observables import _basis, _parse_pauli, _with_rotations
+    from .sampling import expectation_z
+
+    cfg = config or SimulatorConfig()
+    from .engine.simulator import Simulator
+
+    n = circuit.num_qubits
+    if n >= max_width:
+        raise ValueError(f"n={n} leaves no room for a batch under "
+                         f"max_width={max_width}")
+    s_full = max(0, (int(shots) - 1).bit_length())
+    s_chunk = min(s_full, max_width - n)
+
+    groups: dict = {}
+    const = 0.0
+    for coeff, pauli in terms:
+        ops = _parse_pauli(pauli, n)
+        if not ops:
+            const += coeff
+            continue
+        groups.setdefault(_basis(ops), []).append((float(coeff), ops))
+
+    noisy = with_noise(circuit, kind, p1, p2)
+    total = const
+    for basis, members in groups.items():
+        rotated_tail = _with_rotations(Circuit(n), basis)
+        dc = DynamicCircuit(n, items=list(noisy.items) + list(rotated_tail.gates))
+        sums = [0.0 for _ in members]
+        done = 0
+        while done < int(shots):
+            s = min(s_chunk, max(0, (int(shots) - done - 1).bit_length()))
+            sim = Simulator(cfg)
+            re, im, _, S = _run_ensemble(dc, sim, s, seed + done)
+            for j, (_, ops) in enumerate(members):
+                # Z-mask over the LOW n bits: each unit-norm shot block
+                # contributes its own <Z...>; the flat reduction sums all
+                # S of them (every block is a valid trajectory)
+                sums[j] += expectation_z(re, im, list(ops), n + s)
+            done += S
+        for j, (coeff, _) in enumerate(members):
+            total += coeff * sums[j] / done
+    return total
 
 
 def sample_noisy(

@@ -156,3 +156,48 @@ def test_noise_validation():
         dc.noise("dephasing", 0, 1.5)
     with pytest.raises(ValueError):
         dc.noise("dephasing", 5, 0.1)
+
+
+def _density_for(dc_items, n):
+    nc = NoisyCircuit(n)
+    for item in dc_items:
+        if isinstance(item, Noise):
+            kw = {"gamma": item.p} if item.kind == "amplitude_damping" else {"p": item.p}
+            nc.channel(item.kind, item.qubit, **kw)
+        else:
+            nc.items.append(item)
+    return DensitySimulator().run(nc)
+
+
+def test_expectation_noisy_matches_density_zz():
+    from gpu_quantum_simulator_tpu.dynamic import expectation_noisy, with_noise
+
+    p = 0.3
+    c = models.bell()
+    rho = _density_for(with_noise(c, p1=p, p2=p).items, 2)
+    want = rho.expectation_z([0, 1])
+    got = expectation_noisy(c, [(1.0, "Z0 Z1")], shots=8192, p1=p, p2=p, seed=3)
+    assert got == pytest.approx(want, abs=0.03)
+
+
+def test_expectation_noisy_matches_density_xx():
+    from gpu_quantum_simulator_tpu.dynamic import expectation_noisy, with_noise
+
+    p = 0.25
+    c = models.bell()
+    rho = _density_for(with_noise(c, p1=p, p2=p).items, 2)
+    X = np.array([[0, 1], [1, 0]], dtype=complex)
+    want = float(np.real(np.trace(rho.matrix() @ np.kron(X, X))))
+    got = expectation_noisy(c, [(1.0, "X0 X1")], shots=8192, p1=p, p2=p, seed=5)
+    assert got == pytest.approx(want, abs=0.03)
+
+
+def test_expectation_noisy_zero_noise_exact():
+    from gpu_quantum_simulator_tpu.dynamic import expectation_noisy
+    from gpu_quantum_simulator_tpu.observables import expectation_pauli_sum
+
+    c = models.random_circuit(3, 30, seed=8)
+    terms = [(0.7, "Z0"), (-0.4, "X1 Z2"), (0.25, "III")]
+    want = expectation_pauli_sum(c, terms)
+    got = expectation_noisy(c, terms, shots=8, seed=0)
+    assert got == pytest.approx(want, abs=1e-5)
