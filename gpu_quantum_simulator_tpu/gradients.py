@@ -68,20 +68,51 @@ def expectation(circuit: Circuit, z_qubits: Sequence[int],
 
 def parameter_shift(
     circuit: Circuit,
-    z_qubits: Sequence[int],
+    z_qubits: Sequence[int] = (),
     config: Optional[SimulatorConfig] = None,
     gate_indices: Optional[Sequence[int]] = None,
+    expectation_fn=None,
 ) -> Tuple[np.ndarray, List[int]]:
     """(gradient array, gate indices): d<Z...>/dθ_k for each rotation gate.
 
     2 executions per parameter; with ``strategy="prefetch"`` the shifted
     circuits share every compiled executable, so a full gradient sweep is
-    pure table-upload + execution.
+    pure table-upload + execution.  ``expectation_fn(circuit) -> float``
+    replaces the default Z-string expectation — any objective that is a
+    fixed functional of the circuit works (e.g. a noisy Pauli sum: the
+    shift rule stays exact because the channels are θ-independent).
     """
+    if expectation_fn is None:
+        expectation_fn = lambda c: expectation(c, z_qubits, config)
     idxs = list(gate_indices) if gate_indices is not None else parameterized_gates(circuit)
     grads = np.zeros(len(idxs))
     for j, i in enumerate(idxs):
-        plus = expectation(_shifted(circuit, i, math.pi / 2), z_qubits, config)
-        minus = expectation(_shifted(circuit, i, -math.pi / 2), z_qubits, config)
+        plus = expectation_fn(_shifted(circuit, i, math.pi / 2))
+        minus = expectation_fn(_shifted(circuit, i, -math.pi / 2))
         grads[j] = 0.5 * (plus - minus)
     return grads, idxs
+
+
+def parameter_shift_noisy(
+    circuit: Circuit,
+    terms,
+    shots: int = 4096,
+    kind: str = "depolarizing",
+    p1: float = 0.0,
+    p2: float = 0.0,
+    seed: int = 0,
+    config: Optional[SimulatorConfig] = None,
+    gate_indices: Optional[Sequence[int]] = None,
+) -> Tuple[np.ndarray, List[int]]:
+    """Parameter-shift gradient of a noisy Pauli-sum expectation.
+
+    Each shifted evaluation is a batched trajectory ensemble
+    (dynamic.expectation_noisy) with a FIXED seed, so the plus/minus
+    pair shares the noise realizations — common-random-numbers variance
+    reduction on top of the exact shift rule."""
+    from .dynamic import expectation_noisy
+
+    fn = lambda c: expectation_noisy(
+        c, terms, shots=shots, kind=kind, p1=p1, p2=p2, seed=seed,
+        config=config)
+    return parameter_shift(circuit, (), config, gate_indices, fn)

@@ -68,3 +68,34 @@ def test_nonrotation_gates_excluded():
     assert GR.parameterized_gates(c) == []
     grads, idxs = GR.parameter_shift(c, [0], SimulatorConfig(strategy="reference"))
     assert len(grads) == 0 and idxs == []
+
+
+def test_parameter_shift_noisy_zero_noise_matches_pure():
+    from gpu_quantum_simulator_tpu.gradients import (
+        parameter_shift, parameter_shift_noisy)
+
+    c = Circuit(2)
+    c.rz(0.4, 0)
+    c.sx(0)
+    c.rz(1.1, 0)
+    c.cx(0, 1)
+    pure, idxs = parameter_shift(c, [0, 1])
+    noisy, idxs2 = parameter_shift_noisy(c, [(1.0, "Z0 Z1")], shots=8, seed=0)
+    assert idxs == idxs2
+    np.testing.assert_allclose(noisy, pure, atol=1e-5)
+
+
+def test_parameter_shift_noisy_depolarizing_shrinks_gradient():
+    # a depolarizing channel after the rotation contracts <Z> by (1-p),
+    # so every gradient component shrinks by the same factor
+    from gpu_quantum_simulator_tpu.gradients import parameter_shift_noisy
+
+    c = Circuit(1)
+    c.rz(0.7, 0)
+    c.sx(0)
+    c.rz(0.3, 0)
+    p = 0.4
+    g0, _ = parameter_shift_noisy(c, [(1.0, "Z0")], shots=4096, p1=0.0, seed=1)
+    g1, _ = parameter_shift_noisy(c, [(1.0, "Z0")], shots=4096, p1=p, seed=1)
+    scale = (1 - p) ** 3             # three 1q gates, channel after each
+    np.testing.assert_allclose(g1, g0 * scale, atol=0.05)
