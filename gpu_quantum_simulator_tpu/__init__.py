@@ -26,7 +26,8 @@ enable_persistent_cache()
 
 from .ir.circuit import Gate, Circuit
 from .ir import gates
-from .qasm.parser import parse_qasm, parse_qasm_file
+from .qasm.parser import (parse_qasm, parse_qasm_dynamic,
+                          parse_qasm_dynamic_file, parse_qasm_file)
 from .engine.simulator import Simulator, simulate
 from .config import SimulatorConfig
 from . import models
@@ -50,6 +51,8 @@ __all__ = [
     "gates",
     "models",
     "parse_qasm",
+    "parse_qasm_dynamic",
+    "parse_qasm_dynamic_file",
     "parse_qasm_file",
     "Simulator",
     "simulate",

@@ -128,6 +128,38 @@ class DynamicCircuit:
         self.items.append(CondGate(g, clbit, value))
         return self
 
+    def to_qasm(self) -> str:
+        """Serialize to the dynamic OpenQASM-3 subset parse_qasm_dynamic
+        accepts.  Noise events have no QASM spelling and are rejected."""
+        lines = [
+            "OPENQASM 3.0;",
+            'include "stdgates.inc";',
+            f"qubit[{self.num_qubits}] q;",
+        ]
+        if self.num_clbits:
+            lines.append(f"bit[{self.num_clbits}] c;")
+
+        def gate_str(g: Gate) -> str:
+            head = f"{g.name}({g.params[0]!r})" if g.params else g.name
+            args = ", ".join(f"q[{q}]" for q in g.qubits)
+            return f"{head} {args};"
+
+        for item in self.items:
+            if isinstance(item, Gate):
+                lines.append(gate_str(item))
+            elif isinstance(item, Measure):
+                lines.append(f"c[{item.clbit}] = measure q[{item.qubit}];")
+            elif isinstance(item, Reset):
+                lines.append(f"reset q[{item.qubit}];")
+            elif isinstance(item, CondGate):
+                lines.append(
+                    f"if (c[{item.clbit}] == {item.value}) "
+                    + gate_str(item.gate))
+            else:
+                raise ValueError(
+                    f"{type(item).__name__} has no QASM spelling")
+        return "\n".join(lines) + "\n"
+
     def noise(self, kind: str, qubit: int, p: float):
         """Insert a stochastic noise event (see ``Noise``)."""
         if kind not in NOISE_KINDS:

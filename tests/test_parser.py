@@ -117,3 +117,82 @@ def test_no_eval_in_package():
 
     src = inspect.getsource(P)
     assert "eval(" not in src.replace("_eval_param(", "")
+
+
+class TestDynamicSubset:
+    def test_measure_both_dialects(self):
+        from gpu_quantum_simulator_tpu.dynamic import Measure
+        from gpu_quantum_simulator_tpu.qasm.parser import parse_qasm_dynamic
+
+        src2 = """OPENQASM 2.0; qreg q[2]; creg c[2];
+        h q[0]; cx q[0], q[1];
+        measure q[0] -> c[0]; measure q[1] -> c[1];"""
+        src3 = """OPENQASM 3.0; qubit[2] q; bit[2] c;
+        h q[0]; cx q[0], q[1];
+        c[0] = measure q[0]; c[1] = measure q[1];"""
+        for src in (src2, src3):
+            dc = parse_qasm_dynamic(src)
+            ms = [i for i in dc.items if isinstance(i, Measure)]
+            assert [(m.qubit, m.clbit) for m in ms] == [(0, 0), (1, 1)]
+            assert dc.num_clbits == 2
+
+    def test_reset_and_if(self):
+        from gpu_quantum_simulator_tpu.dynamic import CondGate, Reset
+        from gpu_quantum_simulator_tpu.qasm.parser import parse_qasm_dynamic
+
+        dc = parse_qasm_dynamic("""OPENQASM 3.0; qubit[3] q; bit[2] c;
+        x q[0]; c[0] = measure q[0]; reset q[0];
+        if (c[0] == 1) x q[1];
+        if (c[1]) z q[2];""")
+        kinds = [type(i).__name__ for i in dc.items]
+        assert kinds == ["Gate", "Measure", "Reset", "CondGate", "CondGate"]
+        cg = [i for i in dc.items if isinstance(i, CondGate)]
+        assert (cg[0].clbit, cg[0].value, cg[0].gate.name) == (0, 1, "x")
+        assert (cg[1].clbit, cg[1].value, cg[1].gate.name) == (1, 1, "z")
+
+    def test_roundtrip_teleportation(self):
+        import numpy as np
+
+        from gpu_quantum_simulator_tpu.dynamic import (
+            DynamicCircuit, run_dynamic_batched)
+        from gpu_quantum_simulator_tpu.qasm.parser import parse_qasm_dynamic
+
+        dc = DynamicCircuit(3, num_clbits=2)
+        dc.rz(1.234, 0)
+        dc.sx(0)
+        dc.h(1).cx(1, 2)
+        dc.cx(0, 1).h(0)
+        dc.measure(0, 0)
+        dc.measure(1, 1)
+        dc.c_if(1, "x", 2)
+        dc.c_if(0, "z", 2)
+        dc2 = parse_qasm_dynamic(dc.to_qasm())
+        assert dc2.items == dc.items
+        assert dc2.num_clbits == dc.num_clbits
+        a = run_dynamic_batched(dc, shots=8, seed=1, return_states=True)
+        b = run_dynamic_batched(dc2, shots=8, seed=1, return_states=True)
+        for x, y in zip(a, b):
+            assert x.clbits == y.clbits
+            assert np.max(np.abs(x.state - y.state)) < 1e-6
+
+    def test_noise_has_no_qasm_spelling(self):
+        import pytest
+
+        from gpu_quantum_simulator_tpu.dynamic import DynamicCircuit
+
+        dc = DynamicCircuit(1)
+        dc.noise("dephasing", 0, 0.1)
+        with pytest.raises(ValueError):
+            dc.to_qasm()
+
+    def test_whole_register_condition_needs_one_bit(self):
+        import pytest
+
+        from gpu_quantum_simulator_tpu.qasm.parser import (
+            QasmError, parse_qasm_dynamic)
+
+        parse_qasm_dynamic(
+            "qreg q[1]; creg c[1]; measure q[0] -> c[0]; if (c == 1) x q[0];")
+        with pytest.raises(QasmError):
+            parse_qasm_dynamic(
+                "qreg q[1]; creg c[2]; measure q[0] -> c[0]; if (c == 1) x q[0];")
