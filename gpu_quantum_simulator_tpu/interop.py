@@ -71,22 +71,115 @@ def from_qiskit(qc, *, strict: bool = True,
             qubits = tuple(getattr(q, "index") for q in qargs)
         params = tuple(float(p) for p in getattr(op, "params", ()))
 
-        if name in _DIRECT:
-            out.append(name, *qubits, params=params)
-        elif name == "cx":
-            out.cx(*qubits)
-        elif name in _COMPOSITE:
-            from .ir.decompose import emit_composite
-
-            emit_composite(out, name, qubits)
-        elif name == "u3":
-            out.append("u", *qubits, params=params)
-        elif name == "u1":
-            out.append("p", *qubits, params=params)
-        elif strict:
-            raise ValueError(
-                f"unsupported qiskit instruction {name!r}; pass strict=False "
-                f"to drop it")
-        elif dropped is not None:
-            dropped.append(name)
+        try:
+            _emit_gate(out, name, qubits, params)
+        except _Unsupported:
+            if strict:
+                raise ValueError(
+                    f"unsupported qiskit instruction {name!r}; pass "
+                    f"strict=False to drop it") from None
+            if dropped is not None:
+                dropped.append(name)
     return out
+
+
+class _Unsupported(Exception):
+    pass
+
+
+def _emit_gate(out: Circuit, name: str, qubits, params) -> None:
+    """Append one mapped qiskit gate to ``out`` (raises _Unsupported)."""
+    if name in _DIRECT:
+        out.append(name, *qubits, params=params)
+    elif name == "cx":
+        out.cx(*qubits)
+    elif name in _COMPOSITE:
+        from .ir.decompose import emit_composite
+
+        emit_composite(out, name, qubits)
+    elif name == "u3":
+        out.append("u", *qubits, params=params)
+    elif name == "u1":
+        out.append("p", *qubits, params=params)
+    else:
+        raise _Unsupported(name)
+
+
+def _bit_index(qc, bit) -> int:
+    try:
+        return qc.find_bit(bit).index
+    except AttributeError:
+        return getattr(bit, "index")
+
+
+def from_qiskit_dynamic(qc, *, strict: bool = True,
+                        dropped: Optional[List[str]] = None):
+    """Convert a qiskit QuantumCircuit WITH measurements / resets /
+    classically-conditioned gates into a ``DynamicCircuit``.
+
+    Conditions are read from the legacy ``op.condition`` form — a
+    (clbit-or-1-bit-register, value) pair conditioning a single gate;
+    control-flow ops (IfElseOp blocks, loops) are out of scope and raise
+    (or are dropped with ``strict=False``).
+    """
+    from .dynamic import CondGate, DynamicCircuit
+
+    try:
+        num_qubits = qc.num_qubits
+        data = qc.data
+    except AttributeError as exc:
+        raise TypeError(
+            "from_qiskit_dynamic expects a qiskit QuantumCircuit-like "
+            "object (num_qubits + data)") from exc
+
+    dc = DynamicCircuit(num_qubits, num_clbits=getattr(qc, "num_clbits", 0))
+    for inst in data:
+        op = getattr(inst, "operation", None)
+        if op is None:                      # legacy (op, qargs, cargs) tuple
+            op, qargs = inst[0], inst[1]
+            cargs = inst[2] if len(inst) > 2 else ()
+        else:
+            qargs = inst.qubits
+            cargs = getattr(inst, "clbits", ())
+        name = op.name.lower()
+        if name in _IGNORED:
+            continue
+        qubits = tuple(_bit_index(qc, q) for q in qargs)
+        if name == "measure":
+            for q, c in zip(qubits, (_bit_index(qc, c) for c in cargs)):
+                dc.measure(q, c)
+            continue
+        if name == "reset":
+            for q in qubits:
+                dc.reset(q)
+            continue
+        params = tuple(float(p) for p in getattr(op, "params", ()))
+
+        cond = getattr(op, "condition", None)
+        tmp = Circuit(num_qubits)
+        try:
+            if name in ("if_else", "while_loop", "for_loop", "switch_case"):
+                raise _Unsupported(name)
+            _emit_gate(tmp, name, qubits, params)
+        except _Unsupported:
+            if strict:
+                raise ValueError(
+                    f"unsupported qiskit instruction {name!r}; pass "
+                    f"strict=False to drop it") from None
+            if dropped is not None:
+                dropped.append(name)
+            continue
+        if cond is None:
+            dc.items.extend(tmp.gates)
+            continue
+        target, value = cond
+        if hasattr(target, "__len__"):      # ClassicalRegister
+            if len(target) != 1:
+                raise ValueError(
+                    "only 1-bit register conditions are supported; "
+                    "condition on a single clbit instead")
+            target = target[0]
+        clbit = _bit_index(qc, target)
+        for g in tmp.gates:
+            dc.items.append(CondGate(g, clbit, int(value)))
+    return dc

@@ -89,3 +89,85 @@ def test_real_qiskit_roundtrip():
     qc.rz(0.5, 2)
     c = from_qiskit(qc)
     assert len(c.gates) == 3
+
+
+class _CInst:
+    def __init__(self, op, qubits, clbits=()):
+        self.operation = op
+        self.qubits = qubits
+        self.clbits = clbits
+
+
+class _FakeDynQC(_FakeQC):
+    def __init__(self, n, m):
+        super().__init__(n)
+        self.num_clbits = m
+        self._cbits = [_Bit(i) for i in range(m)]
+
+    def add_measure(self, q, c):
+        self.data.append(_CInst(_Op("measure"), [self._bits[q]],
+                                [self._cbits[c]]))
+
+    def add_reset(self, q):
+        self.data.append(_CInst(_Op("reset"), [self._bits[q]]))
+
+    def add_cond(self, name, q, clbit, value, params=()):
+        op = _Op(name, params)
+        op.condition = (self._cbits[clbit], value)
+        self.data.append(_CInst(op, [self._bits[q]]))
+
+
+def test_from_qiskit_dynamic_teleport_items():
+    from gpu_quantum_simulator_tpu.dynamic import CondGate, Measure, Reset
+    from gpu_quantum_simulator_tpu.interop import from_qiskit_dynamic
+
+    qc = _FakeDynQC(3, 2)
+    qc.add("h", 1)
+    qc.add("cx", 1, 2)
+    qc.add("cx", 0, 1)
+    qc.add("h", 0)
+    qc.add_measure(0, 0)
+    qc.add_measure(1, 1)
+    qc.add_cond("x", 2, 1, 1)
+    qc.add_cond("z", 2, 0, 1)
+    qc.add_reset(0)
+    dc = from_qiskit_dynamic(qc)
+    kinds = [type(i).__name__ for i in dc.items]
+    assert kinds == ["Gate"] * 4 + ["Measure", "Measure",
+                                    "CondGate", "CondGate", "Reset"]
+    cg = [i for i in dc.items if isinstance(i, CondGate)]
+    assert (cg[0].gate.name, cg[0].clbit) == ("x", 1)
+    assert (cg[1].gate.name, cg[1].clbit) == ("z", 0)
+
+
+def test_from_qiskit_dynamic_register_condition():
+    from gpu_quantum_simulator_tpu.interop import from_qiskit_dynamic
+
+    class _Reg(list):
+        pass
+
+    qc = _FakeDynQC(1, 1)
+    op = _Op("x")
+    op.condition = (_Reg([qc._cbits[0]]), 1)
+    qc.data.append(_CInst(op, [qc._bits[0]]))
+    dc = from_qiskit_dynamic(qc)
+    assert dc.items[0].clbit == 0
+
+    qc2 = _FakeDynQC(1, 2)
+    op2 = _Op("x")
+    op2.condition = (_Reg([qc2._cbits[0], qc2._cbits[1]]), 1)
+    qc2.data.append(_CInst(op2, [qc2._bits[0]]))
+    with pytest.raises(ValueError):
+        from_qiskit_dynamic(qc2)
+
+
+def test_from_qiskit_dynamic_control_flow_rejected():
+    from gpu_quantum_simulator_tpu.interop import from_qiskit_dynamic
+
+    qc = _FakeDynQC(1, 1)
+    qc.data.append(_CInst(_Op("if_else"), [qc._bits[0]]))
+    with pytest.raises(ValueError):
+        from_qiskit_dynamic(qc)
+    dropped = []
+    dc = from_qiskit_dynamic(qc, strict=False, dropped=dropped)
+    assert dropped == ["if_else"] and not dc.items
