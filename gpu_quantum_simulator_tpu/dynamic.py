@@ -393,6 +393,47 @@ def _damp_ensemble(re, im, q: int, n: int, s: int, gamma, u):
     return out_re.reshape(-1), out_im.reshape(-1)
 
 
+_NOISE_RUN_JIT: dict = {}
+
+
+def _noise_run_fn(spec, n: int, s: int):
+    """One jitted pass applying a RUN of noise events (static spec of
+    (kind, qubit) pairs): a whole-register noise layer costs one dispatch
+    and XLA fuses the chained selects instead of round-tripping the
+    ensemble through HBM per event."""
+    import jax
+
+    key = (spec, n, s)
+    fn = _NOISE_RUN_JIT.get(key)
+    if fn is None:
+        def body(re, im, ps, us):
+            for j, (kind, q) in enumerate(spec):
+                if kind == "amplitude_damping":
+                    re, im = _damp_ensemble(re, im, q, n, s, ps[j, 0], us[j])
+                else:
+                    re, im = _pauli_ensemble(re, im, q, n, s, ps[j], us[j])
+            return re, im
+
+        fn = jax.jit(body)
+        _NOISE_RUN_JIT[key] = fn
+    return fn
+
+
+def _noise_run_params(run, real_dtype):
+    """(spec, ps) for a list of Noise items: ps rows are (px, py, pz) for
+    Pauli mixtures, (gamma, 0, 0) for amplitude damping."""
+    import jax.numpy as jnp
+
+    spec = tuple((seg.kind, seg.qubit) for seg in run)
+    rows = []
+    for seg in run:
+        if seg.kind == "amplitude_damping":
+            rows.append((seg.p, 0.0, 0.0))
+        else:
+            rows.append(_pauli_probs(seg.kind, seg.p))
+    return spec, jnp.asarray(rows, real_dtype)
+
+
 def _apply_noise(re, im, seg: Noise, n: int, s: int, u, real_dtype):
     """Dispatch one Noise event on a (possibly s=0) ensemble state."""
     import jax.numpy as jnp
@@ -506,6 +547,17 @@ def _run_ensemble(dc: DynamicCircuit, sim, s: int, seed: int):
     im = jnp.zeros(dim, real_dtype)
 
     segments = _split_segments(dc, N)
+    # coalesce consecutive noise events into single-dispatch runs
+    merged: List[Tuple[str, object]] = []
+    for kind, seg in segments:
+        if kind == "item" and isinstance(seg, Noise) and merged \
+                and merged[-1][0] == "noise_run":
+            merged[-1][1].append(seg)
+        elif kind == "item" and isinstance(seg, Noise):
+            merged.append(("noise_run", [seg]))
+        else:
+            merged.append((kind, seg))
+    segments = merged
     cond_for: dict = {}
     for kind, seg in segments:
         if kind == "item" and isinstance(seg, CondGate):
@@ -520,6 +572,13 @@ def _run_ensemble(dc: DynamicCircuit, sim, s: int, seed: int):
     for kind, seg in segments:
         if kind == "circuit":
             re, im, _ = sim.run_device_parts(seg, (re, im))
+            continue
+        if kind == "noise_run":
+            us = jax.random.uniform(jax.random.fold_in(key, event),
+                                    (len(seg), S), dtype=real_dtype)
+            event += 1
+            spec, ps = _noise_run_params(seg, real_dtype)
+            re, im = _noise_run_fn(spec, n, s)(re, im, ps, us)
             continue
         if isinstance(seg, (Measure, Reset)):
             u = jax.random.uniform(jax.random.fold_in(key, event), (S,),
@@ -542,11 +601,6 @@ def _run_ensemble(dc: DynamicCircuit, sim, s: int, seed: int):
             M = 1 << n
             re = jnp.where(hit, cre.reshape(S, M), re.reshape(S, M)).reshape(-1)
             im = jnp.where(hit, cim.reshape(S, M), im.reshape(S, M)).reshape(-1)
-        elif isinstance(seg, Noise):
-            u = jax.random.uniform(jax.random.fold_in(key, event), (S,),
-                                   dtype=real_dtype)
-            event += 1
-            re, im = _apply_noise(re, im, seg, n, s, u, real_dtype)
         else:  # pragma: no cover
             raise AssertionError(seg)
 
