@@ -1,0 +1,99 @@
+"""Plan cost model: estimate device seconds of a prefetch plan from
+per-grid-step kernel costs so the planner can choose between candidate
+plans (lookahead-depth portfolio) without the TPU in the loop.
+
+Constants are the n=24 calibration documented in
+``bench_artifacts/kernel_micro_n24.json`` (measured entries) with the
+documented estimates for step kinds not yet measured on-chip; the offline
+harness ``scripts/plan_model.py`` refreshes them from committed microbench
+JSONs.  Only RELATIVE fidelity matters for plan selection — all candidate
+plans share the same constants.
+
+Per-grid-step costs (us):
+  base (steered 4-stream)   10.4   empty pass, halves + concat
+  base (plain 2-stream)      6.0   estimate until measured on-chip
+  base (in-place split)      8.0   halves-native aliased kernel (estimate)
+  mat                        5.2   3 Karatsuba 256-wide matmuls
+  mono                       3.7   gather matmul + VPU phase rotation (est)
+  perm (p_tab dot pair)      3.5   estimate (~2/3 mat) until measured
+  tswap(k)                   1.76 + 0.675*(k-1) (pre-static-roll ladder)
+  relayout pass             10.9   pure-DMA block permutation
+"""
+
+from __future__ import annotations
+
+US = 1e-6
+BASE_STEERED = 10.4
+BASE_PLAIN = 6.0
+BASE_SPLIT = 8.0
+MAT = 5.2
+PERM = 3.5
+MONO = 3.7
+RELAYOUT = 10.9
+XSWAP_SPLIT = None   # in-place pair-grid swap pass (None -> BASE_PLAIN/2)
+DISPATCH_S = 0.030   # per chain part over the axon tunnel
+
+TSWAP_PTS: dict = {}  # k -> us measured anchors (linear-fit fallback)
+
+
+def tswap_us(k: int) -> float:
+    if TSWAP_PTS:
+        ks = sorted(TSWAP_PTS)
+        if k <= ks[0]:
+            return TSWAP_PTS[ks[0]]
+        for a, b in zip(ks, ks[1:]):
+            if k <= b:
+                t = (k - a) / (b - a)
+                return TSWAP_PTS[a] * (1 - t) + TSWAP_PTS[b] * t
+        return TSWAP_PTS[ks[-1]]
+    return 1.76 + 0.675 * (k - 1)
+
+
+def estimate_plan(plan, n: int, inplace: bool = False, stream: bool = False):
+    """(seconds, breakdown dict) for one PrefetchPlan at width n.
+
+    ``stream`` models the QSIM_STREAM_PLAIN chains: in-place xswaps ride
+    the block's pair-mode input stream (no standalone pass) and steered
+    flat blocks cost the streamed base.
+    """
+    from . import prefetch as P
+
+    T = P.tile_rows(n)
+    gs = max((1 << (n - P.LOCAL_QUBITS)) // T, 1)
+    logt = plan.logt
+    acc = {"base": 0.0, "mat": 0.0, "mono": 0.0, "tswap": 0.0, "perm": 0.0,
+           "relayout": 0.0, "xswap": 0.0}
+    for b in plan.blocks:
+        if b.relayout is not None:
+            acc["relayout"] += RELAYOUT * gs
+            continue
+        if b.gswap is not None:
+            continue
+        if inplace and b.prologue is not None:
+            # grid chains hoist the prologue into a standalone pair-grid
+            # swap entry (half grid) + a plain step block; streaming
+            # chains fold the swap into the block's pair-mode input
+            if not stream:
+                acc["xswap"] += (XSWAP_SPLIT * gs if XSWAP_SPLIT is not None
+                                 else BASE_PLAIN * gs / 2)
+            base = BASE_SPLIT
+        else:
+            base = (BASE_SPLIT if inplace else
+                    BASE_STEERED if b.prologue is not None else BASE_PLAIN)
+        acc["base"] += base * gs
+        for kind in b.kinds:
+            if kind == 0:
+                acc["mat"] += MAT * gs
+            elif kind == logt + 1:
+                acc["perm"] += PERM * gs
+            elif kind == logt + 2:
+                acc["mono"] += MONO * gs
+            else:
+                acc["tswap"] += tswap_us(kind) * gs
+    total = sum(acc.values()) * US
+    # chain parts: approximate with the real chunker on the block count
+    max_chunk = max(32, P.DISPATCH_GRID_BUDGET // gs)
+    nparts = len(P._chunks(len(plan.blocks), max_chunk))
+    total += nparts * DISPATCH_S
+    acc["dispatch_parts"] = nparts
+    return total, acc

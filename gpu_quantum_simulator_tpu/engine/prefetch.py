@@ -66,6 +66,17 @@ RELAYOUT_TILE_ROWS = 64       # relayout kernel block rows (exposes row bits
 CAP_STEPS = 48                # steps (mats + tswaps + perms) per block
 CAP_MATS = 12                 # 2 tables x 12 x 256 KB = 6 MB VMEM
 MIN_QUBITS = 9                # below this the megakernel path is used
+# relayout parking looks this many topological waves past the ready set
+# when filling spare park slots (the plan portfolio tries several depths
+# and keeps the model-cheapest plan, so this is only the fallback depth)
+LOOKAHEAD_WAVES = int(os.environ.get("QSIM_LOOKAHEAD_WAVES", "1"))
+# candidate lookahead depths for the plan portfolio ("" = off); planning
+# costs ~40-60 ms per candidate, so the portfolio only runs where device
+# time dwarfs it (PrefetchProgram gates it at n >= PORTFOLIO_MIN_QUBITS)
+PLAN_PORTFOLIO = tuple(
+    int(w) for w in os.environ.get("QSIM_PLAN_PORTFOLIO", "1,3,6").split(",")
+    if w.strip())
+PORTFOLIO_MIN_QUBITS = 23
 
 
 def tile_rows(n: int) -> int:
@@ -350,6 +361,7 @@ def plan_prefetch(
     allow_relayout: bool = True,
     num_global: int = 0,
     involution_relayout: bool = False,
+    lookahead_waves: Optional[int] = None,
 ) -> PrefetchPlan:
     """Lower fused ops to uniform kernel blocks.
 
@@ -386,6 +398,7 @@ def plan_prefetch(
     disjoint HBM block swaps and so plans with ``involution_relayout=True``.
     """
     n = num_qubits
+    lw = LOOKAHEAD_WAVES if lookahead_waves is None else lookahead_waves
     nl = n - num_global          # local qubits: window + tile + cross-tile
     if nl < MIN_QUBITS:
         raise ValueError(f"prefetch plan needs >= {MIN_QUBITS} local qubits")
@@ -636,19 +649,37 @@ def plan_prefetch(
             if best_aff is not None:   # an in-reach op always wins
                 best, best_key = best_aff[1], None
             if best_key is not None and can_relayout:
-                # lookahead: an op one dependency away (its only unemitted
-                # dep is the ready op j) joins the demand pool with lower
-                # priority, so one relayout pass also parks the NEXT wave's
-                # cold qubits instead of paying a fresh pass per wave
+                # lookahead: ops up to LOOKAHEAD_WAVES topological waves
+                # beyond the ready set join the demand pool with priority
+                # decaying per wave, so one relayout pass also parks the
+                # next waves' cold qubits instead of paying a fresh pass
+                # per wave.  Wave d = ops whose every unemitted dependency
+                # sits in waves < d (simulated via virtual indegrees).
                 look: dict = {}
                 ahead = set()
-                for j in ready:
-                    for s in succs[j]:
-                        if indeg[s] == 1:
-                            ahead.update(ops[s].qubits)
-                            for q in ops[s].qubits:
-                                if pos_of[q] > xreach and q not in demand:
-                                    look[q] = look.get(q, 0) + 1
+                wave_of = {j: 0 for j in ready}
+                cur_wave = list(ready)
+                vind: dict = {}
+                for d in range(1, lw + 1):
+                    nxt = []
+                    for j in cur_wave:
+                        for s in succs[j]:
+                            if s in wave_of:
+                                continue
+                            left = vind.get(s, indeg[s]) - 1
+                            vind[s] = left
+                            if left == 0:
+                                wave_of[s] = d
+                                nxt.append(s)
+                    if not nxt:
+                        break
+                    w = lw + 1 - d
+                    for s in nxt:
+                        ahead.update(ops[s].qubits)
+                        for q in ops[s].qubits:
+                            if pos_of[q] > xreach and q not in demand:
+                                look[q] = look.get(q, 0) + w
+                    cur_wave = nxt
             if best_key is not None and can_relayout and len(demand) >= 2:
                 frontier = {q for j in ready for q in ops[j].qubits}
                 avail = [p for p in parks
@@ -766,6 +797,31 @@ def plan_prefetch(
         blocks, np.asarray(pos_of), len(ops), num_tswaps, num_xswaps,
         num_perms, logt, num_relayouts, num_gswaps, num_pfolds,
     )
+
+
+def plan_prefetch_best(ops, num_qubits, stream: bool = False,
+                       **kwargs) -> PrefetchPlan:
+    """Portfolio planning: plan once per PLAN_PORTFOLIO lookahead depth and
+    keep the plan the calibrated cost model (engine/plancost.py) prices
+    cheapest.  The greedy scheduler's relayout/tswap counts respond
+    non-monotonically to lookahead depth (measured +-3% across depths at
+    n=24..30), so trying a few depths per circuit beats fixing one — the
+    ~40-60 ms planning cost per candidate is noise against multi-second
+    device time at the widths where the portfolio is enabled."""
+    from . import plancost
+
+    if len(PLAN_PORTFOLIO) <= 1:
+        waves = PLAN_PORTFOLIO[0] if PLAN_PORTFOLIO else None
+        return plan_prefetch(ops, num_qubits, lookahead_waves=waves, **kwargs)
+    inplace = bool(kwargs.get("involution_relayout"))
+    best = None
+    for waves in PLAN_PORTFOLIO:
+        plan = plan_prefetch(ops, num_qubits, lookahead_waves=waves, **kwargs)
+        secs, _ = plancost.estimate_plan(plan, num_qubits, inplace=inplace,
+                                         stream=stream)
+        if best is None or secs < best[0]:
+            best = (secs, plan)
+    return best[1]
 
 
 # ------------------------------------------------------------------ kernel
@@ -2144,9 +2200,11 @@ class PrefetchProgram:
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         dt = np.dtype(real_dtype)
-        plan = plan_prefetch(ops, n, cap_steps, cap_mats,
-                             final_layout=final_layout, reorder=reorder,
-                             involution_relayout=inplace)
+        planner = (plan_prefetch_best
+                   if reorder and n >= PORTFOLIO_MIN_QUBITS else plan_prefetch)
+        plan = planner(ops, n, cap_steps=cap_steps, cap_mats=cap_mats,
+                       final_layout=final_layout, reorder=reorder,
+                       involution_relayout=inplace)
         self.num_qubits = n
         self.final_position = plan.final_position
         self.num_ops = plan.num_ops

@@ -31,32 +31,11 @@ from gpu_quantum_simulator_tpu.engine.simulator import _fuse_pipeline  # noqa: E
 from gpu_quantum_simulator_tpu.engine import prefetch as P  # noqa: E402
 from gpu_quantum_simulator_tpu.passes.permute import plan_permutation  # noqa: E402
 
-US = 1e-6
-BASE_STEERED = 10.4
-BASE_PLAIN = 6.0
-BASE_SPLIT = 8.0     # in-place 4-stream halves-native kernel (ESTIMATE)
-MAT = 5.2
-PERM = 3.5
-MONO = 3.7    # monomial op: one gather matmul + VPU phase rotation (EST)
-RELAYOUT = 10.9
-XSWAP_SPLIT = None   # in-place pair-grid swap pass (derived or BASE/2)
-DISPATCH_S = 0.030        # per chain part over the axon tunnel
+from gpu_quantum_simulator_tpu.engine import plancost as PC  # noqa: E402
 
-_TSWAP_PTS = {}      # k -> us, measured anchors (linear fit fallback)
-
-
-def tswap_us(k: int) -> float:
-    if _TSWAP_PTS:
-        ks = sorted(_TSWAP_PTS)
-        if k <= ks[0]:
-            return _TSWAP_PTS[ks[0]]
-        for a, b in zip(ks, ks[1:]):
-            if k <= b:
-                t = (k - a) / (b - a)
-                return _TSWAP_PTS[a] * (1 - t) + _TSWAP_PTS[b] * t
-        return _TSWAP_PTS[ks[-1]]
-    return 1.76 + 0.675 * (k - 1)
-
+US = PC.US
+DISPATCH_S = PC.DISPATCH_S
+tswap_us = PC.tswap_us
 
 def calibrate(n_cal: int = 24, variant: str = "") -> bool:
     """Refresh the per-grid-step constants from the committed microbench
@@ -68,8 +47,6 @@ def calibrate(n_cal: int = 24, variant: str = "") -> bool:
     the widest multi-step entries (mat12, perm4, mono4) so the fixed pass
     overhead amortizes out of the per-step figure.
     """
-    global BASE_STEERED, BASE_PLAIN, BASE_SPLIT, MAT, PERM, MONO
-    global RELAYOUT, XSWAP_SPLIT
     import json
 
     art = os.path.join(os.path.dirname(os.path.dirname(
@@ -83,21 +60,21 @@ def calibrate(n_cal: int = 24, variant: str = "") -> bool:
     gs = (1 << (d["n"] - 8)) // d["T"]
     u = lambda ms: ms / gs * 1e3
     base = d["empty_pass_ms"]
-    BASE_PLAIN = u(base)
+    PC.BASE_PLAIN = u(base)
     if "mat12_ms" in d:
-        MAT = u(d["mat12_ms"] - base) / 12
+        PC.MAT = u(d["mat12_ms"] - base) / 12
     if "perm4_ms" in d:
-        PERM = u(d["perm4_ms"] - base) / 4
+        PC.PERM = u(d["perm4_ms"] - base) / 4
     if "mono4_ms" in d:
-        MONO = u(d["mono4_ms"] - base) / 4
+        PC.MONO = u(d["mono4_ms"] - base) / 4
     for key, k in (("tswap_k1_ms", 1), ("tswap_k4_ms", 4),
                    ("tswap_k5_ms", 5), ("tswap_k9_ms", 9)):
         if key in d:
-            _TSWAP_PTS[k] = max(u(d[key] - base), 0.05)
+            PC.TSWAP_PTS[k] = max(u(d[key] - base), 0.05)
     if "relayout_ms" in d:
-        RELAYOUT = u(d["relayout_ms"])
+        PC.RELAYOUT = u(d["relayout_ms"])
     if "xswap_prologue_ms" in d:
-        BASE_STEERED = u(d["xswap_prologue_ms"])
+        PC.BASE_STEERED = u(d["xswap_prologue_ms"])
     ip = os.path.join(
         art, f"kernel_micro_n{n_cal}_inplace{suffix or ''}.json")
     if variant and not os.path.exists(ip):
@@ -106,69 +83,18 @@ def calibrate(n_cal: int = 24, variant: str = "") -> bool:
         with open(ip) as f:
             di = json.load(f)
         gsi = (1 << (di["n"] - 8)) // di["T"]
-        BASE_SPLIT = di["empty_pass_ms"] / gsi * 1e3
+        PC.BASE_SPLIT = di["empty_pass_ms"] / gsi * 1e3
         if "xswap_pairgrid_ms" in di:
-            XSWAP_SPLIT = di["xswap_pairgrid_ms"] / gsi * 1e3
+            PC.XSWAP_SPLIT = di["xswap_pairgrid_ms"] / gsi * 1e3
     return True
 
 
 def estimate(plan: P.PrefetchPlan, n: int, inplace: bool = False,
              stream: bool = False):
-    """(seconds, breakdown dict) for one plan at width n.
-
-    ``stream`` models the QSIM_STREAM_PLAIN chains: in-place xswaps ride
-    the block's pair-mode input stream (no standalone pass, no extra
-    block base), and steered flat blocks cost the streamed base.
-    """
-    T = P.tile_rows(n)
-    gs = max((1 << (n - P.LOCAL_QUBITS)) // T, 1)
-    logt = plan.logt
-    acc = {"base": 0.0, "mat": 0.0, "mono": 0.0, "tswap": 0.0, "perm": 0.0,
-           "relayout": 0.0, "xswap": 0.0}
-    for b in plan.blocks:
-        if b.relayout is not None:
-            acc["relayout"] += RELAYOUT * gs
-            continue
-        if b.gswap is not None:
-            continue
-        if inplace and b.prologue is not None:
-            # grid chains hoist the prologue into a standalone pair-grid
-            # swap entry (half grid) + a plain step block; streaming
-            # chains fold the swap into the block's pair-mode input
-            if not stream:
-                acc["xswap"] += (XSWAP_SPLIT * gs if XSWAP_SPLIT is not None
-                                 else BASE_PLAIN * gs / 2)
-            acc["base"] += BASE_SPLIT * gs
-            for kind in b.kinds:
-                if kind == 0:
-                    acc["mat"] += MAT * gs
-                elif kind == logt + 1:
-                    acc["perm"] += PERM * gs
-                elif kind == logt + 2:
-                    acc["mono"] += MONO * gs
-                else:
-                    acc["tswap"] += tswap_us(kind) * gs
-            continue
-        acc["base"] += (BASE_SPLIT if inplace else
-                        BASE_STEERED if b.prologue is not None
-                        else BASE_PLAIN) * gs
-        for kind in b.kinds:
-            if kind == 0:
-                acc["mat"] += MAT * gs
-            elif kind == logt + 1:
-                acc["perm"] += PERM * gs
-            elif kind == logt + 2:
-                acc["mono"] += MONO * gs
-            else:
-                acc["tswap"] += tswap_us(kind) * gs
-    total = sum(acc.values()) * US
-    # chain parts: approximate with the real chunker on the block count
-    grid_rows = gs
-    max_chunk = max(32, P.DISPATCH_GRID_BUDGET // grid_rows)
-    nparts = len(P._chunks(len(plan.blocks), max_chunk))
-    total += nparts * DISPATCH_S
-    acc["dispatch_parts"] = nparts
-    return total, acc
+    """(seconds, breakdown) — delegates to the package cost model
+    (engine/plancost.py), which also drives the in-engine plan portfolio;
+    calibrate() above refreshes its constants from committed microbenches."""
+    return PC.estimate_plan(plan, n, inplace=inplace, stream=stream)
 
 
 # v5e ICI: ~45 GB/s effective one-way per link (scaling-book class numbers;
@@ -229,8 +155,9 @@ def main():
     fresh = calibrate(variant=variant)
     tag = f"measured kernel_micro_n24{'_' + variant if variant else ''}"
     print(f"calibration: {tag if fresh else 'builtin estimates'}"
-          f"  base_plain={BASE_PLAIN:.1f} base_split={BASE_SPLIT:.1f} mat={MAT:.1f}"
-          f" mono={MONO:.1f} perm={PERM:.1f} relayout={RELAYOUT:.1f}"
+          f"  base_plain={PC.BASE_PLAIN:.1f} base_split={PC.BASE_SPLIT:.1f}"
+          f" mat={PC.MAT:.1f} mono={PC.MONO:.1f} perm={PC.PERM:.1f}"
+          f" relayout={PC.RELAYOUT:.1f}"
           f" tswap(1/4/9)={tswap_us(1):.1f}/{tswap_us(4):.1f}/{tswap_us(9):.1f} us/gs",
           flush=True)
     if "--tune" in sys.argv:
@@ -260,7 +187,10 @@ def main():
                   f"est={secs:.3f}s  [{comp}]", flush=True)
             continue
         inplace = n >= 29
-        plan = P.plan_prefetch(
+        # mirror the engine: portfolio planning above the width gate
+        planner = (P.plan_prefetch_best if n >= P.PORTFOLIO_MIN_QUBITS
+                   else P.plan_prefetch)
+        plan = planner(
             ops, n, final_layout=np.argsort(perm),
             involution_relayout=inplace,
             cap_mats=(4 if (n >= 21 and not inplace) else P.CAP_MATS))

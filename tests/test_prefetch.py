@@ -616,3 +616,58 @@ def test_plan_knob_env_fallback(monkeypatch):
     monkeypatch.delenv("QSIM_PREFETCH_CAP_MATS")
     assert PF.resolve_prefetch_knobs(cfg, 24, False) == (2, 4, 8)
     assert PF.resolve_prefetch_knobs(cfg, 24, True) == (2, PF.CAP_MATS, 8)
+
+
+def test_lookahead_waves_parity():
+    """Any lookahead depth must plan a semantically identical circuit:
+    execute the same workload at several depths and compare amplitudes."""
+    n = 12
+    old = PF.TILE_ROWS
+    PF.TILE_ROWS = 4  # expose cross-tile bits so the reorder path runs
+    try:
+        PF._KERNEL_CACHE.clear()
+        PF._CHAIN_CACHE.clear()
+        c = models.grover_like(n, num_gates=300, seed=17)
+        want = simulate_reference(c)
+        ops = _fuse_pipeline(c, 7, max_high=2)
+        import jax.numpy as jnp
+        from gpu_quantum_simulator_tpu.ops.apply import (
+            initial_state_parts, join_state)
+
+        for waves in (1, 3, 6):
+            plan = PF.plan_prefetch(ops, n, lookahead_waves=waves)
+            assert plan.num_ops == len(ops)
+            prog = PF.PrefetchProgram(ops, n, interpret=True)
+            re, im = initial_state_parts(n, dtype=jnp.float32)
+            re, im = prog(re, im)
+            state = unpermute_state(
+                join_state(np.asarray(re), np.asarray(im)),
+                prog.final_position)
+            assert np.max(np.abs(state - want)) < TOL, waves
+    finally:
+        PF.TILE_ROWS = old
+        PF._KERNEL_CACHE.clear()
+        PF._CHAIN_CACHE.clear()
+
+
+def test_plan_portfolio_picks_model_minimum(monkeypatch):
+    """plan_prefetch_best returns the candidate the cost model prices
+    cheapest, and PrefetchProgram routes through it above the width gate."""
+    from gpu_quantum_simulator_tpu.engine import plancost
+
+    n = 18
+    c = models.grover_like(n, num_gates=400, seed=19)
+    ops = _fuse_pipeline(c, 7, max_high=2)
+    costs = {}
+    for waves in PF.PLAN_PORTFOLIO:
+        plan = PF.plan_prefetch(ops, n, lookahead_waves=waves)
+        costs[waves] = plancost.estimate_plan(plan, n)[0]
+    best = PF.plan_prefetch_best(ops, n)
+    got, _ = plancost.estimate_plan(best, n)
+    assert abs(got - min(costs.values())) < 1e-12, costs
+
+    # the engine consults the portfolio above PORTFOLIO_MIN_QUBITS: plan
+    # shape through PrefetchProgram matches plan_prefetch_best's choice
+    monkeypatch.setattr(PF, "PORTFOLIO_MIN_QUBITS", n)
+    prog = PF.PrefetchProgram(ops, n, interpret=True)
+    assert prog.num_blocks == len(best.blocks)
