@@ -65,6 +65,13 @@ def main(argv=None) -> int:
         "--noise-kind", default="depolarizing",
         choices=["depolarizing", "dephasing", "bit_flip", "amplitude_damping"])
     p.add_argument(
+        "--noise-correlated", action="store_true",
+        help="2q-gate noise as ONE correlated depolarizing2 event on the "
+        "pair instead of independent per-qubit events")
+    p.add_argument(
+        "--noise-readout", type=float, default=0.0, metavar="P",
+        help="classical readout error: each outcome bit flips w.p. P")
+    p.add_argument(
         "--trace", metavar="DIR",
         help="write a jax.profiler trace of the run to DIR (view in "
         "TensorBoard / Perfetto)")
@@ -94,7 +101,8 @@ def main(argv=None) -> int:
         precision=args.precision,
     )
 
-    noisy = args.noise_p1 > 0.0 or args.noise_p2 > 0.0
+    noisy = (args.noise_p1 > 0.0 or args.noise_p2 > 0.0
+             or args.noise_readout > 0.0)
     if noisy:
         # noisy runs are trajectory ensembles: amplitudes are not a
         # single-state concept there, only measurement statistics are
@@ -117,7 +125,9 @@ def main(argv=None) -> int:
         t0 = time.perf_counter()
         outcomes = sample_noisy(
             circuit, args.measurements, kind=args.noise_kind,
-            p1=args.noise_p1, p2=args.noise_p2, seed=args.seed, config=cfg)
+            p1=args.noise_p1, p2=args.noise_p2, seed=args.seed, config=cfg,
+            correlated=args.noise_correlated,
+            readout_error=args.noise_readout)
         seconds = time.perf_counter() - t0
         if args.json:
             print(json.dumps({
@@ -126,7 +136,9 @@ def main(argv=None) -> int:
                 "num_gates": len(circuit.gates),
                 "strategy": cfg.strategy,
                 "noise": {"kind": args.noise_kind, "p1": args.noise_p1,
-                          "p2": args.noise_p2},
+                          "p2": args.noise_p2,
+                          "correlated": args.noise_correlated,
+                          "readout": args.noise_readout},
                 "seconds": seconds,
             }))
         else:

@@ -68,11 +68,33 @@ def kraus_amplitude_damping(gamma: float) -> List[np.ndarray]:
     return [k0, k1]
 
 
+def kraus_depolarizing2(p: float) -> List[np.ndarray]:
+    """Correlated two-qubit depolarizing channel:
+    rho -> (1-p) rho + p/15 sum_{(a,b) != (I,I)} (Pa x Pb) rho (Pa x Pb).
+
+    The standard gate-noise model for entangling gates (one correlated
+    error event per gate, uniform over the 15 non-identity Pauli pairs) —
+    NOT the product of two independent single-qubit channels."""
+    x = np.array([[0, 1], [1, 0]], dtype=complex)
+    y = np.array([[0, -1j], [1j, 0]], dtype=complex)
+    z = np.diag([1.0, -1.0]).astype(complex)
+    i = np.eye(2, dtype=complex)
+    paulis = (i, x, y, z)
+    out = [np.sqrt(1 - p) * np.kron(i, i)]
+    for a in range(4):
+        for b in range(4):
+            if a == b == 0:
+                continue
+            out.append(np.sqrt(p / 15) * np.kron(paulis[b], paulis[a]))
+    return out
+
+
 NAMED_CHANNELS = {
     "depolarizing": kraus_depolarizing,
     "dephasing": kraus_dephasing,
     "bit_flip": kraus_bit_flip,
     "amplitude_damping": kraus_amplitude_damping,
+    "depolarizing2": kraus_depolarizing2,
 }
 
 

@@ -50,11 +50,13 @@ class CondGate:
 
 @dataclass(frozen=True)
 class Noise:
-    """Stochastic single-qubit noise event (trajectory unraveling).
+    """Stochastic noise event (trajectory unraveling).
 
     Kinds match density.NAMED_CHANNELS: ``depolarizing`` (X/Y/Z each w.p.
     p/4), ``dephasing`` (Z w.p. p/2), ``bit_flip`` (X w.p. p),
-    ``amplitude_damping`` (quantum-jump unraveling of the T1 Kraus pair).
+    ``amplitude_damping`` (quantum-jump unraveling of the T1 Kraus pair),
+    and the correlated two-qubit ``depolarizing2`` (one Pauli PAIR drawn
+    uniformly from the 15 non-identity pairs w.p. p — set ``qubit2``).
     Trajectory averages converge to the DensitySimulator channel exactly
     (differential tests), but trajectories scale as state VECTORS — noisy
     simulation at any n the pure engines reach, vs the 2n-qubit density
@@ -63,9 +65,11 @@ class Noise:
     kind: str
     qubit: int
     p: float
+    qubit2: Optional[int] = None
 
 
-NOISE_KINDS = ("depolarizing", "dephasing", "bit_flip", "amplitude_damping")
+NOISE_KINDS = ("depolarizing", "dephasing", "bit_flip", "amplitude_damping",
+               "depolarizing2")
 
 Item = Union[Gate, Measure, Reset, CondGate, Noise]
 
@@ -160,13 +164,24 @@ class DynamicCircuit:
                     f"{type(item).__name__} has no QASM spelling")
         return "\n".join(lines) + "\n"
 
-    def noise(self, kind: str, qubit: int, p: float):
-        """Insert a stochastic noise event (see ``Noise``)."""
+    def noise(self, kind: str, qubit: int, p: float,
+              qubit2: Optional[int] = None):
+        """Insert a stochastic noise event (see ``Noise``).  The correlated
+        two-qubit ``depolarizing2`` kind requires ``qubit2``."""
         if kind not in NOISE_KINDS:
             raise ValueError(f"unknown noise kind {kind!r}; one of {NOISE_KINDS}")
         if not (0.0 <= p <= 1.0):
             raise ValueError(f"noise probability must be in [0, 1], got {p}")
         self._check_q(qubit)
+        if (kind == "depolarizing2") != (qubit2 is not None):
+            raise ValueError("qubit2 is required for depolarizing2 "
+                             "and only for depolarizing2")
+        if qubit2 is not None:
+            self._check_q(qubit2)
+            if qubit2 == qubit:
+                raise ValueError("depolarizing2 needs two distinct qubits")
+            self.items.append(Noise(kind, qubit, float(p), qubit2))
+            return self
         self.items.append(Noise(kind, qubit, float(p)))
         return self
 
@@ -330,19 +345,18 @@ def _pauli_probs(kind: str, p: float) -> Tuple[float, float, float]:
     raise ValueError(kind)
 
 
-def _pauli_ensemble(re, im, q: int, n: int, s: int, probs, u):
-    """Per-shot random Pauli on qubit ``q``: I/X/Y/Z drawn from the
-    cumulative thresholds of ``probs`` = (px, py, pz), applied exactly
-    (including Y's complex structure — no global-phase shortcut)."""
+def _pauli_hits(re, im, q: int, n: int, s: int, x_hit, y_hit, z_hit):
+    """Apply per-shot Pauli selections on qubit ``q``: the (S,) boolean
+    masks pick X/Y/Z (else identity), applied exactly (including Y's
+    complex structure — no global-phase shortcut)."""
     import jax.numpy as jnp
 
     S, hi, lo = 1 << s, 1 << (n - 1 - q), 1 << q
     re4 = re.reshape(S, hi, 2, lo)
     im4 = im.reshape(S, hi, 2, lo)
-    px, py, pz = probs[0], probs[1], probs[2]
-    x_hit = (u < px).reshape(S, 1, 1, 1)
-    y_hit = ((u >= px) & (u < px + py)).reshape(S, 1, 1, 1)
-    z_hit = ((u >= px + py) & (u < px + py + pz)).reshape(S, 1, 1, 1)
+    x_hit = x_hit.reshape(S, 1, 1, 1)
+    y_hit = y_hit.reshape(S, 1, 1, 1)
+    z_hit = z_hit.reshape(S, 1, 1, 1)
 
     flip = lambda a: a[:, :, ::-1, :]
     sign = jnp.array([1.0, -1.0], re.dtype).reshape(1, 1, 2, 1)
@@ -357,6 +371,34 @@ def _pauli_ensemble(re, im, q: int, n: int, s: int, probs, u):
                        jnp.where(y_hit, im_y,
                                  jnp.where(z_hit, im4 * sign, im4)))
     return out_re.reshape(-1), out_im.reshape(-1)
+
+
+def _pauli_ensemble(re, im, q: int, n: int, s: int, probs, u):
+    """Per-shot random Pauli on qubit ``q``: I/X/Y/Z drawn from the
+    cumulative thresholds of ``probs`` = (px, py, pz)."""
+    px, py, pz = probs[0], probs[1], probs[2]
+    x_hit = u < px
+    y_hit = (u >= px) & (u < px + py)
+    z_hit = (u >= px + py) & (u < px + py + pz)
+    return _pauli_hits(re, im, q, n, s, x_hit, y_hit, z_hit)
+
+
+def _pauli2_ensemble(re, im, qa: int, qb: int, n: int, s: int, p, u):
+    """Correlated two-qubit depolarizing: with probability ``p`` one of
+    the 15 non-identity Pauli pairs (uniform) hits (qa, qb) per shot —
+    the trajectory unraveling of density.kraus_depolarizing2.  ONE
+    uniform draw selects the pair: m in 1..15, sigma_{m&3} on qa and
+    sigma_{m>>2} on qb (all pairs equally weighted, so the packing is
+    distribution-neutral)."""
+    import jax.numpy as jnp
+
+    hit = u < p
+    k = jnp.floor(u / jnp.maximum(p, jnp.asarray(1e-30, u.dtype)) * 15)
+    m = jnp.clip(k.astype(jnp.int32), 0, 14) + 1
+    m = jnp.where(hit, m, 0)
+    ia, ib = m & 3, m >> 2
+    re, im = _pauli_hits(re, im, qa, n, s, ia == 1, ia == 2, ia == 3)
+    return _pauli_hits(re, im, qb, n, s, ib == 1, ib == 2, ib == 3)
 
 
 def _damp_ensemble(re, im, q: int, n: int, s: int, gamma, u):
@@ -407,9 +449,12 @@ def _noise_run_fn(spec, n: int, s: int):
     fn = _NOISE_RUN_JIT.get(key)
     if fn is None:
         def body(re, im, ps, us):
-            for j, (kind, q) in enumerate(spec):
+            for j, (kind, q, q2) in enumerate(spec):
                 if kind == "amplitude_damping":
                     re, im = _damp_ensemble(re, im, q, n, s, ps[j, 0], us[j])
+                elif kind == "depolarizing2":
+                    re, im = _pauli2_ensemble(re, im, q, q2, n, s,
+                                              ps[j, 0], us[j])
                 else:
                     re, im = _pauli_ensemble(re, im, q, n, s, ps[j], us[j])
             return re, im
@@ -424,10 +469,10 @@ def _noise_run_params(run, real_dtype):
     Pauli mixtures, (gamma, 0, 0) for amplitude damping."""
     import jax.numpy as jnp
 
-    spec = tuple((seg.kind, seg.qubit) for seg in run)
+    spec = tuple((seg.kind, seg.qubit, seg.qubit2) for seg in run)
     rows = []
     for seg in run:
-        if seg.kind == "amplitude_damping":
+        if seg.kind in ("amplitude_damping", "depolarizing2"):
             rows.append((seg.p, 0.0, 0.0))
         else:
             rows.append(_pauli_probs(seg.kind, seg.p))
@@ -436,11 +481,19 @@ def _noise_run_params(run, real_dtype):
 
 def _apply_noise(re, im, seg: Noise, n: int, s: int, u, real_dtype):
     """Dispatch one Noise event on a (possibly s=0) ensemble state."""
+    import jax
     import jax.numpy as jnp
 
     if seg.kind == "amplitude_damping":
         return _jitted(_damp_ensemble, "damp")(
             re, im, seg.qubit, n, s, jnp.asarray(seg.p, real_dtype), u)
+    if seg.kind == "depolarizing2":
+        w = _ENSEMBLE_JIT.get("pauli2")
+        if w is None:
+            w = jax.jit(_pauli2_ensemble, static_argnums=(2, 3, 4, 5))
+            _ENSEMBLE_JIT["pauli2"] = w
+        return w(re, im, seg.qubit, seg.qubit2, n, s,
+                 jnp.asarray(seg.p, real_dtype), u)
     probs = jnp.asarray(_pauli_probs(seg.kind, seg.p), real_dtype)
     return _jitted(_pauli_ensemble, "pauli")(
         re, im, seg.qubit, n, s, probs, u)
@@ -612,18 +665,27 @@ def with_noise(
     kind: str = "depolarizing",
     p1: float = 0.0,
     p2: float = 0.0,
+    correlated: bool = False,
 ) -> DynamicCircuit:
     """Lift a pure circuit into a DynamicCircuit with per-gate noise.
 
     After every 1-qubit gate a ``kind`` event with probability ``p1`` hits
-    its qubit; after every 2-qubit gate, ``p2`` hits BOTH participating
-    qubits (the standard independent-single-qubit-error gate-noise model).
+    its qubit; after every 2-qubit gate, either ``p2`` hits BOTH
+    participating qubits independently (the default
+    independent-single-qubit-error model) or — with ``correlated=True`` —
+    ONE correlated ``depolarizing2`` event hits the pair (uniform over the
+    15 non-identity Pauli pairs w.p. ``p2``).  Gates on 3+ qubits fall
+    back to independent per-qubit events in both modes.
     """
     dc = DynamicCircuit(circuit.num_qubits)
     for g in circuit.gates:
         dc.items.append(g)
         p = p2 if len(g.qubits) >= 2 else p1
-        if p > 0.0:
+        if p <= 0.0:
+            continue
+        if correlated and len(g.qubits) == 2:
+            dc.noise("depolarizing2", g.qubits[0], p, qubit2=g.qubits[1])
+        else:
             for q in g.qubits:
                 dc.noise(kind, q, p)
     return dc
@@ -639,6 +701,7 @@ def expectation_noisy(
     seed: int = 0,
     config: Optional[SimulatorConfig] = None,
     max_width: int = 28,
+    correlated: bool = False,
 ) -> float:
     """<H> = sum_k c_k <P_k> under a per-gate noise model, via trajectories.
 
@@ -671,7 +734,7 @@ def expectation_noisy(
             continue
         groups.setdefault(_basis(ops), []).append((float(coeff), ops))
 
-    noisy = with_noise(circuit, kind, p1, p2)
+    noisy = with_noise(circuit, kind, p1, p2, correlated=correlated)
     total = const
     for basis, members in groups.items():
         rotated_tail = _with_rotations(Circuit(n), basis)
@@ -701,6 +764,8 @@ def sample_noisy(
     p2: float = 0.0,
     seed: int = 0,
     config: Optional[SimulatorConfig] = None,
+    correlated: bool = False,
+    readout_error: float = 0.0,
 ) -> np.ndarray:
     """One measurement sample per noisy trajectory, fully device-resident.
 
@@ -708,8 +773,13 @@ def sample_noisy(
     every qubit (n fused collapse passes over the ensemble), yielding one
     basis-state index per shot — the noisy analog of ``Simulator.sample``.
     Only the (shots, n) outcome bits cross the device boundary.
+
+    ``readout_error``: classical symmetric readout noise — each reported
+    outcome bit flips independently with this probability (applied to the
+    1-bit outcomes on the host; the quantum state is untouched, matching
+    the standard measurement-assignment-error model).
     """
-    dc = with_noise(circuit, kind, p1, p2)
+    dc = with_noise(circuit, kind, p1, p2, correlated=correlated)
     n = circuit.num_qubits
     dc.num_clbits = n
     for q in range(n):
@@ -721,4 +791,9 @@ def sample_noisy(
         for q, bit in enumerate(r.clbits):
             idx |= bit << q
         out[k] = idx
+    if readout_error > 0.0:
+        rng = np.random.default_rng(np.uint64(seed) ^ np.uint64(0x9E3779B97F4A7C15))
+        flips = rng.random((len(out), n)) < readout_error
+        masks = flips @ (1 << np.arange(n, dtype=np.int64))
+        out ^= masks.astype(np.int64)
     return out

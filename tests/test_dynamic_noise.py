@@ -201,3 +201,87 @@ def test_expectation_noisy_zero_noise_exact():
     want = expectation_pauli_sum(c, terms)
     got = expectation_noisy(c, terms, shots=8, seed=0)
     assert got == pytest.approx(want, abs=1e-5)
+
+
+def test_depolarizing2_trajectory_matches_density():
+    """Correlated 2q depolarizing: trajectory-averaged populations converge
+    to the exact kraus_depolarizing2 channel action."""
+    n = 3
+    p = 0.5
+    pre = models.random_circuit(n, 20, seed=14)
+    post = models.random_circuit(n, 20, seed=15)
+    nc = NoisyCircuit(n, items=list(pre.gates))
+    nc.channel("depolarizing2", 0, 2, p=p)
+    nc.items.extend(post.gates)
+    want = DensitySimulator().run(nc).probabilities()
+
+    dc = DynamicCircuit(n)
+    dc.items.extend(pre.gates)
+    dc.noise("depolarizing2", 0, p, qubit2=2)
+    dc.items.extend(post.gates)
+    shots = 4096
+    acc = np.zeros(1 << n)
+    for r in run_dynamic_batched(dc, shots=shots, seed=21,
+                                 return_states=True):
+        acc += np.abs(r.state) ** 2
+    assert np.max(np.abs(acc / shots - want)) < 0.04
+
+
+def test_depolarizing2_differs_from_independent_pairs():
+    """The correlated channel is NOT the product of two independent 1q
+    depolarizings: on a Bell pair the correlated error keeps <ZZ>
+    correlations the independent model destroys faster."""
+    n = 2
+    p = 0.8
+    bell = models.bell()
+    # exact density: correlated vs independent
+    nc_corr = NoisyCircuit(n, items=list(bell.gates))
+    nc_corr.channel("depolarizing2", 0, 1, p=p)
+    nc_ind = NoisyCircuit(n, items=list(bell.gates))
+    nc_ind.channel("depolarizing", 0, p=p)
+    nc_ind.channel("depolarizing", 1, p=p)
+    pc = DensitySimulator().run(nc_corr).probabilities()
+    pi = DensitySimulator().run(nc_ind).probabilities()
+    assert np.max(np.abs(pc - pi)) > 0.02
+
+
+def test_with_noise_correlated_emits_pair_events():
+    from gpu_quantum_simulator_tpu.dynamic import with_noise
+
+    c = models.bell()  # h(0); cx(0, 1)
+    dc = with_noise(c, p1=0.01, p2=0.05, correlated=True)
+    pair = [i for i in dc.items if isinstance(i, Noise)
+            and i.kind == "depolarizing2"]
+    assert len(pair) == 1 and {pair[0].qubit, pair[0].qubit2} == {0, 1}
+    dc2 = with_noise(c, p1=0.01, p2=0.05)
+    kinds = [i.kind for i in dc2.items if isinstance(i, Noise)]
+    assert kinds.count("depolarizing") == 3  # 1q event + both cx qubits
+
+
+def test_noise_validation_errors():
+    dc = DynamicCircuit(3)
+    with pytest.raises(ValueError):
+        dc.noise("depolarizing2", 0, 0.1)              # missing qubit2
+    with pytest.raises(ValueError):
+        dc.noise("depolarizing", 0, 0.1, qubit2=1)     # qubit2 on 1q kind
+    with pytest.raises(ValueError):
+        dc.noise("depolarizing2", 1, 0.1, qubit2=1)    # identical qubits
+    with pytest.raises(ValueError):
+        dc.noise("depolarizing2", 0, 0.1, qubit2=7)    # out of range
+
+
+def test_readout_error_flips():
+    from gpu_quantum_simulator_tpu.dynamic import sample_noisy
+
+    c = models.Circuit(2) if hasattr(models, "Circuit") else None
+    from gpu_quantum_simulator_tpu.ir.circuit import Circuit
+
+    c = Circuit(2)
+    c.x(0)  # deterministic |01> -> index 1
+    base = sample_noisy(c, 64, seed=3)
+    assert set(base.tolist()) == {1}
+    flipped = sample_noisy(c, 64, seed=3, readout_error=1.0)
+    assert set(flipped.tolist()) == {2}  # both bits flip: 01 -> 10
+    stat = sample_noisy(c, 4096, seed=3, readout_error=0.25)
+    frac_changed = np.mean(stat != 1)
+    assert abs(frac_changed - (1 - 0.75 ** 2)) < 0.05
