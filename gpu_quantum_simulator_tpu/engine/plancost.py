@@ -97,3 +97,19 @@ def estimate_plan(plan, n: int, inplace: bool = False, stream: bool = False):
     total += nparts * DISPATCH_S
     acc["dispatch_parts"] = nparts
     return total, acc
+
+
+# v5e ICI: ~45 GB/s effective one-way per link (scaling-book class numbers;
+# a projection constant until a pod is available to measure).
+ICI_GBS = 45.0
+GSWAP_LAT_US = 25.0  # ppermute launch + barrier slack per exchange
+
+
+def estimate_plan_sharded(plan, n: int, d: int):
+    """(seconds, breakdown) for a mesh plan: local steps at nl = n - d per
+    chip (all chips in parallel) + gswap half-block ICI exchanges."""
+    nl = n - d
+    secs, acc = estimate_plan(plan, nl)
+    gswap_us = (1 << nl) * 4 / (ICI_GBS * 1e9) * 1e6 + GSWAP_LAT_US
+    acc["gswap"] = plan.num_gswaps * gswap_us * US
+    return secs + acc["gswap"], acc

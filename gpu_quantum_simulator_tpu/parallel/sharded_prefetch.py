@@ -39,6 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
+from ..engine import prefetch as PF
 from ..engine.prefetch import (
     CAP_MATS,
     CAP_STEPS,
@@ -180,9 +181,26 @@ class ShardedPrefetchProgram:
                 f"sharded prefetch needs >= {MIN_QUBITS} local qubits "
                 f"(n={n}, mesh=2^{d}); use the dense sharded engine")
         dt = np.dtype(real_dtype)
-        plan = plan_prefetch(
-            ops, n, cap_steps, cap_mats, final_layout=final_layout,
-            reorder=reorder, allow_relayout=True, num_global=d)
+        if reorder and n >= PF.PORTFOLIO_MIN_QUBITS and len(PF.PLAN_PORTFOLIO) > 1:
+            # lookahead-depth portfolio, priced with the ICI gswap term
+            # (engine/plancost.py) — mesh-bit exchanges dominate, so the
+            # cheapest plan is usually the one with the fewest gswaps
+            from ..engine import plancost
+
+            best = None
+            for waves in PF.PLAN_PORTFOLIO:
+                cand = plan_prefetch(
+                    ops, n, cap_steps, cap_mats, final_layout=final_layout,
+                    reorder=reorder, allow_relayout=True, num_global=d,
+                    lookahead_waves=waves)
+                secs, _ = plancost.estimate_plan_sharded(cand, n, d)
+                if best is None or secs < best[0]:
+                    best = (secs, cand)
+            plan = best[1]
+        else:
+            plan = plan_prefetch(
+                ops, n, cap_steps, cap_mats, final_layout=final_layout,
+                reorder=reorder, allow_relayout=True, num_global=d)
         self.num_qubits = n
         self.num_global = d
         self.mesh = mesh

@@ -97,20 +97,9 @@ def estimate(plan: P.PrefetchPlan, n: int, inplace: bool = False,
     return PC.estimate_plan(plan, n, inplace=inplace, stream=stream)
 
 
-# v5e ICI: ~45 GB/s effective one-way per link (scaling-book class numbers;
-# a projection constant until a pod is available to measure).
-ICI_GBS = 45.0
-GSWAP_LAT_US = 25.0  # ppermute launch + barrier slack per exchange
-
-
 def estimate_sharded(plan: P.PrefetchPlan, n: int, d: int):
-    """(seconds, breakdown) for a mesh plan: local steps at nl = n - d per
-    chip (all chips in parallel) + gswap half-block ICI exchanges."""
-    nl = n - d
-    secs, acc = estimate(plan, nl)
-    gswap_us = (1 << nl) * 4 / (ICI_GBS * 1e9) * 1e6 + GSWAP_LAT_US
-    acc["gswap"] = plan.num_gswaps * gswap_us * US
-    return secs + acc["gswap"], acc
+    """Delegates to plancost.estimate_plan_sharded (ICI gswap term)."""
+    return PC.estimate_plan_sharded(plan, n, d)
 
 
 def tune(ns):

@@ -172,3 +172,31 @@ def test_sharded_checkpoint_roundtrip(tmp_path):
     joint = Circuit(n, c1.gates + c2.gates)
     want = simulate_reference(joint)
     assert np.max(np.abs(resumed - want)) < TOL
+
+
+def test_sharded_portfolio_parity(monkeypatch):
+    """The lookahead-depth portfolio (priced with the ICI gswap term) must
+    keep amplitudes exact and pick plancost's minimum over the candidates."""
+    from gpu_quantum_simulator_tpu.engine import plancost
+    from gpu_quantum_simulator_tpu.engine import prefetch as PF
+
+    n = 12
+    c = models.grover_like(n, num_gates=250, seed=23)
+    mesh = make_mesh(None, ("amp",))
+    ops = _fuse_pipeline(c, 7, max_high=2, window=8)
+    d = 3
+    costs = []
+    for waves in PF.PLAN_PORTFOLIO:
+        plan = SP.plan_prefetch(ops, n, final_layout=np.arange(n),
+                                num_global=d, lookahead_waves=waves)
+        costs.append(plancost.estimate_plan_sharded(plan, n, d)[0])
+    monkeypatch.setattr(PF, "PORTFOLIO_MIN_QUBITS", n)
+    prog = SP.ShardedPrefetchProgram(ops, n, mesh, interpret=True,
+                                     final_layout=np.arange(n))
+    got_cost = plancost.estimate_plan_sharded(prog.plan, n, d)[0]
+    assert abs(got_cost - min(costs)) < 1e-12, (got_cost, costs)
+    re, im = prog.init_state()
+    re, im = prog(re, im)
+    got = np.asarray(re) + 1j * np.asarray(im)
+    want = simulate_reference(c)
+    assert np.max(np.abs(got - want)) < TOL
