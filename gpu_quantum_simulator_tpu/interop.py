@@ -19,10 +19,11 @@ from typing import List, Optional, Tuple
 from .ir.circuit import Circuit
 
 _DIRECT = {
-    "h", "x", "y", "z", "s", "sdg", "t", "tdg", "sx",
+    "h", "x", "y", "z", "s", "sdg", "t", "tdg", "sx", "sxdg",
     "rx", "ry", "rz", "p", "u",
 }
-_COMPOSITE = {"cz", "swap", "ccx", "ccz"}
+_COMPOSITE = {"cz", "swap", "ccx", "ccz", "cy", "ch", "cswap", "crz",
+              "cp", "cu1", "cu3", "crx", "cry", "rzz", "rxx", "u2"}
 _IGNORED = {"barrier", "delay", "id"}
 
 
@@ -96,7 +97,10 @@ def _emit_gate(out: Circuit, name: str, qubits, params) -> None:
     elif name in _COMPOSITE:
         from .ir.decompose import emit_composite
 
-        emit_composite(out, name, qubits)
+        try:
+            emit_composite(out, name, qubits, params)
+        except ValueError as exc:
+            raise _Unsupported(f"{name}: {exc}") from None
     elif name == "u3":
         out.append("u", *qubits, params=params)
     elif name == "u1":

@@ -106,6 +106,21 @@ class Circuit:
     def rz(self, theta: float, q: int):
         return self.append("rz", q, params=(theta,))
 
+    def rx(self, theta: float, q: int):
+        return self.append("rx", q, params=(theta,))
+
+    def ry(self, theta: float, q: int):
+        return self.append("ry", q, params=(theta,))
+
+    def p(self, theta: float, q: int):
+        return self.append("p", q, params=(theta,))
+
+    def y(self, q: int):
+        return self.append("y", q)
+
+    def u(self, theta: float, phi: float, lam: float, q: int):
+        return self.append("u", q, params=(theta, phi, lam))
+
     def cx(self, control: int, target: int):
         return self.append("cx", control, target)
 
@@ -180,8 +195,8 @@ class Circuit:
             f"qubit[{self.num_qubits}] q;",
         ]
         for g in self.gates:
-            if g.name == "rz":
-                head = f"rz({g.params[0]!r})"
+            if g.params:
+                head = f"{g.name}({', '.join(repr(p) for p in g.params)})"
             else:
                 head = g.name
             args = ", ".join(f"q[{q}]" for q in g.qubits)

@@ -31,7 +31,7 @@ import numpy as np
 # extensions (engines are matrix-driven, so they cost nothing).
 SINGLE_QUBIT_GATES = (
     "id", "x", "sx", "z", "s", "sdg", "t", "tdg", "rz", "h",
-    "y", "ry", "rx", "u", "p",
+    "y", "ry", "rx", "u", "p", "sxdg",
 )
 TWO_QUBIT_GATES = ("cx",)
 ALL_GATES = SINGLE_QUBIT_GATES + TWO_QUBIT_GATES
@@ -43,6 +43,9 @@ _FIXED: Dict[str, np.ndarray] = {
     "x": np.array([[0, 1], [1, 0]], dtype=np.complex128),
     "sx": np.array(
         [[0.5 + 0.5j, 0.5 - 0.5j], [0.5 - 0.5j, 0.5 + 0.5j]], dtype=np.complex128
+    ),
+    "sxdg": np.array(
+        [[0.5 - 0.5j, 0.5 + 0.5j], [0.5 + 0.5j, 0.5 - 0.5j]], dtype=np.complex128
     ),
     "z": np.array([[1, 0], [0, -1]], dtype=np.complex128),
     "s": np.array([[1, 0], [0, 1j]], dtype=np.complex128),

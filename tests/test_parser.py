@@ -196,3 +196,240 @@ class TestDynamicSubset:
         with pytest.raises(QasmError):
             parse_qasm_dynamic(
                 "qreg q[1]; creg c[2]; measure q[0] -> c[0]; if (c == 1) x q[0];")
+
+
+# --------------------------------------------------------- composite gates
+
+
+def _circuit_unitary(c):
+    """Dense unitary of a small circuit via the f64 reference engine."""
+    import numpy as np
+    from gpu_quantum_simulator_tpu.ref.cpu import simulate_reference
+
+    dim = 1 << c.num_qubits
+    cols = []
+    for j in range(dim):
+        e = np.zeros(dim, dtype=np.complex128)
+        e[j] = 1.0
+        cols.append(simulate_reference(c, initial=e))
+    return np.stack(cols, axis=1)
+
+
+def _ctrl(u, dim=4):
+    """Controlled-U with control = LOW qubit (bit 0), target = bit 1."""
+    import numpy as np
+
+    m = np.eye(dim, dtype=complex)
+    # basis |b1 b0>: control bit0==1 -> rows/cols 1 and 3
+    idx = [1, 3]
+    for i, a in enumerate(idx):
+        for j, b in enumerate(idx):
+            m[a, b] = u[i, j]
+    return m
+
+
+def test_composite_matrices_exact():
+    """Every parameterized composite lowers to the exact qelib1 matrix
+    (including global phase)."""
+    import numpy as np
+    from gpu_quantum_simulator_tpu.ir.circuit import Circuit
+    from gpu_quantum_simulator_tpu.ir.decompose import (
+        COMPOSITE_GATES, emit_composite)
+
+    th, ph, lam = 0.7, -1.1, 0.4
+    X = np.array([[0, 1], [1, 0]], dtype=complex)
+    Y = np.array([[0, -1j], [1j, 0]], dtype=complex)
+    H = np.array([[1, 1], [1, -1]], dtype=complex) / np.sqrt(2)
+    RZ = np.diag([np.exp(-0.5j * lam), np.exp(0.5j * lam)])
+    RX = np.array([[np.cos(lam / 2), -1j * np.sin(lam / 2)],
+                   [-1j * np.sin(lam / 2), np.cos(lam / 2)]])
+    RY = np.array([[np.cos(lam / 2), -np.sin(lam / 2)],
+                   [np.sin(lam / 2), np.cos(lam / 2)]])
+    U3 = np.array([[np.cos(th / 2), -np.exp(1j * lam) * np.sin(th / 2)],
+                   [np.exp(1j * ph) * np.sin(th / 2),
+                    np.exp(1j * (ph + lam)) * np.cos(th / 2)]])
+    U2 = np.array([[1, -np.exp(1j * lam)],
+                   [np.exp(1j * ph), np.exp(1j * (ph + lam))]]) / np.sqrt(2)
+    P = np.diag([1, np.exp(1j * lam)])
+
+    want = {
+        ("cy", ()): _ctrl(Y),
+        ("ch", ()): _ctrl(H),
+        ("crz", (lam,)): _ctrl(RZ),
+        ("crx", (lam,)): _ctrl(RX),
+        ("cry", (lam,)): _ctrl(RY),
+        ("cp", (lam,)): _ctrl(P),
+        ("cu1", (lam,)): _ctrl(P),
+        ("cu3", (th, ph, lam)): _ctrl(U3),
+        # qelib1 rzz: phase e^{i theta} on odd-parity states
+        ("rzz", (lam,)): np.diag([1, np.exp(1j * lam), np.exp(1j * lam), 1]),
+        ("u1", (lam,)): P,
+        ("u2", (ph, lam)): U2,
+        ("u3", (th, ph, lam)): U3,
+    }
+    # rxx: exp(-i theta/2 XX) up to qelib1's global-phase choice — compare
+    # against the explicitly computed qelib1 body product instead
+    for (name, params), m in want.items():
+        arity = COMPOSITE_GATES[name][0]
+        c = Circuit(arity)
+        emit_composite(c, name, tuple(range(arity)), params)
+        got = _circuit_unitary(c)
+        assert np.max(np.abs(got - m)) < 1e-12, name
+
+    # rxx must equal exp(-i theta/2 X(x)X) up to a global phase, and be
+    # deterministic in that phase (pin it by one matrix element)
+    c = Circuit(2)
+    emit_composite(c, "rxx", (0, 1), (lam,))
+    got = _circuit_unitary(c)
+    XX = np.kron(X, X)
+    ideal = (np.cos(lam / 2) * np.eye(4) - 1j * np.sin(lam / 2) * XX)
+    phase = got[0, 0] / ideal[0, 0]
+    assert abs(abs(phase) - 1) < 1e-12
+    assert np.max(np.abs(got - phase * ideal)) < 1e-12
+
+    # cswap = Fredkin (control = qubit 0)
+    c = Circuit(3)
+    emit_composite(c, "cswap", (0, 1, 2), ())
+    got = _circuit_unitary(c)
+    m = np.eye(8, dtype=complex)
+    # control bit0=1: swap bits 1 and 2 -> exchange |011> <-> |101> (3 <-> 5)
+    m[3, 3] = m[5, 5] = 0
+    m[3, 5] = m[5, 3] = 1
+    assert np.max(np.abs(got - m)) < 1e-12
+
+
+def test_parse_composite_with_params():
+    import numpy as np
+    from gpu_quantum_simulator_tpu.qasm.parser import parse_qasm
+    from gpu_quantum_simulator_tpu.ref.cpu import simulate_reference
+
+    src = """OPENQASM 2.0;
+include "qelib1.inc";
+qreg q[3];
+h q[0];
+crz(pi/3) q[0],q[1];
+cu1(0.25) q[1],q[2];
+rzz(pi/7) q[0],q[2];
+cy q[2],q[0];
+u2(0.1,0.2) q[1];
+"""
+    c = parse_qasm(src)
+    state = simulate_reference(c)
+    assert abs(np.linalg.norm(state) - 1) < 1e-12
+
+
+# ------------------------------------------------------ user gate definitions
+
+
+def test_user_gate_definition_expands():
+    import numpy as np
+    from gpu_quantum_simulator_tpu.qasm.parser import parse_qasm
+    from gpu_quantum_simulator_tpu.ref.cpu import simulate_reference
+    from gpu_quantum_simulator_tpu.ir.circuit import Circuit
+
+    src = """OPENQASM 2.0;
+gate majority a,b,c { cx c,b; cx c,a; ccx a,b,c; }
+gate phased(theta) a { h a; rz(theta/2) a; h a; }
+qreg q[3];
+x q[0];
+majority q[0],q[1],q[2];
+phased(pi/2) q[1];
+"""
+    c = parse_qasm(src)
+    want = Circuit(3)
+    want.x(0)
+    want.cx(2, 1)
+    want.cx(2, 0)
+    from gpu_quantum_simulator_tpu.ir.decompose import emit_composite
+    emit_composite(want, "ccx", (0, 1, 2))
+    want.h(1)
+    want.rz(np.pi / 4, 1)
+    want.h(1)
+    got = simulate_reference(c)
+    exp = simulate_reference(want)
+    assert np.max(np.abs(got - exp)) < 1e-12
+
+
+def test_user_gates_nest_and_shadow():
+    """Definitions may call earlier definitions; a user def of a builtin
+    name wins over the builtin."""
+    import numpy as np
+    from gpu_quantum_simulator_tpu.qasm.parser import parse_qasm
+    from gpu_quantum_simulator_tpu.ref.cpu import simulate_reference
+    from gpu_quantum_simulator_tpu.ir.circuit import Circuit
+
+    src = """OPENQASM 2.0;
+gate myu1(lambda) q { rz(lambda) q; }
+gate mycp(lambda) a,b { myu1(lambda/2) a; cx a,b; myu1(-lambda/2) b; cx a,b; myu1(lambda/2) b; }
+gate cz a,b { mycp(pi) a,b; }
+qreg q[2];
+h q[0]; h q[1];
+cz q[0],q[1];
+"""
+    c = parse_qasm(src)
+    want = Circuit(2)
+    want.h(0)
+    want.h(1)
+    want.rz(np.pi / 2, 0)
+    want.cx(0, 1)
+    want.rz(-np.pi / 2, 1)
+    want.cx(0, 1)
+    want.rz(np.pi / 2, 1)
+    assert np.max(np.abs(simulate_reference(c) - simulate_reference(want))) < 1e-12
+
+
+def test_inline_qelib1_style_defs():
+    """qelib1.inc-style bodies written in terms of U/CX parse and match the
+    native gates exactly."""
+    import numpy as np
+    from gpu_quantum_simulator_tpu.qasm.parser import parse_qasm
+    from gpu_quantum_simulator_tpu.ref.cpu import simulate_reference
+    from gpu_quantum_simulator_tpu.ir.circuit import Circuit
+
+    src = """OPENQASM 2.0;
+gate myu3(theta,phi,lambda) q { U(theta,phi,lambda) q; }
+gate myrx(theta) a { myu3(theta,-pi/2,pi/2) a; }
+gate mycnot c,t { CX c,t; }
+qreg q[2];
+myrx(0.37) q[0];
+mycnot q[0],q[1];
+"""
+    c = parse_qasm(src)
+    want = Circuit(2)
+    want.rx(0.37, 0)
+    want.cx(0, 1)
+    assert np.max(np.abs(simulate_reference(c) - simulate_reference(want))) < 1e-12
+
+
+def test_opaque_rejected_and_recursion_bounded():
+    import pytest
+    from gpu_quantum_simulator_tpu.qasm.parser import parse_qasm, QasmError
+
+    with pytest.raises(QasmError, match="opaque"):
+        parse_qasm('OPENQASM 2.0;\nopaque magic a,b;\nqreg q[2];\n')
+    src = """OPENQASM 2.0;
+gate loop a { loop a; }
+qreg q[1];
+loop q[0];
+"""
+    with pytest.raises(QasmError, match="deep"):
+        parse_qasm(src)
+
+
+def test_dynamic_parser_user_gates_and_if():
+    import numpy as np
+    from gpu_quantum_simulator_tpu.qasm.parser import parse_qasm_dynamic
+    from gpu_quantum_simulator_tpu.dynamic import CondGate
+
+    src = """OPENQASM 3.0;
+gate flip2 a,b { x a; x b; }
+qubit[3] q;
+bit[1] c;
+h q[0];
+c[0] = measure q[0];
+if (c[0] == 1) flip2 q[1],q[2];
+"""
+    dc = parse_qasm_dynamic(src)
+    conds = [i for i in dc.items if isinstance(i, CondGate)]
+    assert len(conds) == 2
+    assert {cg.gate.qubits[0] for cg in conds} == {1, 2}
