@@ -433,3 +433,61 @@ if (c[0] == 1) flip2 q[1],q[2];
     conds = [i for i in dc.items if isinstance(i, CondGate)]
     assert len(conds) == 2
     assert {cg.gate.qubits[0] for cg in conds} == {1, 2}
+
+
+def test_register_broadcast_gates():
+    import numpy as np
+    from gpu_quantum_simulator_tpu.qasm.parser import parse_qasm
+    from gpu_quantum_simulator_tpu.ref.cpu import simulate_reference
+    from gpu_quantum_simulator_tpu.ir.circuit import Circuit
+
+    src = "OPENQASM 2.0;\nqreg q[3];\nh q;\nrz(pi/8) q;\nx q[1];\n"
+    c = parse_qasm(src)
+    want = Circuit(3)
+    for k in range(3):
+        want.h(k)
+    for k in range(3):
+        want.rz(np.pi / 8, k)
+    want.x(1)
+    assert np.max(np.abs(simulate_reference(c) - simulate_reference(want))) < 1e-12
+
+
+def test_register_broadcast_user_gate():
+    import numpy as np
+    from gpu_quantum_simulator_tpu.qasm.parser import parse_qasm
+    from gpu_quantum_simulator_tpu.ref.cpu import simulate_reference
+    from gpu_quantum_simulator_tpu.ir.circuit import Circuit
+
+    src = """OPENQASM 2.0;
+gate hz a { h a; z a; }
+qreg q[2];
+hz q;
+"""
+    c = parse_qasm(src)
+    want = Circuit(2)
+    want.h(0)
+    want.z(0)
+    want.h(1)
+    want.z(1)
+    assert np.max(np.abs(simulate_reference(c) - simulate_reference(want))) < 1e-12
+
+
+def test_dynamic_broadcast_measure_reset():
+    from gpu_quantum_simulator_tpu.qasm.parser import parse_qasm_dynamic, QasmError
+    from gpu_quantum_simulator_tpu.dynamic import Measure, Reset
+    import pytest
+
+    src = "OPENQASM 3.0;\nqubit[3] q;\nbit[3] c;\nh q[0];\nc = measure q;\nreset q;\n"
+    dc = parse_qasm_dynamic(src)
+    ms = [i for i in dc.items if isinstance(i, Measure)]
+    rs = [i for i in dc.items if isinstance(i, Reset)]
+    assert [(m.qubit, m.clbit) for m in ms] == [(0, 0), (1, 1), (2, 2)]
+    assert [r.qubit for r in rs] == [0, 1, 2]
+    # QASM2 arrow dialect
+    src2 = "OPENQASM 2.0;\nqreg q[2];\ncreg c[2];\nmeasure q -> c;\n"
+    dc2 = parse_qasm_dynamic(src2)
+    assert sum(isinstance(i, Measure) for i in dc2.items) == 2
+    # classical register too small
+    with pytest.raises(QasmError, match="too small"):
+        parse_qasm_dynamic(
+            "OPENQASM 2.0;\nqreg q[3];\ncreg c[1];\nmeasure q -> c;\n")
