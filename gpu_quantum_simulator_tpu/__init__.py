@@ -34,7 +34,8 @@ from . import models
 from .dynamic import DynamicCircuit, run_dynamic, run_dynamic_batched
 from .density import DensitySimulator, NoisyCircuit
 from .gradients import parameter_shift
-from .observables import expectation_pauli, expectation_pauli_sum
+from .observables import (expectation_pauli, expectation_pauli_sum,
+                          overlap, state_fidelity)
 from .interop import from_qiskit
 from .sampling import (
     expectation_z,
@@ -69,5 +70,7 @@ __all__ = [
     "parameter_shift",
     "expectation_pauli",
     "expectation_pauli_sum",
+    "overlap",
+    "state_fidelity",
     "from_qiskit",
 ]

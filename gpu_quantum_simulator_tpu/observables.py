@@ -115,3 +115,45 @@ def expectation_pauli_sum(
         for coeff, ops in members:
             total += coeff * expectation_z(re, im, list(ops), n)
     return total
+
+
+def overlap(a, b, config: Optional[SimulatorConfig] = None) -> complex:
+    """<psi_a | psi_b> with both states device-resident.
+
+    ``a`` / ``b``: a Circuit (executed from |0...0>) or an explicit complex
+    state vector.  The inner product reduces on device — four dot products
+    on the split (re, im) pairs — so only one complex scalar crosses the
+    device boundary.  Both states must fit in HBM simultaneously (n <= 29
+    in float32 on one v5e chip)."""
+    import jax.numpy as jnp
+
+    from .engine.simulator import Simulator
+
+    cfg = config or SimulatorConfig()
+    sim = Simulator(cfg)
+
+    def parts(x):
+        if isinstance(x, Circuit):
+            re, im, _ = sim.run_device(x)
+            return re, im, x.num_qubits
+        arr = np.asarray(x)
+        n = int(arr.shape[0]).bit_length() - 1
+        if arr.shape[0] != 1 << n:
+            raise ValueError(f"state length {arr.shape[0]} is not a power of 2")
+        dt = jnp.float64 if cfg.dtype == "complex128" else jnp.float32
+        return (jnp.asarray(arr.real, dt), jnp.asarray(arr.imag, dt), n)
+
+    ra, ia, na = parts(a)
+    rb, ib, nb = parts(b)
+    if na != nb:
+        raise ValueError(f"state widths differ: {na} vs {nb} qubits")
+    # conj(a) . b = (ra - i ia) . (rb + i ib)
+    real = jnp.vdot(ra, rb) + jnp.vdot(ia, ib)
+    imag = jnp.vdot(ra, ib) - jnp.vdot(ia, rb)
+    return complex(float(real), float(imag))
+
+
+def state_fidelity(a, b, config: Optional[SimulatorConfig] = None) -> float:
+    """|<psi_a | psi_b>|^2 (pure-state fidelity), device-side reduction."""
+    v = overlap(a, b, config)
+    return v.real * v.real + v.imag * v.imag

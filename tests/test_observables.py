@@ -67,3 +67,25 @@ def test_bad_strings_rejected():
         expectation_pauli(c, "ZZ", SimulatorConfig(strategy="reference"))
     with pytest.raises(ValueError):
         expectation_pauli(c, "Q0", SimulatorConfig(strategy="reference"))
+
+
+def test_overlap_and_fidelity():
+    import numpy as np
+    import gpu_quantum_simulator_tpu as Q
+    from gpu_quantum_simulator_tpu import models
+    from gpu_quantum_simulator_tpu.ref.cpu import simulate_reference
+
+    c1 = models.random_circuit(5, 40, seed=3)
+    c2 = models.random_circuit(5, 40, seed=4)
+    want = complex(np.vdot(simulate_reference(c1), simulate_reference(c2)))
+    got = Q.overlap(c1, c2)
+    assert abs(got - want) < 1e-5
+    assert Q.state_fidelity(c1, c1) == pytest.approx(1.0, abs=1e-5)
+    # circuit vs explicit vector, and width mismatch error
+    v = simulate_reference(c2)
+    got2 = Q.overlap(c1, v)
+    assert abs(got2 - want) < 1e-5
+    with pytest.raises(ValueError):
+        Q.overlap(c1, models.ghz(4))
+    with pytest.raises(ValueError):
+        Q.overlap(c1, np.ones(5, dtype=complex))
