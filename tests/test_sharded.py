@@ -184,3 +184,17 @@ def test_run_device_iterated_sharded():
     merged = models.grover(n, marked=3, iterations=reps)
     want = REF.simulate_reference(merged)
     np.testing.assert_allclose(got, want, atol=TOL)
+
+
+def test_sharded_device_side_sampling_n23():
+    """n > 22 routes through sample_state_device on the MESH-SHARDED state:
+    the distribution/CDF reductions must compile over the virtual mesh
+    (collectives auto-inserted), never gathering the 2^23 state."""
+    import gpu_quantum_simulator_tpu as Q
+
+    n = 23
+    c = Q.models.grover_like(n, num_gates=30, seed=1)
+    sim = Q.Simulator(Q.SimulatorConfig(strategy="sharded", mesh_shape=(8,)))
+    s = sim.sample(c, 64, seed=0)
+    assert s.shape == (64,)
+    assert s.min() >= 0 and s.max() < (1 << n)
