@@ -20,6 +20,7 @@ state fetch per shot).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from functools import partial
 from typing import Iterable, List, Optional, Tuple, Union
 
 import numpy as np
@@ -71,7 +72,23 @@ class Noise:
 NOISE_KINDS = ("depolarizing", "dephasing", "bit_flip", "amplitude_damping",
                "depolarizing2")
 
-Item = Union[Gate, Measure, Reset, CondGate, Noise]
+
+@dataclass(frozen=True)
+class KrausNoise:
+    """Arbitrary quantum channel as a stochastic trajectory event.
+
+    Per shot, branch m is drawn with its Born weight ||K_m psi||^2 and the
+    state becomes K_m psi / ||K_m psi|| — the standard Monte-Carlo
+    unraveling, so trajectory averages reproduce the exact channel
+    (differential-tested against DensitySimulator on the same Kraus set).
+    Supports 1- and 2-qubit channels; matrices are in the little-endian
+    basis over the SORTED qubit tuple (the density.Channel convention)."""
+
+    kraus: Tuple[np.ndarray, ...]
+    qubits: Tuple[int, ...]
+
+
+Item = Union[Gate, Measure, Reset, CondGate, Noise, KrausNoise]
 
 
 @dataclass
@@ -185,6 +202,36 @@ class DynamicCircuit:
         self.items.append(Noise(kind, qubit, float(p)))
         return self
 
+    def noise_kraus(self, kraus, *qubits: int):
+        """Insert an arbitrary 1- or 2-qubit channel (see ``KrausNoise``).
+
+        ``kraus``: matrices over the given qubits, little-endian basis over
+        the sorted tuple; must satisfy sum K^dag K = I (trace preservation).
+        """
+        if not (1 <= len(qubits) <= 2):
+            raise ValueError("noise_kraus supports 1- or 2-qubit channels")
+        for q in qubits:
+            self._check_q(q)
+        if len(set(qubits)) != len(qubits):
+            raise ValueError("noise_kraus qubits must be distinct")
+        mats = [np.asarray(k, dtype=complex) for k in kraus]
+        dim = 1 << len(qubits)
+        for k in mats:
+            if k.shape != (dim, dim):
+                raise ValueError(
+                    f"Kraus operator shape {k.shape} != ({dim}, {dim})")
+        acc = sum(k.conj().T @ k for k in mats)
+        if not np.allclose(acc, np.eye(dim), atol=1e-9):
+            raise ValueError("Kraus operators do not satisfy sum K^dag K = I")
+        if len(qubits) == 2 and qubits[0] > qubits[1]:
+            from .ir.oplist import permute_basis
+
+            sq = (qubits[1], qubits[0])
+            mats = [permute_basis(k, list(qubits), list(sq)) for k in mats]
+            qubits = sq
+        self.items.append(KrausNoise(tuple(mats), tuple(qubits)))
+        return self
+
 
 @dataclass
 class TrajectoryResult:
@@ -287,6 +334,9 @@ def run_dynamic(
             elif isinstance(seg, Noise):
                 u = jnp.full((1,), rng.random(), real_dtype)
                 re, im = _apply_noise(re, im, seg, n, 0, u, real_dtype)
+            elif isinstance(seg, KrausNoise):
+                u = jnp.full((1,), rng.random(), real_dtype)
+                re, im = _apply_kraus(re, im, seg, n, 0, u, real_dtype)
             else:  # pragma: no cover
                 raise AssertionError(seg)
         state = None
@@ -433,6 +483,69 @@ def _damp_ensemble(re, im, q: int, n: int, s: int, gamma, u):
     out_re = jnp.where(jump, re_j, re_n)
     out_im = jnp.where(jump, im_j, im_n)
     return out_re.reshape(-1), out_im.reshape(-1)
+
+
+def _kraus_ensemble(re, im, qs: tuple, n: int, s: int, kre, kim, u):
+    """Monte-Carlo unraveling of an arbitrary channel on an ensemble.
+
+    ``kre``/``kim``: (k, d, d) real/imag Kraus stacks, d = 2^len(qs) with
+    qs sorted ascending.  Per shot: p_m = ||K_m psi||^2 (trace preservation
+    makes them sum to 1), branch idx drawn from the cumulative weights of
+    one uniform, state replaced by K_idx psi / sqrt(p_idx)."""
+    import jax.numpy as jnp
+
+    S = 1 << s
+    k = kre.shape[0]
+    if len(qs) == 1:
+        q = qs[0]
+        shape = (S, 1 << (n - 1 - q), 2, 1 << q)
+        spec = "mij,shjl->mshil"
+        kr, ki = kre, kim
+    else:
+        qa, qb = qs
+        shape = (S, 1 << (n - 1 - qb), 2, 1 << (qb - qa - 1), 2, 1 << qa)
+        # matrix index r = 2*bit(qb) + bit(qa): axis 2 is qb, axis 4 is qa
+        spec = "mbaBA,shBwAl->mshbwal"
+        kr = kre.reshape(k, 2, 2, 2, 2)
+        ki = kim.reshape(k, 2, 2, 2, 2)
+    x_re = re.reshape(shape)
+    x_im = im.reshape(shape)
+    ein = lambda m, x: jnp.einsum(spec, m, x)
+    ys_re = ein(kr, x_re) - ein(ki, x_im)     # (k, S, ...)
+    ys_im = ein(kr, x_im) + ein(ki, x_re)
+    red = tuple(range(2, ys_re.ndim))
+    p = jnp.sum(ys_re * ys_re + ys_im * ys_im, axis=red)   # (k, S)
+    cum = jnp.cumsum(p, axis=0)
+    idx = jnp.sum(u[None, :] >= cum, axis=0)               # (S,) in 0..k-1
+    idx = jnp.minimum(idx, k - 1)
+    sel = (jnp.arange(k)[:, None] == idx[None, :])         # (k, S)
+    norm = jnp.sum(jnp.where(sel, p, 0.0), axis=0)         # (S,)
+    selx = sel.reshape((k, S) + (1,) * (ys_re.ndim - 2)).astype(re.dtype)
+    out_re = jnp.sum(ys_re * selx, axis=0)
+    out_im = jnp.sum(ys_im * selx, axis=0)
+    inv = (1.0 / jnp.sqrt(jnp.maximum(norm, 1e-30))).reshape(
+        (S,) + (1,) * (out_re.ndim - 1))
+    return (out_re * inv).reshape(-1), (out_im * inv).reshape(-1)
+
+
+_KRAUS_JIT: dict = {}
+
+
+def _apply_kraus(re, im, seg: KrausNoise, n: int, s: int, u, real_dtype):
+    """Dispatch one KrausNoise event on a (possibly s=0) ensemble state."""
+    import jax
+    import jax.numpy as jnp
+
+    k = len(seg.kraus)
+    key = (seg.qubits, n, s, k, np.dtype(real_dtype).str)
+    fn = _KRAUS_JIT.get(key)
+    if fn is None:
+        fn = jax.jit(partial(_kraus_ensemble, qs=seg.qubits, n=n, s=s))
+        _KRAUS_JIT[key] = fn
+    stack = np.stack(seg.kraus)
+    kre = jnp.asarray(stack.real, real_dtype)
+    kim = jnp.asarray(stack.imag, real_dtype)
+    return fn(re, im, kre=kre, kim=kim, u=u)
 
 
 _NOISE_RUN_JIT: dict = {}
@@ -654,6 +767,11 @@ def _run_ensemble(dc: DynamicCircuit, sim, s: int, seed: int):
             M = 1 << n
             re = jnp.where(hit, cre.reshape(S, M), re.reshape(S, M)).reshape(-1)
             im = jnp.where(hit, cim.reshape(S, M), im.reshape(S, M)).reshape(-1)
+        elif isinstance(seg, KrausNoise):
+            u = jax.random.uniform(jax.random.fold_in(key, event), (S,),
+                                   dtype=real_dtype)
+            event += 1
+            re, im = _apply_kraus(re, im, seg, n, s, u, real_dtype)
         else:  # pragma: no cover
             raise AssertionError(seg)
 

@@ -285,3 +285,93 @@ def test_readout_error_flips():
     stat = sample_noisy(c, 4096, seed=3, readout_error=0.25)
     frac_changed = np.mean(stat != 1)
     assert abs(frac_changed - (1 - 0.75 ** 2)) < 0.05
+
+
+def _random_kraus(dim, k, seed):
+    """k Kraus operators of size dim via a random isometry (QR columns)."""
+    rng = np.random.default_rng(seed)
+    a = rng.normal(size=(k * dim, dim)) + 1j * rng.normal(size=(k * dim, dim))
+    q, _ = np.linalg.qr(a)      # (k*dim, dim), orthonormal columns
+    return [q[m * dim:(m + 1) * dim, :] for m in range(k)]
+
+
+def test_kraus_trajectory_matches_density_1q():
+    n = 3
+    ks = _random_kraus(2, 3, seed=7)
+    pre = models.random_circuit(n, 15, seed=30)
+    post = models.random_circuit(n, 15, seed=31)
+    nc = NoisyCircuit(n, items=list(pre.gates))
+    nc.channel(ks, 1)
+    nc.items.extend(post.gates)
+    want = DensitySimulator().run(nc).probabilities()
+
+    dc = DynamicCircuit(n)
+    dc.items.extend(pre.gates)
+    dc.noise_kraus(ks, 1)
+    dc.items.extend(post.gates)
+    shots = 4096
+    acc = np.zeros(1 << n)
+    for r in run_dynamic_batched(dc, shots=shots, seed=41,
+                                 return_states=True):
+        acc += np.abs(r.state) ** 2
+    assert np.max(np.abs(acc / shots - want)) < 0.04
+
+
+def test_kraus_trajectory_matches_density_2q_unsorted():
+    n = 3
+    ks = _random_kraus(4, 2, seed=9)
+    pre = models.random_circuit(n, 15, seed=32)
+    nc = NoisyCircuit(n, items=list(pre.gates))
+    nc.channel(ks, 2, 0)        # unsorted qubit order
+    want = DensitySimulator().run(nc).probabilities()
+
+    dc = DynamicCircuit(n)
+    dc.items.extend(pre.gates)
+    dc.noise_kraus(ks, 2, 0)
+    shots = 8192
+    acc = np.zeros(1 << n)
+    for r in run_dynamic_batched(dc, shots=shots, seed=43,
+                                 return_states=True):
+        acc += np.abs(r.state) ** 2
+    assert np.max(np.abs(acc / shots - want)) < 0.04
+
+
+def test_kraus_unitary_channel_is_exact_per_shot():
+    """A single unitary Kraus op must act deterministically (weight 1)."""
+    from gpu_quantum_simulator_tpu.ir.gates import matrix_1q
+
+    dc = DynamicCircuit(2)
+    dc.h(0)
+    dc.noise_kraus([matrix_1q("h")], 1)
+    rs = run_dynamic_batched(dc, shots=4, seed=0, return_states=True)
+    want = np.zeros(4, complex)
+    want[:] = [0.5, 0.5, 0.5, 0.5]
+    for r in rs:
+        assert np.max(np.abs(r.state - want)) < 1e-6
+
+
+def test_kraus_per_shot_unbatched_path():
+    from gpu_quantum_simulator_tpu.dynamic import run_dynamic
+
+    ks = _random_kraus(2, 2, seed=3)
+    dc = DynamicCircuit(2)
+    dc.h(0).cx(0, 1)
+    dc.noise_kraus(ks, 0)
+    rs = run_dynamic(dc, shots=3, seed=5, return_states=True)
+    for r in rs:
+        assert abs(np.linalg.norm(r.state) - 1) < 1e-5
+
+
+def test_kraus_validation():
+    dc = DynamicCircuit(2)
+    with pytest.raises(ValueError):
+        dc.noise_kraus([np.eye(2) * 2], 0)          # not trace-preserving
+    with pytest.raises(ValueError):
+        dc.noise_kraus([np.eye(4)], 0)              # shape mismatch
+    with pytest.raises(ValueError):
+        dc.noise_kraus([np.eye(2)], 0, 0)           # duplicate qubits
+    with pytest.raises(ValueError):
+        dc.noise_kraus([np.eye(2)], 5)              # out of range
+    dc.noise_kraus([np.eye(2)], 1)                  # identity channel is fine
+    with pytest.raises(ValueError):
+        dc.to_qasm()                                # no QASM spelling
