@@ -33,7 +33,7 @@ from .config import SimulatorConfig
 from . import models
 from .dynamic import DynamicCircuit, run_dynamic, run_dynamic_batched
 from .density import DensitySimulator, NoisyCircuit
-from .gradients import parameter_shift
+from .gradients import adjoint_gradient, parameter_shift
 from .observables import (expectation_pauli, expectation_pauli_sum,
                           overlap, state_fidelity)
 from .interop import from_qiskit
@@ -67,6 +67,7 @@ __all__ = [
     "run_dynamic_batched",
     "DensitySimulator",
     "NoisyCircuit",
+    "adjoint_gradient",
     "parameter_shift",
     "expectation_pauli",
     "expectation_pauli_sum",

@@ -116,3 +116,122 @@ def parameter_shift_noisy(
         c, terms, shots=shots, kind=kind, p1=p1, p2=p2, seed=seed,
         config=config)
     return parameter_shift(circuit, (), config, gate_indices, fn)
+
+
+def adjoint_gradient(
+    circuit: Circuit,
+    terms=None,
+    z_qubits: Sequence[int] = (),
+    config: Optional[SimulatorConfig] = None,
+    gate_indices: Optional[Sequence[int]] = None,
+) -> Tuple[np.ndarray, List[int]]:
+    """(gradient array, gate indices) by ADJOINT differentiation.
+
+    One forward execution (any engine) + ONE backward sweep computes the
+    gradient of <H> w.r.t. EVERY rotation parameter simultaneously —
+    O(1) circuit-equivalents total vs parameter-shift's 2 per parameter.
+    The sweep walks the gate list in reverse, undoing each gate on both
+    the state and the adjoint vector lambda = H psi; a parameterized
+    gate's gradient is a sparse inner product between the two
+    (rz/p: masked product on the qubit's |1> half, dU = i P1 U;
+    rx/ry: a flip/Y product, dU = -(i/2) {X,Y} U).
+
+    ``terms``: Pauli-sum spec [(coeff, "Z0 Z1"), ...]; ``z_qubits`` is the
+    single-Z-string shorthand.  The backward program is one jitted
+    function per circuit (matrices baked as constants, megakernel-style)
+    — for recompile-free sweeps at fixed width use parameter_shift with
+    strategy='prefetch'; adjoint wins when parameters are many.
+    Needs psi and lambda resident together: n <= 28 on one v5e chip.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .engine.simulator import Simulator
+    from .ir.gates import matrix_1q
+    from .observables import _parse_pauli
+    from .ops.apply import apply_1q, apply_cnot
+
+    if terms is None:
+        terms = [(1.0, " ".join(f"Z{q}" for q in z_qubits))]
+    cfg = config or SimulatorConfig()
+    sim = Simulator(cfg)
+    n = circuit.num_qubits
+    idxs = (list(gate_indices) if gate_indices is not None
+            else parameterized_gates(circuit))
+    idx_set = set(idxs)
+    for i in idx_set:
+        if circuit.gates[i].name not in SHIFT_RULE_GATES:
+            raise ValueError(
+                f"gate {circuit.gates[i].name!r} has no adjoint rule")
+
+    re, im, _ = sim.run_device(circuit)
+    real_dtype = re.dtype
+
+    parsed = []
+    for coeff, pauli in terms:
+        parsed.append((float(coeff), _parse_pauli(pauli, n)))
+
+    def apply_pauli(re, im, ops):
+        """P|psi> for one Pauli string {qubit: 'X'|'Y'|'Z'}."""
+        for q, ax in ops.items():
+            hi, lo = 1 << (n - 1 - q), 1 << q
+            r = re.reshape(hi, 2, lo)
+            i = im.reshape(hi, 2, lo)
+            if ax == "X":
+                re, im = r[:, ::-1, :].reshape(-1), i[:, ::-1, :].reshape(-1)
+            elif ax == "Y":
+                # (Y v)_0 = -i v_1, (Y v)_1 = i v_0
+                re = jnp.stack([i[:, 1, :], -i[:, 0, :]], 1).reshape(-1)
+                im = jnp.stack([-r[:, 1, :], r[:, 0, :]], 1).reshape(-1)
+            else:
+                sign = jnp.array([1.0, -1.0], real_dtype).reshape(1, 2, 1)
+                re, im = (r * sign).reshape(-1), (i * sign).reshape(-1)
+        return re, im
+
+    def inner(lr, li, pr, pi):
+        """<lambda|psi> as (Re, Im)."""
+        return (jnp.vdot(lr, pr) + jnp.vdot(li, pi),
+                jnp.vdot(lr, pi) - jnp.vdot(li, pr))
+
+    gates = list(circuit.gates)
+
+    def backward(re, im):
+        lr = jnp.zeros_like(re)
+        li = jnp.zeros_like(im)
+        for coeff, ops in parsed:
+            tr, ti = apply_pauli(re, im, ops)
+            lr = lr + coeff * tr
+            li = li + coeff * ti
+        grads = {}
+        pr, pi = re, im
+        for k in range(len(gates) - 1, -1, -1):
+            g = gates[k]
+            if k in idx_set:
+                q = g.qubits[0]
+                hi, lo = 1 << (n - 1 - q), 1 << q
+                if g.name in ("rz", "p"):
+                    # -2 Im <lambda| P1 |psi_k>
+                    zr, zi = inner(lr.reshape(hi, 2, lo)[:, 1, :].ravel(),
+                                   li.reshape(hi, 2, lo)[:, 1, :].ravel(),
+                                   pr.reshape(hi, 2, lo)[:, 1, :].ravel(),
+                                   pi.reshape(hi, 2, lo)[:, 1, :].ravel())
+                    grads[k] = -2.0 * zi
+                else:
+                    ax = "X" if g.name == "rx" else "Y"
+                    xr, xi = apply_pauli(pr, pi, {q: ax})
+                    zr, zi = inner(lr, li, xr, xi)
+                    grads[k] = zi          # Im <lambda| {X,Y} |psi_k>
+            # undo gate k on both vectors
+            if g.name == "cx":
+                pr, pi = apply_cnot(pr, pi, g.qubits[0], g.qubits[1], n)
+                lr, li = apply_cnot(lr, li, g.qubits[0], g.qubits[1], n)
+            else:
+                u = matrix_1q(g.name, g.params).conj().T
+                ur = jnp.asarray(u.real, real_dtype)
+                ui = jnp.asarray(u.imag, real_dtype)
+                pr, pi = apply_1q(pr, pi, ur, ui, g.qubits[0], n)
+                lr, li = apply_1q(lr, li, ur, ui, g.qubits[0], n)
+        return jnp.stack([grads[i] for i in idxs]) if idxs else jnp.zeros(0)
+
+    grads = np.asarray(jax.jit(backward)(re, im), dtype=np.float64)
+    return grads, idxs

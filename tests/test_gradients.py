@@ -4,6 +4,7 @@ import numpy as np
 import pytest
 
 from gpu_quantum_simulator_tpu import gradients as GR
+from gpu_quantum_simulator_tpu import models
 from gpu_quantum_simulator_tpu.config import SimulatorConfig
 from gpu_quantum_simulator_tpu.ir.circuit import Circuit, Gate
 
@@ -99,3 +100,59 @@ def test_parameter_shift_noisy_depolarizing_shrinks_gradient():
     g1, _ = parameter_shift_noisy(c, [(1.0, "Z0")], shots=4096, p1=p, seed=1)
     scale = (1 - p) ** 3             # three 1q gates, channel after each
     np.testing.assert_allclose(g1, g0 * scale, atol=0.05)
+
+
+def test_adjoint_matches_parameter_shift_z_string():
+    from gpu_quantum_simulator_tpu.gradients import (
+        adjoint_gradient, parameter_shift)
+
+    c = models.random_circuit(5, 40, seed=11)
+    g_shift, idxs_s = parameter_shift(c, z_qubits=[0, 2])
+    g_adj, idxs_a = adjoint_gradient(c, z_qubits=[0, 2])
+    assert idxs_a == idxs_s
+    assert len(idxs_a) > 0
+    assert np.max(np.abs(g_adj - g_shift)) < 2e-5
+
+
+def test_adjoint_matches_parameter_shift_pauli_sum():
+    import gpu_quantum_simulator_tpu as Q
+    from gpu_quantum_simulator_tpu.gradients import adjoint_gradient
+    from gpu_quantum_simulator_tpu.gradients import parameter_shift
+
+    terms = [(0.7, "Z0 Z1"), (-0.3, "X0"), (0.2, "Y2 Z0"), (0.5, "IIII")]
+    c = models.random_circuit(4, 30, seed=13)
+    fn = lambda cc: Q.expectation_pauli_sum(cc, terms)
+    g_shift, idxs_s = parameter_shift(c, expectation_fn=fn)
+    g_adj, idxs_a = adjoint_gradient(c, terms=terms)
+    assert idxs_a == idxs_s
+    assert np.max(np.abs(g_adj - g_shift)) < 2e-5
+
+
+def test_adjoint_all_rotation_kinds():
+    """rx/ry/rz/p each get the right adjoint rule."""
+    from gpu_quantum_simulator_tpu.gradients import (
+        adjoint_gradient, parameter_shift)
+    from gpu_quantum_simulator_tpu.ir.circuit import Circuit
+
+    c = Circuit(2)
+    c.h(0)
+    c.rx(0.3, 0)
+    c.ry(-0.8, 1)
+    c.cx(0, 1)
+    c.rz(0.5, 1)
+    c.p(1.1, 0)
+    g_shift, _ = parameter_shift(c, z_qubits=[0, 1])
+    g_adj, idxs = adjoint_gradient(c, z_qubits=[0, 1])
+    assert len(idxs) == 4
+    assert np.max(np.abs(g_adj - g_shift)) < 2e-6
+
+
+def test_adjoint_rejects_unsupported_gate_index():
+    import pytest
+    from gpu_quantum_simulator_tpu.gradients import adjoint_gradient
+    from gpu_quantum_simulator_tpu.ir.circuit import Circuit
+
+    c = Circuit(1)
+    c.h(0)
+    with pytest.raises(ValueError):
+        adjoint_gradient(c, z_qubits=[0], gate_indices=[0])
