@@ -33,7 +33,8 @@ from .config import SimulatorConfig
 from . import models
 from .dynamic import DynamicCircuit, run_dynamic, run_dynamic_batched
 from .density import DensitySimulator, NoisyCircuit
-from .gradients import adjoint_gradient, parameter_shift
+from .gradients import (adjoint_gradient, make_adjoint_value_and_grad,
+                        parameter_shift)
 from .observables import (expectation_pauli, expectation_pauli_sum,
                           overlap, state_fidelity)
 from .interop import from_qiskit
@@ -68,6 +69,7 @@ __all__ = [
     "DensitySimulator",
     "NoisyCircuit",
     "adjoint_gradient",
+    "make_adjoint_value_and_grad",
     "parameter_shift",
     "expectation_pauli",
     "expectation_pauli_sum",

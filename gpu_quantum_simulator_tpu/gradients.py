@@ -235,3 +235,133 @@ def adjoint_gradient(
 
     grads = np.asarray(jax.jit(backward)(re, im), dtype=np.float64)
     return grads, idxs
+
+
+def make_adjoint_value_and_grad(
+    circuit: Circuit,
+    terms,
+    config: Optional[SimulatorConfig] = None,
+):
+    """Compile ONE jitted ``f(thetas) -> (<H>, grads)`` for optimizer loops.
+
+    The rotation parameters of ``circuit`` become a traced input vector
+    (order = the returned ``idxs``), so a VQE/QAOA optimizer iterates with
+    ZERO recompilation: forward applies every gate inside the jit
+    (parameterized matrices built from ``thetas`` with jnp ops, fixed
+    gates baked as constants), then the adjoint sweep of
+    ``adjoint_gradient`` runs in the same program.  Returns
+    ``(fn, idxs, theta0)`` with ``theta0`` = the circuit's current values.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .ir.gates import matrix_1q
+    from .observables import _parse_pauli
+    from .ops.apply import apply_1q, apply_cnot, initial_state_parts
+
+    cfg = config or SimulatorConfig()
+    real_dtype = jnp.float64 if cfg.dtype == "complex128" else jnp.float32
+    n = circuit.num_qubits
+    idxs = parameterized_gates(circuit)
+    pos_of = {g: j for j, g in enumerate(idxs)}
+    theta0 = np.array([circuit.gates[i].params[0] for i in idxs])
+    gates = list(circuit.gates)
+    parsed = [(float(c), _parse_pauli(p, n)) for c, p in terms]
+
+    def mat_1q(name, theta, dagger=False):
+        """(ur, ui) as jnp arrays; theta traced for the rotation family."""
+        s = -1.0 if dagger else 1.0
+        ct, st = jnp.cos(theta / 2), jnp.sin(theta / 2)
+        if name in ("rz", "p"):
+            c1, s1 = jnp.cos(theta), jnp.sin(theta)
+            ur = jnp.array([[1.0, 0.0], [0.0, 0.0]], real_dtype) \
+                + c1 * jnp.array([[0.0, 0.0], [0.0, 1.0]], real_dtype)
+            ui = s * s1 * jnp.array([[0.0, 0.0], [0.0, 1.0]], real_dtype)
+            return ur, ui
+        if name == "rx":
+            ur = ct * jnp.eye(2, dtype=real_dtype)
+            ui = -s * st * jnp.array([[0.0, 1.0], [1.0, 0.0]], real_dtype)
+            return ur, ui
+        if name == "ry":
+            ur = (ct * jnp.eye(2, dtype=real_dtype)
+                  + s * st * jnp.array([[0.0, -1.0], [1.0, 0.0]], real_dtype))
+            return ur, jnp.zeros((2, 2), real_dtype)
+        raise AssertionError(name)  # fixed gates take the constant path
+
+    def mat_fixed(g, dagger=False):
+        u = matrix_1q(g.name, g.params)
+        if dagger:
+            u = u.conj().T
+        return (jnp.asarray(u.real, real_dtype),
+                jnp.asarray(u.imag, real_dtype))
+
+    def apply_pauli(re, im, ops):
+        for q, ax in ops.items():
+            hi, lo = 1 << (n - 1 - q), 1 << q
+            r = re.reshape(hi, 2, lo)
+            i = im.reshape(hi, 2, lo)
+            if ax == "X":
+                re, im = r[:, ::-1, :].reshape(-1), i[:, ::-1, :].reshape(-1)
+            elif ax == "Y":
+                re = jnp.stack([i[:, 1, :], -i[:, 0, :]], 1).reshape(-1)
+                im = jnp.stack([-r[:, 1, :], r[:, 0, :]], 1).reshape(-1)
+            else:
+                sign = jnp.array([1.0, -1.0], real_dtype).reshape(1, 2, 1)
+                re, im = (r * sign).reshape(-1), (i * sign).reshape(-1)
+        return re, im
+
+    def inner(lr, li, pr, pi):
+        return (jnp.vdot(lr, pr) + jnp.vdot(li, pi),
+                jnp.vdot(lr, pi) - jnp.vdot(li, pr))
+
+    def fn(thetas):
+        thetas = jnp.asarray(thetas, real_dtype)
+        pr, pi = initial_state_parts(n, dtype=real_dtype)
+        for k, g in enumerate(gates):
+            if g.name == "cx":
+                pr, pi = apply_cnot(pr, pi, g.qubits[0], g.qubits[1], n)
+                continue
+            if k in pos_of:
+                ur, ui = mat_1q(g.name, thetas[pos_of[k]])
+            else:
+                ur, ui = mat_fixed(g)
+            pr, pi = apply_1q(pr, pi, ur, ui, g.qubits[0], n)
+        lr = jnp.zeros_like(pr)
+        li = jnp.zeros_like(pi)
+        for coeff, ops in parsed:
+            tr, ti = apply_pauli(pr, pi, ops)
+            lr = lr + coeff * tr
+            li = li + coeff * ti
+        energy, _ = inner(pr, pi, lr, li)
+        grads = {}
+        for k in range(len(gates) - 1, -1, -1):
+            g = gates[k]
+            if k in pos_of:
+                q = g.qubits[0]
+                hi, lo = 1 << (n - 1 - q), 1 << q
+                if g.name in ("rz", "p"):
+                    _, zi = inner(lr.reshape(hi, 2, lo)[:, 1, :].ravel(),
+                                  li.reshape(hi, 2, lo)[:, 1, :].ravel(),
+                                  pr.reshape(hi, 2, lo)[:, 1, :].ravel(),
+                                  pi.reshape(hi, 2, lo)[:, 1, :].ravel())
+                    grads[k] = -2.0 * zi
+                else:
+                    ax = "X" if g.name == "rx" else "Y"
+                    xr, xi = apply_pauli(pr, pi, {q: ax})
+                    _, zi = inner(lr, li, xr, xi)
+                    grads[k] = zi
+            if g.name == "cx":
+                pr, pi = apply_cnot(pr, pi, g.qubits[0], g.qubits[1], n)
+                lr, li = apply_cnot(lr, li, g.qubits[0], g.qubits[1], n)
+                continue
+            if k in pos_of:
+                ur, ui = mat_1q(g.name, thetas[pos_of[k]], dagger=True)
+            else:
+                ur, ui = mat_fixed(g, dagger=True)
+            pr, pi = apply_1q(pr, pi, ur, ui, g.qubits[0], n)
+            lr, li = apply_1q(lr, li, ur, ui, g.qubits[0], n)
+        gvec = (jnp.stack([grads[i] for i in idxs]) if idxs
+                else jnp.zeros(0, real_dtype))
+        return energy, gvec
+
+    return jax.jit(fn), idxs, theta0

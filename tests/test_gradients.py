@@ -156,3 +156,46 @@ def test_adjoint_rejects_unsupported_gate_index():
     c.h(0)
     with pytest.raises(ValueError):
         adjoint_gradient(c, z_qubits=[0], gate_indices=[0])
+
+
+def test_value_and_grad_matches_adjoint_and_iterates():
+    """make_adjoint_value_and_grad: same grads as adjoint_gradient, traced
+    params (no recompilation across theta values), and a short VQE descent
+    on a 4-qubit TFIM actually lowers the energy."""
+    from gpu_quantum_simulator_tpu.gradients import (
+        adjoint_gradient, make_adjoint_value_and_grad)
+
+    n = 4
+    terms = [(-1.0, f"Z{i} Z{(i + 1) % n}") for i in range(n - 1)]
+    terms += [(-0.7, f"X{i}") for i in range(n)]
+
+    # hardware-efficient ansatz: ry layer, cx chain, ry layer
+    c = Circuit(n)
+    rng = np.random.default_rng(5)
+    for q in range(n):
+        c.ry(rng.uniform(-0.4, 0.4), q)
+    for q in range(n - 1):
+        c.cx(q, q + 1)
+    for q in range(n):
+        c.ry(rng.uniform(-0.4, 0.4), q)
+    # include a fixed parameterized gate to hit the constant path
+    c.u(0.3, 0.1, -0.2, 0)
+
+    fn, idxs, theta0 = make_adjoint_value_and_grad(c, terms)
+    e0, g0 = fn(theta0)
+    g_ref, idxs_ref = adjoint_gradient(c, terms=terms)
+    assert idxs == idxs_ref
+    assert np.max(np.abs(np.asarray(g0) - g_ref)) < 2e-5
+
+    import optax
+
+    opt = optax.adam(0.1)
+    theta = np.asarray(theta0)
+    state = opt.init(theta)
+    energies = [float(e0)]
+    for _ in range(25):
+        e, g = fn(theta)
+        upd, state = opt.update(np.asarray(g), state)
+        theta = np.asarray(optax.apply_updates(theta, upd))
+        energies.append(float(e))
+    assert energies[-1] < energies[0] - 0.5, energies[::5]
