@@ -241,6 +241,7 @@ def make_adjoint_value_and_grad(
     circuit: Circuit,
     terms,
     config: Optional[SimulatorConfig] = None,
+    tie=None,
 ):
     """Compile ONE jitted ``f(thetas) -> (<H>, grads)`` for optimizer loops.
 
@@ -251,6 +252,16 @@ def make_adjoint_value_and_grad(
     gates baked as constants), then the adjoint sweep of
     ``adjoint_gradient`` runs in the same program.  Returns
     ``(fn, idxs, theta0)`` with ``theta0`` = the circuit's current values.
+
+    ``tie`` shares one traced parameter across many gates (the QAOA
+    pattern: every edge's rz carries the same gamma): a mapping
+    ``{gate_index: (slot, scale)}`` meaning gate k's angle is
+    ``scale * thetas[slot]``.  Gradients apply the chain rule — slot s
+    accumulates ``scale_k * dE/dangle_k`` over its gates — so one adjoint
+    sweep yields exact d<H>/dgamma_l, d<H>/dbeta_l for a p-layer QAOA.
+    With ``tie``, rotation gates NOT in the map stay constant, ``theta0``
+    is slot-indexed (read off the first gate carrying each slot), and the
+    returned ``idxs`` lists the tied gate indices.
     """
     import jax
     import jax.numpy as jnp
@@ -262,9 +273,33 @@ def make_adjoint_value_and_grad(
     cfg = config or SimulatorConfig()
     real_dtype = jnp.float64 if cfg.dtype == "complex128" else jnp.float32
     n = circuit.num_qubits
-    idxs = parameterized_gates(circuit)
-    pos_of = {g: j for j, g in enumerate(idxs)}
-    theta0 = np.array([circuit.gates[i].params[0] for i in idxs])
+    if tie is None:
+        idxs = parameterized_gates(circuit)
+        pos_of = {g: (j, 1.0) for j, g in enumerate(idxs)}
+        num_slots = len(idxs)
+        theta0 = np.array([circuit.gates[i].params[0] for i in idxs])
+    else:
+        pos_of = {}
+        for k, (slot, scale) in tie.items():
+            g = circuit.gates[k]
+            if g.name not in SHIFT_RULE_GATES or not g.params:
+                raise ValueError(
+                    f"tied gate {k} ({g.name!r}) has no adjoint rule")
+            if float(scale) == 0.0:
+                raise ValueError(f"tied gate {k} has zero scale")
+            pos_of[int(k)] = (int(slot), float(scale))
+        idxs = sorted(pos_of)
+        slots = {s for s, _ in pos_of.values()}
+        num_slots = 1 + max(slots) if slots else 0
+        if slots != set(range(num_slots)):
+            raise ValueError(f"tie slots {sorted(slots)} are not contiguous")
+        theta0 = np.zeros(num_slots)
+        seen = set()
+        for k in idxs:
+            s, sc = pos_of[k]
+            if s not in seen:
+                seen.add(s)
+                theta0[s] = circuit.gates[k].params[0] / sc
     gates = list(circuit.gates)
     parsed = [(float(c), _parse_pauli(p, n)) for c, p in terms]
 
@@ -322,7 +357,8 @@ def make_adjoint_value_and_grad(
                 pr, pi = apply_cnot(pr, pi, g.qubits[0], g.qubits[1], n)
                 continue
             if k in pos_of:
-                ur, ui = mat_1q(g.name, thetas[pos_of[k]])
+                s, sc = pos_of[k]
+                ur, ui = mat_1q(g.name, sc * thetas[s])
             else:
                 ur, ui = mat_fixed(g)
             pr, pi = apply_1q(pr, pi, ur, ui, g.qubits[0], n)
@@ -333,10 +369,11 @@ def make_adjoint_value_and_grad(
             lr = lr + coeff * tr
             li = li + coeff * ti
         energy, _ = inner(pr, pi, lr, li)
-        grads = {}
+        grads = [jnp.zeros((), real_dtype)] * num_slots
         for k in range(len(gates) - 1, -1, -1):
             g = gates[k]
             if k in pos_of:
+                s, sc = pos_of[k]
                 q = g.qubits[0]
                 hi, lo = 1 << (n - 1 - q), 1 << q
                 if g.name in ("rz", "p"):
@@ -344,23 +381,24 @@ def make_adjoint_value_and_grad(
                                   li.reshape(hi, 2, lo)[:, 1, :].ravel(),
                                   pr.reshape(hi, 2, lo)[:, 1, :].ravel(),
                                   pi.reshape(hi, 2, lo)[:, 1, :].ravel())
-                    grads[k] = -2.0 * zi
+                    grads[s] = grads[s] + sc * (-2.0 * zi)
                 else:
                     ax = "X" if g.name == "rx" else "Y"
                     xr, xi = apply_pauli(pr, pi, {q: ax})
                     _, zi = inner(lr, li, xr, xi)
-                    grads[k] = zi
+                    grads[s] = grads[s] + sc * zi
             if g.name == "cx":
                 pr, pi = apply_cnot(pr, pi, g.qubits[0], g.qubits[1], n)
                 lr, li = apply_cnot(lr, li, g.qubits[0], g.qubits[1], n)
                 continue
             if k in pos_of:
-                ur, ui = mat_1q(g.name, thetas[pos_of[k]], dagger=True)
+                s, sc = pos_of[k]
+                ur, ui = mat_1q(g.name, sc * thetas[s], dagger=True)
             else:
                 ur, ui = mat_fixed(g, dagger=True)
             pr, pi = apply_1q(pr, pi, ur, ui, g.qubits[0], n)
             lr, li = apply_1q(lr, li, ur, ui, g.qubits[0], n)
-        gvec = (jnp.stack([grads[i] for i in idxs]) if idxs
+        gvec = (jnp.stack(grads) if num_slots
                 else jnp.zeros(0, real_dtype))
         return energy, gvec
 

@@ -270,6 +270,41 @@ def qaoa_maxcut(
     return c
 
 
+def qaoa_maxcut_tied(
+    num_qubits: int,
+    edges: Optional[Sequence] = None,
+    gammas: Sequence[float] = (0.7,),
+    betas: Sequence[float] = (0.4,),
+):
+    """(circuit, tie, terms) for gradient-based QAOA MaxCut optimization.
+
+    Same circuit as :func:`qaoa_maxcut`, plus the parameter-tying map for
+    ``gradients.make_adjoint_value_and_grad``: slot l is gamma_l, slot
+    ``p + l`` is beta_l (p = number of layers).  Each edge's rz carries
+    angle ``-gamma_l`` (scale -1) and each mixer rz carries ``2 beta_l``
+    (scale 2), so one adjoint sweep returns exact d<C>/dgamma_l and
+    d<C>/dbeta_l; ``terms`` is the MaxCut cost from
+    :func:`maxcut_cost_terms`.
+    """
+    if len(gammas) != len(betas):
+        raise ValueError("gammas and betas must have equal length")
+    n = num_qubits
+    edges = list(edges) if edges is not None else ring_edges(n)
+    layers = len(gammas)
+    c = Circuit(n)
+    for q in range(n):
+        c.h(q)
+    tie = {}
+    for l, (gamma, beta) in enumerate(zip(gammas, betas)):
+        for a, b in edges:
+            _zz_interaction(c, -float(gamma), a, b)
+            tie[len(c.gates) - 2] = (l, -1.0)          # the rz inside cx-rz-cx
+        for q in range(n):
+            _rx_via_h(c, 2.0 * float(beta), q)
+            tie[len(c.gates) - 2] = (layers + l, 2.0)  # the rz inside h-rz-h
+    return c, tie, maxcut_cost_terms(n, edges)
+
+
 def maxcut_cost_terms(num_qubits: int, edges: Optional[Sequence] = None):
     """MaxCut cost C = sum_edges (1 - Z_a Z_b)/2 as (coeff, pauli) terms
     for ``observables.expectation_pauli_sum``."""
