@@ -20,6 +20,7 @@ Prints ONE JSON line.
 from __future__ import annotations
 
 import json
+import os
 import statistics
 import time
 
@@ -37,8 +38,11 @@ def main() -> None:
     circuit = models.grover_like(N_QUBITS, num_gates=NUM_GATES, seed=318)
     # prefetch: the recompile-free scan-chain engine (engine/prefetch.py) —
     # faster than mxu AND zero per-circuit compilation; the warm-up pays the
-    # one-time-per-(n, capacity) kernel compiles only on the first-ever run
-    sim = Simulator(SimulatorConfig(strategy="prefetch"))
+    # one-time-per-(n, capacity) kernel compiles only on the first-ever run.
+    # QSIM_BENCH_STRATEGY overrides for queued A/Bs (e.g. the VMEM-resident
+    # megakernel, whose warm-up pays a per-circuit compile instead).
+    strategy = os.environ.get("QSIM_BENCH_STRATEGY", "prefetch")
+    sim = Simulator(SimulatorConfig(strategy=strategy))
 
     sim.run_detailed(circuit)  # warm-up: compile
 

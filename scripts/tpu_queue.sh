@@ -64,6 +64,7 @@ run micro24s 3600 python scripts/kernel_microbench.py 24 64 stream
 # 4. flagship bench at n=18 (grid form, then streaming A/B)
 run bench 2400 python bench.py
 run bench_stream 2400 env QSIM_STREAM_PLAIN=1 python bench.py
+run bench_vmem 2400 env QSIM_BENCH_STRATEGY=vmem python bench.py
 
 # 5. in-place microbench pair (halves-native + streaming split A/B) —
 # cheap and decision-relevant, so it runs before the multi-hour stages
