@@ -201,3 +201,104 @@ def expectation_z(re, im, qubits, num_qubits: int) -> float:
     for q in qubits:
         zmask |= 1 << q
     return float(_expectation_z(re, im, zmask, num_qubits))
+
+
+def _parity_sign(bits, dtype):
+    """+1/-1 for even/odd popcount of each uint32 entry."""
+    par = bits
+    for shift in (16, 8, 4, 2, 1):
+        par = par ^ (par >> shift)
+    return 1.0 - 2.0 * (par & 1).astype(dtype)
+
+
+@partial(jax.jit, static_argnums=(4, 5))
+def _expectation_z_halves(re0, re1, im0, im1, zmask, num_qubits):
+    R2 = re0.shape[0]
+    dt = re0.dtype
+    # basis index = (row << 8) | c with c in [0,256); half h owns c's top bit
+    srow = _parity_sign(
+        jnp.arange(R2, dtype=jnp.uint32) & jnp.uint32(zmask >> 8), dt)
+    col = jnp.arange(128, dtype=jnp.uint32)
+    s0 = _parity_sign(col & jnp.uint32(zmask & 0xFF), dt)
+    s1 = _parity_sign((col | 128) & jnp.uint32(zmask & 0xFF), dt)
+    t0 = jnp.sum((re0 * re0 + im0 * im0) * s0[None, :], axis=1)
+    t1 = jnp.sum((re1 * re1 + im1 * im1) * s1[None, :], axis=1)
+    return jnp.sum(srow * (t0 + t1))
+
+
+def expectation_z_halves(re0, re1, im0, im1, qubits, num_qubits: int) -> float:
+    """<Z_{q1} Z_{q2} ...> of a column-half-split state (n >= 30 layout).
+
+    One device pass over the four (R/2, 128) buffers, no state transfer —
+    the split-state twin of :func:`expectation_z`.  For X/Y strings append
+    the basis rotations to the circuit before ``run_device_halves`` and
+    reduce the rotated state here.
+    """
+    zmask = 0
+    for q in qubits:
+        zmask |= 1 << q
+    return float(_expectation_z_halves(re0, re1, im0, im1, zmask, num_qubits))
+
+
+@partial(jax.jit, static_argnums=(4, 5))
+def _topk_halves(re0, re1, im0, im1, k, block_rows):
+    """Exact global top-k probabilities of a split state WITHOUT
+    materializing the 2^n vector: scan row blocks, keep a running top-k
+    (merge-and-reselect carry) — peak temp = one (block_rows, 256) tile."""
+    R2 = re0.shape[0]
+    nblk = R2 // block_rows
+
+    def blk(h, start):
+        rs = jax.lax.dynamic_slice_in_dim(h[0], start, block_rows, 0)
+        im_ = jax.lax.dynamic_slice_in_dim(h[1], start, block_rows, 0)
+        return rs * rs + im_ * im_
+
+    def step(carry, b):
+        vals, idx = carry
+        start = b * block_rows
+        p = jnp.concatenate(
+            [blk((re0, im0), start), blk((re1, im1), start)], axis=1)
+        # global index of tile entry (r, c): ((start + r) << 8) | col(c)
+        r = jnp.arange(block_rows, dtype=jnp.int64)[:, None]
+        c = jnp.arange(256, dtype=jnp.int64)[None, :]
+        gidx = ((start.astype(jnp.int64) + r) << 8) | c
+        bv, bi = jax.lax.top_k(p.reshape(-1), k)
+        cand_v = jnp.concatenate([vals, bv])
+        cand_i = jnp.concatenate([idx, gidx.reshape(-1)[bi]])
+        mv, mi = jax.lax.top_k(cand_v, k)
+        return (mv, cand_i[mi]), None
+
+    init = (jnp.full((k,), -1.0, re0.dtype), jnp.zeros((k,), jnp.int64))
+    (vals, idx), _ = jax.lax.scan(step, init,
+                                  jnp.arange(nblk, dtype=jnp.int32))
+    return vals, idx
+
+
+def top_amplitudes_halves(re0, re1, im0, im1, k: int = 8,
+                          block_rows: int = 4096):
+    """(indices, probabilities) of the k most probable basis states of a
+    split-half state — exact, device-side, <= one (block_rows, 256) tile
+    of transient memory (the flat :func:`top_amplitudes_device` would need
+    the 4.3 GB probability vector at n=30)."""
+    R2 = re0.shape[0]
+    block_rows = min(block_rows, R2)
+    while R2 % block_rows:
+        block_rows //= 2
+    vals, idx = _topk_halves(re0, re1, im0, im1, int(k), int(block_rows))
+    return np.asarray(idx), np.asarray(vals)
+
+
+def amplitudes_halves(re0, re1, im0, im1, indices):
+    """Complex amplitudes of selected basis indices from a split state.
+
+    Device-side gather of just len(indices) values — the parity-check
+    companion of the n >= 30 demos (no full-state transfer)."""
+    idx = np.asarray(indices, dtype=np.int64)
+    row = jnp.asarray(idx >> 8)
+    col = jnp.asarray(idx & 0xFF)
+    c_lo = jnp.minimum(col, 127)
+    c_hi = jnp.maximum(col, 128) - 128
+    lo = jnp.stack([re0[row, c_lo], im0[row, c_lo]], -1)
+    hi = jnp.stack([re1[row, c_hi], im1[row, c_hi]], -1)
+    out = np.asarray(jnp.where((col >= 128)[:, None], hi, lo))
+    return out[:, 0] + 1j * out[:, 1]

@@ -80,3 +80,42 @@ def test_simulator_run_device_roundtrip():
     got = np.asarray(re) + 1j * np.asarray(im)
     want = simulate_reference(c)
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_halves_observables_match_flat():
+    """expectation_z_halves / top_amplitudes_halves / amplitudes_halves on
+    the split-half (n>=30) layout agree with flat-state reductions."""
+    import jax.numpy as jnp
+
+    from gpu_quantum_simulator_tpu import models
+    from gpu_quantum_simulator_tpu.config import SimulatorConfig
+    from gpu_quantum_simulator_tpu.engine.simulator import Simulator
+    from gpu_quantum_simulator_tpu.sampling import (
+        amplitudes_halves, expectation_z, expectation_z_halves,
+        top_amplitudes_halves)
+
+    n = 11
+    c = models.grover_like(n, num_gates=250, seed=43)
+    sim = Simulator(SimulatorConfig(strategy="prefetch", prefetch_inplace=True))
+    parts, _ = sim.run_device_halves(c)
+
+    flat = Simulator(SimulatorConfig(strategy="prefetch")).run(c)
+    re = jnp.asarray(flat.real)
+    im = jnp.asarray(flat.imag)
+
+    for qubits in ([0], [7], [8], [3, 7, 10], list(range(n))):
+        ez_h = expectation_z_halves(*parts, qubits, n)
+        ez_f = expectation_z(re, im, qubits, n)
+        assert abs(ez_h - ez_f) < 1e-5, (qubits, ez_h, ez_f)
+
+    p = np.abs(flat) ** 2
+    k = 6
+    idx_h, p_h = top_amplitudes_halves(*parts, k=k, block_rows=2)
+    order = np.argsort(p)[::-1][:k]
+    assert np.allclose(np.sort(p_h), np.sort(p[order]), atol=1e-6)
+    # each reported index really carries its reported probability (ties at
+    # the rank-k boundary may swap equal-probability indices)
+    assert np.allclose(p[idx_h], p_h, atol=1e-6)
+
+    amps = amplitudes_halves(*parts, idx_h)
+    assert np.max(np.abs(amps - flat[idx_h])) < 2e-5
