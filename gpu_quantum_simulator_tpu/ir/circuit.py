@@ -88,6 +88,12 @@ class Circuit:
     def sx(self, q: int):
         return self.append("sx", q)
 
+    def sxdg(self, q: int):
+        return self.append("sxdg", q)
+
+    def id(self, q: int):
+        return self.append("id", q)
+
     def z(self, q: int):
         return self.append("z", q)
 
@@ -176,6 +182,48 @@ class Circuit:
             for q in g.qubits:
                 hist[q] += 1
         return hist
+
+    _DAGGER = {"s": "sdg", "sdg": "s", "t": "tdg", "tdg": "t",
+               "sx": "sxdg", "sxdg": "sx"}
+
+    def inverse(self) -> "Circuit":
+        """The exact unitary inverse: gates reversed, each daggered.
+
+        The gate set is dagger-closed (id/x/y/z/h/cx self-inverse;
+        s/t/sx pair with their dg forms; rotations negate; u(t,p,l)
+        dagger = u(-t,-l,-p)), so no decomposition or global-phase slip
+        is involved — running ``c`` then ``c.inverse()`` restores any
+        state exactly."""
+        out = Circuit(self.num_qubits)
+        for g in reversed(self.gates):
+            name, params = g.name, g.params
+            if name in ("rz", "rx", "ry", "p"):
+                params = (-params[0],)
+            elif name == "u":
+                t, p, l = params
+                params = (-t, -l, -p)
+            else:
+                name = self._DAGGER.get(name, name)
+            out.append(name, *g.qubits, params=params)
+        return out
+
+    def compose(self, other: "Circuit", qubits=None) -> "Circuit":
+        """Append ``other``'s gates, mapping its qubit k to ``qubits[k]``
+        (identity mapping by default).  Mutates and returns self."""
+        if qubits is None:
+            qubits = range(other.num_qubits)
+        qmap = [int(q) for q in qubits]
+        if len(qmap) != other.num_qubits:
+            raise ValueError(
+                f"need {other.num_qubits} target qubits, got {len(qmap)}")
+        for q in qmap:
+            if not 0 <= q < self.num_qubits:
+                raise ValueError(f"target qubit {q} out of range")
+        if len(set(qmap)) != len(qmap):
+            raise ValueError("target qubits must be distinct")
+        for g in other.gates:
+            self.append(g.name, *(qmap[q] for q in g.qubits), params=g.params)
+        return self
 
     def relabeled(self, perm: "np.ndarray") -> "Circuit":
         """Return a copy with qubit q relabeled to perm[q]."""

@@ -270,6 +270,35 @@ def qaoa_maxcut(
     return c
 
 
+def _controlled_p(c: Circuit, phi: float, ctrl: int, tgt: int) -> None:
+    """diag(1,1,1,e^{i phi}) from the gate set (qelib1 cu1 pattern)."""
+    c.p(phi / 2, ctrl)
+    c.cx(ctrl, tgt)
+    c.p(-phi / 2, tgt)
+    c.cx(ctrl, tgt)
+    c.p(phi / 2, tgt)
+
+
+def phase_estimation(num_eval_qubits: int, theta: float) -> Circuit:
+    """Quantum phase estimation of the eigenphase of p(theta) on |1>.
+
+    m = num_eval_qubits eval qubits (0..m-1) + the eigenstate qubit m.
+    Controlled-U^(2^k) is controlled-p(2^k theta) from eval qubit k, so
+    after the inverse QFT the eval register peaks at the little-endian
+    index a with theta ~ 2 pi a / 2^m (exact for dyadic theta).  Exercises
+    Circuit.inverse + compose on the QFT block.
+    """
+    m = num_eval_qubits
+    c = Circuit(m + 1)
+    c.x(m)
+    for k in range(m):
+        c.h(k)
+    for k in range(m):
+        _controlled_p(c, (1 << k) * float(theta), k, m)
+    c.compose(qft(m).inverse(), qubits=range(m))
+    return c
+
+
 def qaoa_maxcut_tied(
     num_qubits: int,
     edges: Optional[Sequence] = None,

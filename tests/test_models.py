@@ -62,3 +62,60 @@ def test_grover_like_profile():
 def test_ghz_and_qft_sizes():
     assert len(models.ghz(7)) == 7
     assert models.qft(5).num_qubits == 5
+
+
+def test_circuit_inverse_exact():
+    """c.inverse() is the exact unitary inverse (global phase included):
+    running c then c.inverse() restores |0...0> across the full gate set."""
+    c = Circuit(4)
+    c.h(0).sx(1).t(2).s(3).x(0).y(1).z(2).sdg(3).tdg(0).sxdg(1)
+    c.rz(0.3, 0).rx(-0.7, 1).ry(1.1, 2).p(0.9, 3)
+    c.u(0.4, 0.2, -0.5, 0)
+    c.cx(0, 2).cx(3, 1)
+    both = Circuit(4, list(c.gates))
+    both.gates.extend(c.inverse().gates)
+    v = simulate_reference(both)
+    want = np.zeros(16, dtype=complex)
+    want[0] = 1.0
+    assert np.max(np.abs(v - want)) < 1e-12
+
+
+def test_circuit_compose_mapping_and_errors():
+    import pytest
+
+    inner = Circuit(2)
+    inner.h(0).cx(0, 1)
+    outer = Circuit(4)
+    outer.compose(inner, qubits=[3, 1])
+    assert [(g.name, g.qubits) for g in outer.gates] == [
+        ("h", (3,)), ("cx", (3, 1))]
+    with pytest.raises(ValueError):
+        Circuit(4).compose(inner, qubits=[0])        # wrong arity
+    with pytest.raises(ValueError):
+        Circuit(4).compose(inner, qubits=[0, 4])     # out of range
+    with pytest.raises(ValueError):
+        Circuit(4).compose(inner, qubits=[2, 2])     # duplicate
+
+
+def test_phase_estimation_exact_and_concentrated():
+    """QPE peaks EXACTLY (p=1) at the dyadic eigenphase index and
+    concentrates >40% on the two neighbors for a non-dyadic phase."""
+    import math
+
+    from gpu_quantum_simulator_tpu.config import SimulatorConfig
+    from gpu_quantum_simulator_tpu.engine.simulator import Simulator
+
+    sim = Simulator(SimulatorConfig(strategy="mxu"))
+    m = 4
+    for a in (0, 3, 11, 15):
+        c = models.phase_estimation(m, 2 * math.pi * a / (1 << m))
+        p = np.abs(sim.run(c)) ** 2
+        peak = int(np.argmax(p))
+        assert peak & ((1 << m) - 1) == a
+        assert peak >> m == 1                 # eigenstate qubit stayed |1>
+        assert p[peak] > 1 - 1e-6
+
+    theta = 2 * math.pi * 0.3        # between 4/16 and 5/16
+    p = np.abs(sim.run(models.phase_estimation(m, theta))) ** 2
+    mass = p[(1 << m) | 4] + p[(1 << m) | 5]
+    assert mass > 0.8
