@@ -148,7 +148,7 @@ def adjoint_gradient(
 
     from .engine.simulator import Simulator
     from .ir.gates import matrix_1q
-    from .observables import _parse_pauli
+    from .observables import _parse_pauli, apply_pauli_parts, inner_parts
     from .ops.apply import apply_1q, apply_cnot
 
     if terms is None:
@@ -172,26 +172,9 @@ def adjoint_gradient(
         parsed.append((float(coeff), _parse_pauli(pauli, n)))
 
     def apply_pauli(re, im, ops):
-        """P|psi> for one Pauli string {qubit: 'X'|'Y'|'Z'}."""
-        for q, ax in ops.items():
-            hi, lo = 1 << (n - 1 - q), 1 << q
-            r = re.reshape(hi, 2, lo)
-            i = im.reshape(hi, 2, lo)
-            if ax == "X":
-                re, im = r[:, ::-1, :].reshape(-1), i[:, ::-1, :].reshape(-1)
-            elif ax == "Y":
-                # (Y v)_0 = -i v_1, (Y v)_1 = i v_0
-                re = jnp.stack([i[:, 1, :], -i[:, 0, :]], 1).reshape(-1)
-                im = jnp.stack([-r[:, 1, :], r[:, 0, :]], 1).reshape(-1)
-            else:
-                sign = jnp.array([1.0, -1.0], real_dtype).reshape(1, 2, 1)
-                re, im = (r * sign).reshape(-1), (i * sign).reshape(-1)
-        return re, im
+        return apply_pauli_parts(re, im, ops, n)
 
-    def inner(lr, li, pr, pi):
-        """<lambda|psi> as (Re, Im)."""
-        return (jnp.vdot(lr, pr) + jnp.vdot(li, pi),
-                jnp.vdot(lr, pi) - jnp.vdot(li, pr))
+    inner = inner_parts
 
     gates = list(circuit.gates)
 
@@ -267,7 +250,7 @@ def make_adjoint_value_and_grad(
     import jax.numpy as jnp
 
     from .ir.gates import matrix_1q
-    from .observables import _parse_pauli
+    from .observables import _parse_pauli, apply_pauli_parts, inner_parts
     from .ops.apply import apply_1q, apply_cnot, initial_state_parts
 
     cfg = config or SimulatorConfig()
@@ -331,23 +314,9 @@ def make_adjoint_value_and_grad(
                 jnp.asarray(u.imag, real_dtype))
 
     def apply_pauli(re, im, ops):
-        for q, ax in ops.items():
-            hi, lo = 1 << (n - 1 - q), 1 << q
-            r = re.reshape(hi, 2, lo)
-            i = im.reshape(hi, 2, lo)
-            if ax == "X":
-                re, im = r[:, ::-1, :].reshape(-1), i[:, ::-1, :].reshape(-1)
-            elif ax == "Y":
-                re = jnp.stack([i[:, 1, :], -i[:, 0, :]], 1).reshape(-1)
-                im = jnp.stack([-r[:, 1, :], r[:, 0, :]], 1).reshape(-1)
-            else:
-                sign = jnp.array([1.0, -1.0], real_dtype).reshape(1, 2, 1)
-                re, im = (r * sign).reshape(-1), (i * sign).reshape(-1)
-        return re, im
+        return apply_pauli_parts(re, im, ops, n)
 
-    def inner(lr, li, pr, pi):
-        return (jnp.vdot(lr, pr) + jnp.vdot(li, pi),
-                jnp.vdot(lr, pi) - jnp.vdot(li, pr))
+    inner = inner_parts
 
     def fn(thetas):
         thetas = jnp.asarray(thetas, real_dtype)

@@ -63,6 +63,39 @@ def _with_rotations(circuit: Circuit, basis) -> Circuit:
     return c
 
 
+def apply_pauli_parts(re, im, ops: Dict[int, str], num_qubits: int):
+    """P|psi> for one Pauli string on a split (re, im) device state.
+
+    Traced helper shared by the state-method expectation evaluator and
+    the adjoint gradient engines (X = pair flip, Y = flip with the i
+    factor rotated into the parts, Z = sign mask)."""
+    import jax.numpy as jnp
+
+    n = num_qubits
+    for q, ax in ops.items():
+        hi, lo = 1 << (n - 1 - q), 1 << q
+        r = re.reshape(hi, 2, lo)
+        i = im.reshape(hi, 2, lo)
+        if ax == "X":
+            re, im = r[:, ::-1, :].reshape(-1), i[:, ::-1, :].reshape(-1)
+        elif ax == "Y":
+            # (Y v)_0 = -i v_1, (Y v)_1 = i v_0
+            re = jnp.stack([i[:, 1, :], -i[:, 0, :]], 1).reshape(-1)
+            im = jnp.stack([-r[:, 1, :], r[:, 0, :]], 1).reshape(-1)
+        else:
+            sign = jnp.array([1.0, -1.0], re.dtype).reshape(1, 2, 1)
+            re, im = (r * sign).reshape(-1), (i * sign).reshape(-1)
+    return re, im
+
+
+def inner_parts(lr, li, pr, pi):
+    """<lambda|psi> of two split states as (Re, Im) scalars."""
+    import jax.numpy as jnp
+
+    return (jnp.vdot(lr, pr) + jnp.vdot(li, pi),
+            jnp.vdot(lr, pi) - jnp.vdot(li, pr))
+
+
 def expectation_pauli(
     circuit: Circuit,
     pauli: str,
@@ -76,11 +109,18 @@ def expectation_pauli_sum(
     circuit: Circuit,
     terms: Sequence[Tuple[float, str]],
     config: Optional[SimulatorConfig] = None,
+    method: str = "auto",
 ) -> float:
-    """<H> for H = sum_k c_k P_k, grouped by measurement basis.
+    """<H> for H = sum_k c_k P_k.
 
-    One circuit execution per DISTINCT basis (set of non-Z factors); all
-    Z-string reductions for that basis run on the same device state.
+    ``method="basis"``: one circuit execution per DISTINCT measurement
+    basis (set of non-Z factors); all Z-string reductions for a basis run
+    on the same device state.  ``method="state"``: ONE execution total —
+    every term evaluates as a device-side <psi|P|psi> pass on the final
+    state (needs a second state resident, n <= 28; wins whenever the
+    circuit is deeper than one state pass per extra basis, i.e. almost
+    always).  ``"auto"`` picks "state" when several bases exist and the
+    width allows it.
     """
     from .engine.simulator import Simulator
     from .sampling import expectation_z
@@ -97,6 +137,31 @@ def expectation_pauli_sum(
             const += coeff          # identity term
             continue
         groups.setdefault(_basis(ops), []).append((float(coeff), ops))
+
+    if method not in ("auto", "basis", "state"):
+        raise ValueError(f"unknown method {method!r}")
+    if method == "auto":
+        method = ("state" if len(groups) > 1 and n <= 28
+                  and cfg.strategy != "reference" else "basis")
+    if method == "state":
+        if cfg.strategy == "reference":
+            raise ValueError("method='state' needs a device engine")
+        import jax
+
+        re, im, _ = sim.run_device(circuit)
+        parsed = [(coeff, ops)
+                  for members in groups.values() for coeff, ops in members]
+
+        def eval_terms(re, im):
+            import jax.numpy as jnp
+
+            total = jnp.zeros((), re.dtype)
+            for coeff, ops in parsed:
+                tr, ti = apply_pauli_parts(re, im, ops, n)
+                total = total + coeff * (jnp.vdot(re, tr) + jnp.vdot(im, ti))
+            return total
+
+        return const + float(jax.jit(eval_terms)(re, im))
 
     total = const
     for basis, members in groups.items():

@@ -89,3 +89,29 @@ def test_overlap_and_fidelity():
         Q.overlap(c1, models.ghz(4))
     with pytest.raises(ValueError):
         Q.overlap(c1, np.ones(5, dtype=complex))
+
+
+def test_pauli_sum_state_method_matches_basis():
+    """method='state' (ONE execution, per-term device passes) agrees with
+    method='basis' (one execution per measurement basis) and with auto."""
+    from gpu_quantum_simulator_tpu import models
+    from gpu_quantum_simulator_tpu.observables import expectation_pauli_sum
+
+    c = models.random_circuit(6, 120, seed=9)
+    terms = [(0.8, "Z0 Z3"), (-0.4, "X1"), (0.3, "Y2 X4"),
+             (0.5, "Z5"), (1.1, "I" * 6), (-0.2, "X1 Z0")]
+    e_basis = expectation_pauli_sum(c, terms, method="basis")
+    e_state = expectation_pauli_sum(c, terms, method="state")
+    e_auto = expectation_pauli_sum(c, terms)
+    assert abs(e_state - e_basis) < 1e-5
+    assert abs(e_auto - e_basis) < 1e-5
+
+    import pytest
+
+    from gpu_quantum_simulator_tpu.config import SimulatorConfig
+    with pytest.raises(ValueError):
+        expectation_pauli_sum(c, terms, method="bogus")
+    with pytest.raises(ValueError):
+        expectation_pauli_sum(
+            c, terms, config=SimulatorConfig(strategy="reference"),
+            method="state")
