@@ -34,7 +34,7 @@ from . import models
 from .dynamic import DynamicCircuit, run_dynamic, run_dynamic_batched
 from .density import DensitySimulator, NoisyCircuit
 from .gradients import (adjoint_gradient, make_adjoint_value_and_grad,
-                        parameter_shift)
+                        parameter_shift, run_vqe)
 from .observables import (expectation_pauli, expectation_pauli_sum,
                           overlap, state_fidelity)
 from .interop import from_qiskit
@@ -71,6 +71,7 @@ __all__ = [
     "adjoint_gradient",
     "make_adjoint_value_and_grad",
     "parameter_shift",
+    "run_vqe",
     "expectation_pauli",
     "expectation_pauli_sum",
     "overlap",

@@ -225,6 +225,7 @@ def make_adjoint_value_and_grad(
     terms,
     config: Optional[SimulatorConfig] = None,
     tie=None,
+    _raw: bool = False,
 ):
     """Compile ONE jitted ``f(thetas) -> (<H>, grads)`` for optimizer loops.
 
@@ -371,4 +372,51 @@ def make_adjoint_value_and_grad(
                 else jnp.zeros(0, real_dtype))
         return energy, gvec
 
+    if _raw:
+        return fn, idxs, theta0
     return jax.jit(fn), idxs, theta0
+
+
+def run_vqe(
+    circuit: Circuit,
+    terms,
+    steps: int = 100,
+    learning_rate: float = 0.05,
+    optimizer=None,
+    tie=None,
+    maximize: bool = False,
+    config: Optional[SimulatorConfig] = None,
+):
+    """Run a whole variational optimization ON DEVICE: ONE jitted program
+    scans ``steps`` adam updates, each an adjoint value-and-grad sweep.
+
+    Per-step host round-trips disappear — over a high-latency link (the
+    axon tunnel RTTs every dispatch) this turns N steps x RTT into one
+    dispatch + one fetch.  ``optimizer``: any optax GradientTransformation
+    (default ``optax.adam(learning_rate)``); ``maximize=True`` ascends
+    (QAOA's <C>).  Returns ``(theta_final, energies)`` with ``energies``
+    the per-step values BEFORE each update (host numpy, fetched once).
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    fn, idxs, theta0 = make_adjoint_value_and_grad(
+        circuit, terms, config=config, tie=tie, _raw=True)
+    opt = optimizer if optimizer is not None else optax.adam(learning_rate)
+    sign = -1.0 if maximize else 1.0
+
+    def step(carry, _):
+        theta, opt_state = carry
+        e, g = fn(theta)
+        upd, opt_state = opt.update(sign * g, opt_state, theta)
+        return (optax.apply_updates(theta, upd), opt_state), e
+
+    @jax.jit
+    def drive(theta):
+        init = (theta, opt.init(theta))
+        (theta, _), es = jax.lax.scan(step, init, None, length=steps)
+        return theta, es
+
+    theta, energies = drive(jnp.asarray(theta0))
+    return np.asarray(theta), np.asarray(energies)

@@ -265,3 +265,53 @@ def test_tie_validation_errors():
         make_adjoint_value_and_grad(c, [(1.0, "Z0")], tie={1: (0, 0.0)})
     with pytest.raises(ValueError):  # non-contiguous slots
         make_adjoint_value_and_grad(c, [(1.0, "Z0")], tie={1: (2, 1.0)})
+
+
+def test_run_vqe_device_resident_loop():
+    """run_vqe: the whole optimization is one scanned device program; it
+    reproduces the host-loop trajectory and converges on TFIM / QAOA."""
+    from gpu_quantum_simulator_tpu import models
+    from gpu_quantum_simulator_tpu.gradients import (
+        make_adjoint_value_and_grad, run_vqe)
+
+    # VQE descent on a 4-qubit TFIM
+    n = 4
+    terms = [(-1.0, f"Z{i} Z{i + 1}") for i in range(n - 1)]
+    terms += [(-0.7, f"X{i}") for i in range(n)]
+    c = Circuit(n)
+    rng = np.random.default_rng(3)
+    for q in range(n):
+        c.ry(rng.uniform(-0.4, 0.4), q)
+    for q in range(n - 1):
+        c.cx(q, q + 1)
+    for q in range(n):
+        c.ry(rng.uniform(-0.4, 0.4), q)
+
+    theta, energies = run_vqe(c, terms, steps=30, learning_rate=0.1)
+    assert energies.shape == (30,)
+    assert energies[-1] < energies[0] - 0.3
+
+    # trajectory parity vs an explicit host loop with the same optimizer
+    import optax
+
+    fn, _, th0 = make_adjoint_value_and_grad(c, terms)
+    opt = optax.adam(0.1)
+    th = np.asarray(th0)
+    state = opt.init(th)
+    host_es = []
+    for _ in range(30):
+        e, g = fn(th)
+        host_es.append(float(e))
+        upd, state = opt.update(np.asarray(g), state, th)
+        th = np.asarray(optax.apply_updates(th, upd))
+    assert np.max(np.abs(energies - np.array(host_es))) < 1e-4
+    assert np.max(np.abs(theta - th)) < 1e-4
+
+    # QAOA ascent with tied angles reaches the p=1 ring optimum
+    c2, tie, terms2 = models.qaoa_maxcut_tied(6, gammas=(0.2,), betas=(0.2,))
+    th2, es2 = run_vqe(c2, terms2, steps=120, learning_rate=0.05,
+                       tie=tie, maximize=True)
+    assert es2[-1] > es2[0]
+    e_final = 0.75 * 6
+    assert abs(float(es2[-1]) - e_final) < 0.05 or \
+        abs(abs(th2[0]) - np.pi / 4) < 0.05
