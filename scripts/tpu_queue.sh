@@ -74,6 +74,9 @@ run micro24ips 3600 python scripts/kernel_microbench.py 24 64 inplace stream
 # 5b. variational workloads through iterated prefetch (n=24, one compile)
 run variational 3600 python scripts/variational_demo.py 24 prefetch
 
+# 5b2. device-resident VQE loop (adjoint scan; n=16, 60 adam steps)
+run vqe 3600 python scripts/vqe_demo.py 16 3 60
+
 # 5c. noisy trajectory-ensemble sampling (1024 shots, one batch)
 run noisy 2400 python scripts/noisy_demo.py 16 1024
 
