@@ -25,6 +25,7 @@ from .utils.compile_cache import enable_persistent_cache
 enable_persistent_cache()
 
 from .ir.circuit import Gate, Circuit
+from .ir.oplist import circuit_unitary
 from .ir import gates
 from .qasm.parser import (parse_qasm, parse_qasm_dynamic,
                           parse_qasm_dynamic_file, parse_qasm_file)
@@ -52,6 +53,7 @@ __all__ = [
     "Circuit",
     "gates",
     "models",
+    "circuit_unitary",
     "parse_qasm",
     "parse_qasm_dynamic",
     "parse_qasm_dynamic_file",

@@ -151,3 +151,17 @@ def oplist_to_circuit_matrix(ops: Sequence[Op], num_qubits: int) -> np.ndarray:
 
 def circuit_to_ops(circuit: Circuit) -> List[Op]:
     return [gate_op(g) for g in circuit.gates]
+
+
+def circuit_unitary(circuit: Circuit, max_qubits: int = 12) -> np.ndarray:
+    """The dense 2^n x 2^n complex128 unitary of a small circuit.
+
+    Exact (f64 matrix products, little-endian basis — qubit k = bit k).
+    Exponential in n, guarded at ``max_qubits``; for verification,
+    decomposition checks and textbook-scale algebra, not simulation."""
+    n = circuit.num_qubits
+    if n > max_qubits:
+        raise ValueError(
+            f"circuit_unitary is dense (4^n): n = {n} > max_qubits = "
+            f"{max_qubits}; raise max_qubits explicitly if you mean it")
+    return oplist_to_circuit_matrix(circuit_to_ops(circuit), n)

@@ -119,3 +119,25 @@ def test_phase_estimation_exact_and_concentrated():
     p = np.abs(sim.run(models.phase_estimation(m, theta))) ** 2
     mass = p[(1 << m) | 4] + p[(1 << m) | 5]
     assert mass > 0.8
+
+
+def test_circuit_unitary_matches_reference_columns():
+    import pytest
+
+    from gpu_quantum_simulator_tpu import circuit_unitary
+    from gpu_quantum_simulator_tpu.ref.cpu import simulate_reference
+
+    c = models.random_circuit(4, 40, seed=17)
+    U = circuit_unitary(c)
+    # unitary
+    assert np.max(np.abs(U.conj().T @ U - np.eye(16))) < 1e-12
+    # column j = action on basis state |j>
+    for j in (0, 5, 15):
+        e = np.zeros(16, dtype=complex)
+        e[j] = 1.0
+        assert np.max(np.abs(U[:, j] - simulate_reference(c, initial=e))) < 1e-12
+    # c.inverse() really is the matrix inverse
+    V = circuit_unitary(c.inverse())
+    assert np.max(np.abs(V @ U - np.eye(16))) < 1e-12
+    with pytest.raises(ValueError):
+        circuit_unitary(Circuit(13))
