@@ -39,6 +39,7 @@ from .gradients import (adjoint_gradient, make_adjoint_value_and_grad,
 from .observables import (expectation_pauli, expectation_pauli_sum,
                           overlap, state_fidelity)
 from .interop import from_qiskit
+from .mitigation import folded, zne_expectation
 from .sampling import (
     expectation_z,
     norm_device,
@@ -79,4 +80,6 @@ __all__ = [
     "overlap",
     "state_fidelity",
     "from_qiskit",
+    "folded",
+    "zne_expectation",
 ]
