@@ -222,3 +222,92 @@ def state_fidelity(a, b, config: Optional[SimulatorConfig] = None) -> float:
     """|<psi_a | psi_b>|^2 (pure-state fidelity), device-side reduction."""
     v = overlap(a, b, config)
     return v.real * v.real + v.imag * v.imag
+
+
+def marginal_probabilities(re, im, qubits: Sequence[int],
+                           num_qubits: int) -> np.ndarray:
+    """Marginal outcome distribution over ``qubits`` (little-endian in the
+    given order), reduced device-side.
+
+    Unselected qubits are summed out one at a time as rank-3
+    (hi, 2, lo) reductions — never a (2,)*n reshape (XLA pads minor
+    (2, 2) axes to (8, 128) tiles: 64x memory).  Only the final
+    2^len(qubits) vector reaches the host.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    qs = [int(q) for q in qubits]
+    if len(set(qs)) != len(qs):
+        raise ValueError("qubits must be distinct")
+    for q in qs:
+        if not 0 <= q < num_qubits:
+            raise ValueError(f"qubit {q} out of range")
+
+    keep = sorted(qs)
+
+    @jax.jit
+    def reduce_(re, im):
+        p = re * re + im * im
+        n = num_qubits
+        # sum out unselected qubits from high to low so positions of the
+        # remaining ones stay valid
+        for q in range(num_qubits - 1, -1, -1):
+            if q in keep:
+                continue
+            hi, lo = 1 << (n - 1 - q), 1 << q
+            p = p.reshape(hi, 2, lo).sum(axis=1).reshape(-1)
+            n -= 1
+        return p
+
+    p = np.asarray(reduce_(re, im))
+    # p is little-endian over sorted(qs); permute to the requested order
+    k = len(qs)
+    if keep == qs or k == 0:
+        return p
+    pos = {q: i for i, q in enumerate(keep)}
+    idx = np.arange(1 << k)
+    out_idx = np.zeros_like(idx)
+    for j, q in enumerate(qs):
+        out_idx |= ((idx >> pos[q]) & 1) << j
+    res = np.zeros_like(p)
+    res[out_idx] = p
+    return res
+
+
+def entanglement_entropy(re, im, cut: int, num_qubits: int,
+                         base: float = 2.0) -> float:
+    """Von Neumann entropy of the reduced state of qubits [0, cut).
+
+    TPU-safe route: the state viewed as a (2^(n-cut), 2^cut) matrix V
+    never needs an SVD on device — the reduced density matrix
+    rho = V^dagger V is a small (2^cut, 2^cut) Hermitian formed by two
+    MXU matmul pairs, fetched to the host, and diagonalized there.
+    ``cut <= ~13`` keeps rho tiny at any n.  Entropy in bits by default
+    (``base=np.e`` for nats).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if not 1 <= cut < num_qubits:
+        raise ValueError(f"cut must be in [1, {num_qubits - 1}], got {cut}")
+    if cut > 14:
+        raise ValueError(f"cut {cut} gives a 4^{cut}-entry density matrix; "
+                         "cut from the smaller side")
+    D = 1 << cut
+
+    @jax.jit
+    def rho(re, im):
+        vr = re.reshape(-1, D)
+        vi = im.reshape(-1, D)
+        dot = lambda a, b: jnp.dot(
+            a.T, b, preferred_element_type=vr.dtype,
+            precision=jax.lax.Precision.HIGHEST)
+        # rho = V^dagger V = (vr - i vi)^T (vr + i vi)
+        return dot(vr, vr) + dot(vi, vi), dot(vr, vi) - dot(vi, vr)
+
+    rr, ri = (np.asarray(x, dtype=np.float64) for x in rho(re, im))
+    w = np.linalg.eigvalsh(rr + 1j * ri)
+    w = w[w > 1e-12]
+    w = w / w.sum()
+    return float(-(w * (np.log(w) / np.log(base))).sum())

@@ -115,3 +115,76 @@ def test_pauli_sum_state_method_matches_basis():
         expectation_pauli_sum(
             c, terms, config=SimulatorConfig(strategy="reference"),
             method="state")
+
+
+def test_marginal_probabilities_match_full_distribution():
+    import jax.numpy as jnp
+
+    from gpu_quantum_simulator_tpu import models
+    from gpu_quantum_simulator_tpu.config import SimulatorConfig
+    from gpu_quantum_simulator_tpu.engine.simulator import Simulator
+    from gpu_quantum_simulator_tpu.observables import marginal_probabilities
+
+    n = 6
+    c = models.random_circuit(n, 80, seed=21)
+    sim = Simulator(SimulatorConfig(strategy="mxu"))
+    re, im, _ = sim.run_device(c)
+    full = np.abs(sim.run(c)) ** 2
+
+    for qs in ([0], [5], [2, 4], [4, 2], [1, 3, 5], list(range(n))):
+        got = marginal_probabilities(re, im, qs, n)
+        want = np.zeros(1 << len(qs))
+        for i, p in enumerate(full):
+            key = 0
+            for j, q in enumerate(qs):
+                key |= ((i >> q) & 1) << j
+            want[key] += p
+        assert np.max(np.abs(got - want)) < 1e-5, qs
+        assert abs(got.sum() - 1.0) < 1e-5
+
+    import pytest
+    with pytest.raises(ValueError):
+        marginal_probabilities(re, im, [0, 0], n)
+    with pytest.raises(ValueError):
+        marginal_probabilities(re, im, [n], n)
+
+
+def test_entanglement_entropy_known_values():
+    import jax.numpy as jnp
+    import pytest
+
+    from gpu_quantum_simulator_tpu import models
+    from gpu_quantum_simulator_tpu.config import SimulatorConfig
+    from gpu_quantum_simulator_tpu.engine.simulator import Simulator
+    from gpu_quantum_simulator_tpu.observables import entanglement_entropy
+
+    sim = Simulator(SimulatorConfig(strategy="mxu"))
+
+    # product state: zero entropy at every cut
+    from gpu_quantum_simulator_tpu.ir.circuit import Circuit as C
+
+    prod = C(4)
+    prod.h(0).ry(0.7, 1).rz(0.3, 2)
+    re, im, _ = sim.run_device(prod)
+    for cut in (1, 2, 3):
+        assert entanglement_entropy(re, im, cut, 4) < 1e-5
+
+    # GHZ: any bipartition carries exactly 1 bit
+    re, im, _ = sim.run_device(models.ghz(6))
+    for cut in (1, 3, 5):
+        assert abs(entanglement_entropy(re, im, cut, 6) - 1.0) < 1e-5
+
+    # random state: matches the exact SVD entropy
+    c = models.random_circuit(6, 120, seed=8)
+    re, im, _ = sim.run_device(c)
+    got = entanglement_entropy(re, im, 3, 6)
+    v = np.asarray(sim.run(c)).reshape(8, 8)   # rows = high qubits
+    s = np.linalg.svd(v, compute_uv=False) ** 2
+    s = s[s > 1e-12]
+    want = float(-(s * np.log2(s)).sum())
+    assert abs(got - want) < 1e-4
+
+    with pytest.raises(ValueError):
+        entanglement_entropy(re, im, 0, 6)
+    with pytest.raises(ValueError):
+        entanglement_entropy(re, im, 6, 6)
