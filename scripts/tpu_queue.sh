@@ -77,6 +77,9 @@ run variational 3600 python scripts/variational_demo.py 24 prefetch
 # 5b2. device-resident VQE loop (adjoint scan; n=16, 60 adam steps)
 run vqe 3600 python scripts/vqe_demo.py 16 3 60
 
+# 5b3. TFIM quench: entanglement growth at n=24 (entropy via MXU rho)
+run quench 3600 python scripts/quench_demo.py 24 120 0.05 20
+
 # 5c. noisy trajectory-ensemble sampling (1024 shots, one batch)
 run noisy 2400 python scripts/noisy_demo.py 16 1024
 

@@ -188,3 +188,29 @@ def test_entanglement_entropy_known_values():
         entanglement_entropy(re, im, 0, 6)
     with pytest.raises(ValueError):
         entanglement_entropy(re, im, 6, 6)
+
+
+def test_quench_entropy_growth_composes_device_stepping():
+    """TFIM quench via run_device_parts: half-chain entropy grows from 0
+    and <Z> decays from 1 — regression for the demo's composition path."""
+    from gpu_quantum_simulator_tpu import models
+    from gpu_quantum_simulator_tpu.config import SimulatorConfig
+    from gpu_quantum_simulator_tpu.engine.simulator import Simulator
+    from gpu_quantum_simulator_tpu.observables import entanglement_entropy
+    from gpu_quantum_simulator_tpu.sampling import expectation_z
+
+    n, dt = 8, 0.05
+    prefix, _, _ = models.trotter_tfim_parts(n, dt, steps=1)
+    sim = Simulator(SimulatorConfig(strategy="mxu"))
+    re, im, _ = sim.run_device(prefix)
+    assert entanglement_entropy(re, im, n // 2, n) < 1e-6
+    assert abs(expectation_z(re, im, [n // 2], n) - 1.0) < 1e-6
+
+    entropies = []
+    for _ in range(3):
+        re, im, _ = sim.run_device_parts(
+            models.trotter_tfim(n, dt, steps=10), (re, im))
+        entropies.append(entanglement_entropy(re, im, n // 2, n))
+    assert entropies[0] > 0.01
+    assert entropies[-1] > entropies[0]          # still growing at t=1.5
+    assert expectation_z(re, im, [n // 2], n) < 0.9
