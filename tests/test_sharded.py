@@ -198,3 +198,30 @@ def test_sharded_device_side_sampling_n23():
     s = sim.sample(c, 64, seed=0)
     assert s.shape == (64,)
     assert s.min() >= 0 and s.max() < (1 << n)
+
+
+def test_sharded_observables_compose():
+    """expectation_z / expectation_pauli_sum reduce sharded device states
+    without a host gather (XLA inserts the collectives)."""
+    from gpu_quantum_simulator_tpu import models
+    from gpu_quantum_simulator_tpu.config import SimulatorConfig
+    from gpu_quantum_simulator_tpu.engine.simulator import Simulator
+    from gpu_quantum_simulator_tpu.observables import expectation_pauli_sum
+    from gpu_quantum_simulator_tpu.sampling import expectation_z
+
+    n = 10
+    c = models.random_circuit(n, 120, seed=6)
+    cfg = SimulatorConfig(strategy="sharded", mesh_shape=(8,))
+    sim = Simulator(cfg)
+    re, im, _ = sim.run_device(c)
+    got = expectation_z(re, im, [0, 4, 9], n)
+
+    ref = Simulator(SimulatorConfig(strategy="mxu"))
+    re_f, im_f, _ = ref.run_device(c)
+    want = expectation_z(re_f, im_f, [0, 4, 9], n)
+    assert abs(got - want) < 1e-5
+
+    terms = [(0.5, "Z0 Z4"), (-0.3, "X2"), (0.2, "Y7 Z1")]
+    e_sharded = expectation_pauli_sum(c, terms, cfg)
+    e_flat = expectation_pauli_sum(c, terms)
+    assert abs(e_sharded - e_flat) < 1e-5
