@@ -56,6 +56,15 @@ def main(argv=None) -> int:
         help='print <P> for a Pauli string, e.g. "Z0 Z1" or "XIZ" (repeatable)',
     )
     p.add_argument(
+        "--marginal", metavar="QUBITS", action="append", default=[],
+        help='print the outcome distribution over a qubit subset, e.g. '
+        '"0,3,5" (little-endian in the given order; repeatable)',
+    )
+    p.add_argument(
+        "--entropy-cut", type=int, default=0, metavar="K",
+        help="print the von Neumann entanglement entropy (bits) of "
+        "qubits [0, K)")
+    p.add_argument(
         "--noise-p1", type=float, default=0.0,
         help="per-1q-gate noise probability (trajectory sampling; needs -m)")
     p.add_argument(
@@ -205,6 +214,36 @@ def main(argv=None) -> int:
                 print(f"ERROR in Pauli string {pauli!r}: {exc}", file=sys.stderr)
                 return 1
             print(f"EXPECTATION {pauli}: {val:+.9f}")
+
+    if args.marginal or args.entropy_cut:
+        import jax.numpy as jnp
+        import numpy as np
+
+        re_d = jnp.asarray(res.state.real)
+        im_d = jnp.asarray(res.state.imag)
+        if args.marginal:
+            from .observables import marginal_probabilities
+
+            for spec in args.marginal:
+                try:
+                    qs = [int(t) for t in spec.split(",") if t.strip()]
+                    dist = marginal_probabilities(re_d, im_d, qs, res.num_qubits)
+                except ValueError as exc:
+                    print(f"ERROR in --marginal {spec!r}: {exc}",
+                          file=sys.stderr)
+                    return 1
+                for i, pv in enumerate(dist):
+                    print(f"MARGINAL {spec} |{_putb(i, len(qs))}>: {pv:.6f}")
+        if args.entropy_cut:
+            from .observables import entanglement_entropy
+
+            try:
+                s = entanglement_entropy(re_d, im_d, args.entropy_cut,
+                                         res.num_qubits)
+            except ValueError as exc:
+                print(f"ERROR in --entropy-cut: {exc}", file=sys.stderr)
+                return 1
+            print(f"ENTROPY cut={args.entropy_cut}: {s:.6f} bits")
 
     if args.measurements:
         from .ref.cpu import sample

@@ -344,6 +344,38 @@ def maxcut_cost_terms(num_qubits: int, edges: Optional[Sequence] = None):
     return terms
 
 
+def tfim_terms(num_qubits: int, J: float = 1.0, g: float = 1.0,
+               periodic: bool = False):
+    """H = -J sum Z_i Z_{i+1} - g sum X_i as (coeff, pauli) terms —
+    the Hamiltonian :func:`trotter_tfim_parts` evolves under, for
+    ``observables.expectation_pauli_sum`` / VQE objectives."""
+    n = num_qubits
+    terms = [(-float(J), f"Z{i} Z{i + 1}") for i in range(n - 1)]
+    if periodic and n > 2:
+        terms.append((-float(J), f"Z{n - 1} Z0"))
+    terms += [(-float(g), f"X{i}") for i in range(n)]
+    return terms
+
+
+def heisenberg_terms(num_qubits: int, Jx: float = 1.0, Jy: float = 1.0,
+                     Jz: float = 1.0, h: float = 0.0,
+                     periodic: bool = False):
+    """XYZ Heisenberg chain H = sum_i (Jx XX + Jy YY + Jz ZZ) + h sum Z_i
+    as (coeff, pauli) terms."""
+    n = num_qubits
+    bonds = [(i, i + 1) for i in range(n - 1)]
+    if periodic and n > 2:
+        bonds.append((n - 1, 0))
+    terms = []
+    for a, b in bonds:
+        for Jc, ax in ((Jx, "X"), (Jy, "Y"), (Jz, "Z")):
+            if Jc:
+                terms.append((float(Jc), f"{ax}{a} {ax}{b}"))
+    if h:
+        terms += [(float(h), f"Z{i}") for i in range(n)]
+    return terms
+
+
 def trotter_tfim_parts(
     num_qubits: int,
     dt: float,

@@ -129,3 +129,29 @@ def test_cli_trace(tmp_path):
     import os
 
     assert os.path.isdir(d) and any(os.scandir(d))
+
+
+def test_cli_marginal_and_entropy():
+    """--marginal / --entropy-cut on the Bell circuit: the 1-qubit marginal
+    is 50/50, the 2-qubit joint has no odd-parity mass, and the cut-1
+    entropy is exactly 1 bit."""
+    r = _run_cli("/root/reference/entanglement.qasm", "--strategy", "mxu",
+                 "--marginal", "0", "--marginal", "0,1",
+                 "--entropy-cut", "1")
+    assert r.returncode == 0, r.stderr
+    lines = r.stdout.splitlines()
+    m0 = {l.split(">:")[0][-1]: float(l.split(":")[-1])
+          for l in lines if l.startswith("MARGINAL 0 ")}
+    assert abs(m0["0"] - 0.5) < 1e-5 and abs(m0["1"] - 0.5) < 1e-5
+    joint = {l.split("|")[1].split(">")[0]: float(l.split(":")[-1])
+             for l in lines if l.startswith("MARGINAL 0,1 ")}
+    assert abs(joint["00"] - 0.5) < 1e-5 and abs(joint["11"] - 0.5) < 1e-5
+    assert joint["01"] < 1e-6 and joint["10"] < 1e-6
+    ent = [l for l in lines if l.startswith("ENTROPY")]
+    assert len(ent) == 1 and abs(float(ent[0].split(":")[1].split()[0]) - 1.0) < 1e-5
+
+    # error paths
+    r = _run_cli("/root/reference/entanglement.qasm", "--marginal", "7")
+    assert r.returncode == 1 and "out of range" in r.stderr
+    r = _run_cli("/root/reference/entanglement.qasm", "--entropy-cut", "2")
+    assert r.returncode == 1

@@ -141,3 +141,41 @@ def test_circuit_unitary_matches_reference_columns():
     assert np.max(np.abs(V @ U - np.eye(16))) < 1e-12
     with pytest.raises(ValueError):
         circuit_unitary(Circuit(13))
+
+
+def test_hamiltonian_term_builders():
+    """tfim_terms matches the trotter evolution convention (energy is
+    conserved under its own Trotter circuit as dt -> 0) and
+    heisenberg_terms matches dense algebra on 3 sites."""
+    from gpu_quantum_simulator_tpu.observables import expectation_pauli_sum
+
+    n = 5
+    terms = models.tfim_terms(n, J=1.0, g=0.8)
+    assert len(terms) == (n - 1) + n
+    # |0...0>: <ZZ> = 1 per bond, <X> = 0 -> E = -J (n-1)
+    e0 = expectation_pauli_sum(models.trotter_tfim(n, 1e-9, steps=1), terms)
+    assert abs(e0 - (-(n - 1))) < 1e-4
+    # energy conservation under small-dt Trotter evolution
+    e1 = expectation_pauli_sum(models.trotter_tfim(n, 0.01, g=0.8, steps=50),
+                               terms)
+    assert abs(e1 - e0) < 0.02
+
+    # Heisenberg on 3 sites vs dense kron algebra
+    import numpy as np
+    X = np.array([[0, 1], [1, 0]], dtype=complex)
+    Y = np.array([[0, -1j], [1j, 0]])
+    Z = np.diag([1.0, -1.0]).astype(complex)
+    I = np.eye(2)
+    def k3(a, b, c):       # qubit 0 = LAST kron factor
+        return np.kron(np.kron(c, b), a)
+    H = (1.0 * (k3(X, X, I) + k3(I, X, X))
+         + 0.5 * (k3(Y, Y, I) + k3(I, Y, Y))
+         + 2.0 * (k3(Z, Z, I) + k3(I, Z, Z))
+         + 0.3 * (k3(Z, I, I) + k3(I, Z, I) + k3(I, I, Z)))
+    terms3 = models.heisenberg_terms(3, Jx=1.0, Jy=0.5, Jz=2.0, h=0.3)
+    c = models.random_circuit(3, 40, seed=6)
+    from gpu_quantum_simulator_tpu.ref.cpu import simulate_reference
+    psi = simulate_reference(c)
+    want = float(np.real(np.vdot(psi, H @ psi)))
+    got = expectation_pauli_sum(c, terms3)
+    assert abs(got - want) < 1e-5
