@@ -89,12 +89,35 @@ def kraus_depolarizing2(p: float) -> List[np.ndarray]:
     return out
 
 
+def kraus_thermal(t1: float, t2: float, time: float) -> List[np.ndarray]:
+    """Thermal relaxation (zero temperature) for duration ``time``:
+    populations decay with T1, coherences with T2 (requires T2 <= 2 T1).
+
+    Composition of amplitude damping (gamma = 1 - e^{-t/T1}) with just
+    enough pure dephasing that the off-diagonal factor is exactly
+    e^{-t/T2}; the returned list is the composed channel's Kraus set
+    (pairwise products), so it plugs into ``channel()``/``noise_kraus``
+    like any other channel."""
+    if t1 <= 0 or t2 <= 0 or time < 0:
+        raise ValueError("t1, t2 must be positive and time non-negative")
+    if t2 > 2 * t1 + 1e-12:
+        raise ValueError(f"unphysical T2 = {t2} > 2 T1 = {2 * t1}")
+    gamma = 1.0 - np.exp(-time / t1)
+    # amplitude damping alone shrinks coherences by sqrt(1-gamma)
+    lam = np.exp(-time / t2) / max(np.sqrt(1.0 - gamma), 1e-300)
+    lam = min(lam, 1.0)
+    ad = kraus_amplitude_damping(gamma)
+    dz = kraus_dephasing(1.0 - lam)     # extra off-diagonal factor = lam
+    return [d @ a for d in dz for a in ad]
+
+
 NAMED_CHANNELS = {
     "depolarizing": kraus_depolarizing,
     "dephasing": kraus_dephasing,
     "bit_flip": kraus_bit_flip,
     "amplitude_damping": kraus_amplitude_damping,
     "depolarizing2": kraus_depolarizing2,
+    "thermal": kraus_thermal,
 }
 
 

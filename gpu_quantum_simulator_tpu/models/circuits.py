@@ -383,24 +383,32 @@ def trotter_tfim_parts(
     g: float = 1.0,
     steps: int = 10,
     periodic: bool = False,
+    order: int = 1,
 ):
-    """(prefix, body, steps) for first-order Trotter evolution of the
-    transverse-field Ising model H = -J sum Z_i Z_{i+1} - g sum X_i
-    starting from |0...0>.
+    """(prefix, body, steps) for Trotter evolution of the transverse-field
+    Ising model H = -J sum Z_i Z_{i+1} - g sum X_i starting from |0...0>.
 
-    One step is prod_bonds e^{+i dt J Z Z} . prod_sites e^{+i dt g X}
-    (Lie-Trotter; global error O(dt)).  The body is the same block every
-    step — the canonical ``run_device_iterated`` workload."""
+    ``order=1`` (Lie-Trotter, global error O(dt)): one step is
+    prod_bonds e^{+i dt J Z Z} . prod_sites e^{+i dt g X}.
+    ``order=2`` (Strang/symmetric, global error O(dt^2)): half-step X,
+    full ZZ, half-step X.  Either body is the same block every step —
+    the canonical ``run_device_iterated`` workload."""
+    if order not in (1, 2):
+        raise ValueError(f"order must be 1 or 2, got {order}")
     n = num_qubits
     prefix = Circuit(n)  # |0...0> is the quench initial state
     body = Circuit(n)
     bonds = [(i, i + 1) for i in range(n - 1)]
     if periodic and n > 2:
         bonds.append((n - 1, 0))
+    x_angle = -2.0 * float(g) * float(dt) / order
+    if order == 2:
+        for q in range(n):
+            _rx_via_h(body, x_angle, q)  # e^{+i (dt/2) g X}
     for a, b in bonds:
         _zz_interaction(body, -2.0 * float(J) * float(dt), a, b)  # e^{+i dt J ZZ}
     for q in range(n):
-        _rx_via_h(body, -2.0 * float(g) * float(dt), q)  # e^{+i dt g X}
+        _rx_via_h(body, x_angle, q)
     return prefix, body, int(steps)
 
 
@@ -411,9 +419,11 @@ def trotter_tfim(
     g: float = 1.0,
     steps: int = 10,
     periodic: bool = False,
+    order: int = 1,
 ) -> Circuit:
-    """Unrolled first-order Trotter TFIM circuit (see trotter_tfim_parts)."""
-    prefix, body, steps = trotter_tfim_parts(num_qubits, dt, J, g, steps, periodic)
+    """Unrolled Trotter TFIM circuit (see trotter_tfim_parts)."""
+    prefix, body, steps = trotter_tfim_parts(num_qubits, dt, J, g, steps,
+                                             periodic, order)
     c = Circuit(prefix.num_qubits, list(prefix.gates))
     for _ in range(steps):
         c.gates.extend(body.gates)

@@ -200,3 +200,35 @@ def test_density_n15_rejected_for_complex128_only():
     with pytest.raises(ValueError, match="n <= 14"):
         DensitySimulator(SimulatorConfig(dtype="complex128")).run(
             NoisyCircuit(15))
+
+
+def test_thermal_relaxation_channel():
+    """kraus_thermal: coherence decays with T2, population with T1 —
+    analytic single-qubit check, plus the unphysical-T2 guard."""
+    import pytest
+
+    from gpu_quantum_simulator_tpu.density import (
+        DensitySimulator, NoisyCircuit, kraus_thermal)
+
+    t1, t2, t = 10.0, 8.0, 3.0
+    nc = NoisyCircuit(1)
+    nc.h(0)
+    nc.channel("thermal", 0, t1=t1, t2=t2, time=t)
+    rho = DensitySimulator().run(nc).matrix()
+    # |+><+|: populations stay 1/2 + gamma/2 shift, coherence = e^{-t/T2}/2
+    gamma = 1 - np.exp(-t / t1)
+    assert abs(rho[0, 1] - 0.5 * np.exp(-t / t2)) < 1e-6
+    assert abs(rho[1, 1] - 0.5 * (1 - gamma)) < 1e-6
+    assert abs(np.trace(rho) - 1.0) < 1e-6
+
+    # population decay from |1>
+    nc2 = NoisyCircuit(1)
+    nc2.x(0)
+    nc2.channel("thermal", 0, t1=t1, t2=t2, time=t)
+    rho2 = DensitySimulator().run(nc2).matrix()
+    assert abs(rho2[1, 1] - np.exp(-t / t1)) < 1e-6
+
+    with pytest.raises(ValueError):
+        kraus_thermal(1.0, 2.5, 0.1)      # T2 > 2 T1
+    with pytest.raises(ValueError):
+        kraus_thermal(-1.0, 0.5, 0.1)

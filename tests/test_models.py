@@ -179,3 +179,44 @@ def test_hamiltonian_term_builders():
     want = float(np.real(np.vdot(psi, H @ psi)))
     got = expectation_pauli_sum(c, terms3)
     assert abs(got - want) < 1e-5
+
+
+def test_trotter_order2_beats_order1():
+    """Symmetric Trotter: global error O(dt^2) vs O(dt) — fidelity to the
+    exact evolution (dense eigendecomposition) is strictly better, and the
+    order-2 error shrinks ~4x when dt halves."""
+    from gpu_quantum_simulator_tpu.ref.cpu import simulate_reference
+
+    n, T = 5, 1.0
+    X = np.array([[0, 1], [1, 0]], dtype=complex)
+    Z = np.diag([1.0, -1.0]).astype(complex)
+    I = np.eye(2)
+
+    def op(mat, q):
+        m = np.array([[1.0]])
+        for k in range(n):
+            m = np.kron(mat if k == q else I, m)
+        return m
+
+    H = sum(-1.0 * op(Z, i) @ op(Z, i + 1) for i in range(n - 1))
+    H = H + sum(-1.0 * op(X, i) for i in range(n))
+    w, v = np.linalg.eigh(H)
+    psi0 = np.zeros(1 << n, dtype=complex)
+    psi0[0] = 1.0
+    exact = v @ (np.exp(-1j * w * T) * (v.conj().T @ psi0))
+
+    def err(order, steps):
+        c = models.trotter_tfim(n, T / steps, steps=steps, order=order)
+        psi = simulate_reference(c)
+        f = abs(np.vdot(exact, psi))
+        return 1.0 - f
+
+    e1 = err(1, 20)
+    e2 = err(2, 20)
+    e2h = err(2, 40)
+    assert e2 < e1 / 3
+    assert e2h < e2 / 3         # ~dt^2 scaling (4x expected)
+
+    import pytest
+    with pytest.raises(ValueError):
+        models.trotter_tfim_parts(4, 0.1, order=3)
