@@ -79,7 +79,8 @@ def main():
     status = stage_status()
 
     for line_name, log in (("verify", "verify.log"), ("bench", "bench.log"),
-                           ("bench_stream", "bench_stream.log")):
+                           ("bench_stream", "bench_stream.log"),
+                           ("bench_vmem", "bench_vmem.log")):
         path = os.path.join(LOGS, log)
         if os.path.exists(path):
             tail = [l.strip() for l in open(path).read().splitlines()[-4:]]
@@ -111,7 +112,8 @@ def main():
                   " (flip QSIM_STREAM_PLAIN default if it wins broadly)")
 
     for demo in ("n29_demo", "n30_demo", "fusion_ab", "density_demo", "kh0_ab",
-                 "variational_demo", "noisy_demo", "knob_ab"):
+                 "variational_demo", "noisy_demo", "knob_ab", "vqe_demo",
+                 "quench_demo"):
         d = _load(demo + ".json")
         if d:
             brief = {}
