@@ -386,6 +386,9 @@ def run_vqe(
     tie=None,
     maximize: bool = False,
     config: Optional[SimulatorConfig] = None,
+    restarts: int = 0,
+    spread: float = 0.5,
+    seed: int = 0,
 ):
     """Run a whole variational optimization ON DEVICE: ONE jitted program
     scans ``steps`` adam updates, each an adjoint value-and-grad sweep.
@@ -396,6 +399,12 @@ def run_vqe(
     (default ``optax.adam(learning_rate)``); ``maximize=True`` ascends
     (QAOA's <C>).  Returns ``(theta_final, energies)`` with ``energies``
     the per-step values BEFORE each update (host numpy, fetched once).
+
+    ``restarts=K`` vmaps the ENTIRE optimization over K initial points
+    (the circuit's own angles plus K-1 uniform perturbations of width
+    ``spread``) and keeps the best final energy — parallel restarts
+    against local minima at the cost of K states resident, with the K
+    adjoint sweeps batched onto the MXU as one program.
     """
     import jax
     import jax.numpy as jnp
@@ -412,11 +421,21 @@ def run_vqe(
         upd, opt_state = opt.update(sign * g, opt_state, theta)
         return (optax.apply_updates(theta, upd), opt_state), e
 
-    @jax.jit
     def drive(theta):
         init = (theta, opt.init(theta))
         (theta, _), es = jax.lax.scan(step, init, None, length=steps)
-        return theta, es
+        e_final, _ = fn(theta)
+        return theta, es, e_final
 
-    theta, energies = drive(jnp.asarray(theta0))
+    if restarts and restarts > 1:
+        rng = np.random.default_rng(seed)
+        inits = np.tile(np.asarray(theta0), (restarts, 1))
+        inits[1:] += rng.uniform(-spread, spread,
+                                 size=(restarts - 1, len(theta0)))
+        thetas, ess, finals = jax.jit(jax.vmap(drive))(jnp.asarray(inits))
+        finals = np.asarray(finals)
+        best = int(np.argmax(finals) if maximize else np.argmin(finals))
+        return np.asarray(thetas[best]), np.asarray(ess[best])
+
+    theta, energies, _ = jax.jit(drive)(jnp.asarray(theta0))
     return np.asarray(theta), np.asarray(energies)

@@ -315,3 +315,21 @@ def test_run_vqe_device_resident_loop():
     e_final = 0.75 * 6
     assert abs(float(es2[-1]) - e_final) < 0.05 or \
         abs(abs(th2[0]) - np.pi / 4) < 0.05
+
+
+def test_run_vqe_restarts_escape_local_minimum():
+    """restarts=K vmaps the whole optimization over K initial points; the
+    kept run is at least as good as the single-start run (here the p=1
+    QAOA landscape from a deliberately bad start)."""
+    from gpu_quantum_simulator_tpu import models
+    from gpu_quantum_simulator_tpu.gradients import run_vqe
+
+    # bad start: near-zero angles (a saddle; gradients tiny)
+    c, tie, terms = models.qaoa_maxcut_tied(6, gammas=(1e-3,), betas=(1e-3,))
+    _, es_single = run_vqe(c, terms, steps=60, learning_rate=0.05,
+                           tie=tie, maximize=True)
+    theta_b, es_best = run_vqe(c, terms, steps=60, learning_rate=0.05,
+                               tie=tie, maximize=True, restarts=6, seed=1)
+    assert es_best[-1] >= es_single[-1] - 1e-6
+    # the restart pool should actually solve it (optimum = 4.5 at n=6)
+    assert es_best[-1] > 4.0
