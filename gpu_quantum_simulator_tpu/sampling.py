@@ -302,3 +302,15 @@ def amplitudes_halves(re0, re1, im0, im1, indices):
     hi = jnp.stack([re1[row, c_hi], im1[row, c_hi]], -1)
     out = np.asarray(jnp.where((col >= 128)[:, None], hi, lo))
     return out[:, 0] + 1j * out[:, 1]
+
+
+def counts(samples, num_qubits: int, as_bitstrings: bool = True):
+    """{outcome: count} from an array of sampled basis indices.
+
+    ``as_bitstrings=True`` keys by MSB-first bitstrings (the CLI's
+    MEASUREMENT rendering); otherwise by integer index."""
+    idx, cnt = np.unique(np.asarray(samples), return_counts=True)
+    if as_bitstrings:
+        return {format(int(i), f"0{num_qubits}b"): int(c)
+                for i, c in zip(idx, cnt)}
+    return {int(i): int(c) for i, c in zip(idx, cnt)}

@@ -119,3 +119,11 @@ def test_halves_observables_match_flat():
 
     amps = amplitudes_halves(*parts, idx_h)
     assert np.max(np.abs(amps - flat[idx_h])) < 2e-5
+
+
+def test_counts_helper():
+    from gpu_quantum_simulator_tpu.sampling import counts
+
+    s = np.array([0, 3, 3, 1, 3])
+    assert counts(s, 2) == {"00": 1, "01": 1, "11": 3}
+    assert counts(s, 2, as_bitstrings=False) == {0: 1, 1: 1, 3: 3}
