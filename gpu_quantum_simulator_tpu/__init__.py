@@ -40,6 +40,7 @@ from .observables import (expectation_pauli, expectation_pauli_sum,
                           overlap, state_fidelity)
 from .interop import from_qiskit
 from .mitigation import folded, zne_expectation
+from .shadows import shadow_snapshots, shadows_expectation
 from .sampling import (
     expectation_z,
     norm_device,
@@ -82,4 +83,6 @@ __all__ = [
     "from_qiskit",
     "folded",
     "zne_expectation",
+    "shadow_snapshots",
+    "shadows_expectation",
 ]
