@@ -314,3 +314,17 @@ def counts(samples, num_qubits: int, as_bitstrings: bool = True):
         return {format(int(i), f"0{num_qubits}b"): int(c)
                 for i, c in zip(idx, cnt)}
     return {int(i): int(c) for i, c in zip(idx, cnt)}
+
+
+def xeb_fidelity(re, im, samples, num_qubits: int) -> float:
+    """Linear cross-entropy benchmarking fidelity of a sample set against
+    the device-resident ideal state: F = 2^n <p(s)>_samples - 1.
+
+    The supremacy-era sanity metric for random-circuit sampling: ~1 when
+    the samples follow |psi|^2 (Porter-Thomas), ~0 for uniform noise.
+    Only the len(samples) gathered probabilities cross the boundary."""
+    import jax.numpy as jnp
+
+    idx = jnp.asarray(np.asarray(samples, dtype=np.int64))
+    p = re[idx] ** 2 + im[idx] ** 2
+    return float((1 << num_qubits) * jnp.mean(p) - 1.0)

@@ -671,3 +671,22 @@ def test_plan_portfolio_picks_model_minimum(monkeypatch):
     monkeypatch.setattr(PF, "PORTFOLIO_MIN_QUBITS", n)
     prog = PF.PrefetchProgram(ops, n, interpret=True)
     assert prog.num_blocks == len(best.blocks)
+
+
+def test_plan_cost_regression_guard_n24():
+    """Planner regression guard: the calibrated cost model's estimate for
+    the standard n=24 grover-profile plan stays in the round-3 band.
+    (Measured on-chip ~2.5 s; model ~2.1-2.2 s with round-3 scheduling.
+    A scheduler regression to the pre-round-3 one-op-per-block shape
+    models at >6 s.)  Structure bounds guard the same property."""
+    from gpu_quantum_simulator_tpu.engine import plancost
+    from gpu_quantum_simulator_tpu.engine.prefetch import plan_prefetch_best
+    from gpu_quantum_simulator_tpu.engine.simulator import _fuse_pipeline
+
+    c = models.grover_like(24, num_gates=2445, seed=318)
+    ops = _fuse_pipeline(c, 7, max_high=1, window=8)
+    plan = plan_prefetch_best(ops, 24)
+    secs, parts = plancost.estimate_plan(plan, 24)
+    assert secs < 3.5, (secs, parts)
+    n_blocks = len(plan.blocks)
+    assert plan.num_ops / n_blocks > 1.8, (plan.num_ops, n_blocks)

@@ -127,3 +127,24 @@ def test_counts_helper():
     s = np.array([0, 3, 3, 1, 3])
     assert counts(s, 2) == {"00": 1, "01": 1, "11": 3}
     assert counts(s, 2, as_bitstrings=False) == {0: 1, 1: 1, 3: 3}
+
+
+def test_xeb_fidelity_ideal_vs_noise():
+    """Linear XEB ~1 for faithful samples of a random circuit, ~0 for
+    uniform noise samples scored against the same state."""
+    from gpu_quantum_simulator_tpu.sampling import (
+        sample_state_device, xeb_fidelity)
+
+    n = 10
+    c = models.random_circuit(n, 300, seed=5)
+    sim = Simulator(SimulatorConfig(strategy="mxu"))
+    re, im, _ = sim.run_device(c)
+
+    s_good = sample_state_device(re, im, n, 20000, seed=1)
+    f_good = xeb_fidelity(re, im, s_good, n)
+    assert abs(f_good - 1.0) < 0.12, f_good
+
+    rng = np.random.default_rng(2)
+    s_noise = rng.integers(0, 1 << n, size=20000)
+    f_noise = xeb_fidelity(re, im, s_noise, n)
+    assert abs(f_noise) < 0.08, f_noise
