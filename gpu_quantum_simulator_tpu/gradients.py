@@ -226,6 +226,7 @@ def make_adjoint_value_and_grad(
     config: Optional[SimulatorConfig] = None,
     tie=None,
     _raw: bool = False,
+    _value_only: bool = False,
 ):
     """Compile ONE jitted ``f(thetas) -> (<H>, grads)`` for optimizer loops.
 
@@ -339,6 +340,8 @@ def make_adjoint_value_and_grad(
             lr = lr + coeff * tr
             li = li + coeff * ti
         energy, _ = inner(pr, pi, lr, li)
+        if _value_only:
+            return energy, jnp.zeros(0, real_dtype)
         grads = [jnp.zeros((), real_dtype)] * num_slots
         for k in range(len(gates) - 1, -1, -1):
             g = gates[k]
@@ -439,3 +442,42 @@ def run_vqe(
 
     theta, energies, _ = jax.jit(drive)(jnp.asarray(theta0))
     return np.asarray(theta), np.asarray(energies)
+
+
+def energy_landscape(
+    circuit: Circuit,
+    terms,
+    thetas,
+    tie=None,
+    config: Optional[SimulatorConfig] = None,
+    max_batch_log2: int = 24,
+) -> np.ndarray:
+    """<H> over a (G, P) grid of parameter vectors, vmapped on device.
+
+    Forward passes only (no adjoint sweep); chunked so a batch never
+    exceeds 2^max_batch_log2 amplitudes.  The QAOA p=1 (gamma, beta)
+    heatmap in two lines:
+
+        g, b = np.meshgrid(gs, bs, indexing="ij")
+        E = energy_landscape(c, cost, np.stack([g, b], -1).reshape(-1, 2),
+                             tie=tie).reshape(g.shape)
+    """
+    import jax
+    import jax.numpy as jnp
+
+    fn, idxs, _ = make_adjoint_value_and_grad(
+        circuit, terms, config=config, tie=tie, _raw=True, _value_only=True)
+    thetas = np.asarray(thetas, dtype=float)
+    if thetas.ndim != 2:
+        raise ValueError(f"thetas must be (grid, params), got {thetas.shape}")
+
+    @jax.jit
+    def batch(ts):
+        return jax.vmap(lambda t: fn(t)[0])(ts)
+
+    n = circuit.num_qubits
+    per = max(1, 1 << max(0, max_batch_log2 - n))
+    out = []
+    for lo in range(0, thetas.shape[0], per):
+        out.append(np.asarray(batch(jnp.asarray(thetas[lo:lo + per]))))
+    return np.concatenate(out)

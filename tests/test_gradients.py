@@ -333,3 +333,31 @@ def test_run_vqe_restarts_escape_local_minimum():
     assert es_best[-1] >= es_single[-1] - 1e-6
     # the restart pool should actually solve it (optimum = 4.5 at n=6)
     assert es_best[-1] > 4.0
+
+
+def test_energy_landscape_grid():
+    """Vmapped grid evaluation agrees pointwise with the scalar fn and
+    locates the p=1 QAOA optimum on a coarse (gamma, beta) heatmap."""
+    from gpu_quantum_simulator_tpu import models
+    from gpu_quantum_simulator_tpu.gradients import (
+        energy_landscape, make_adjoint_value_and_grad)
+
+    c, tie, terms = models.qaoa_maxcut_tied(6, gammas=(0.3,), betas=(0.3,))
+    fn, _, _ = make_adjoint_value_and_grad(c, terms, tie=tie)
+
+    gs = np.linspace(0.1, 1.2, 7)
+    bs = np.linspace(0.1, 0.7, 5)
+    g, b = np.meshgrid(gs, bs, indexing="ij")
+    grid = np.stack([g, b], -1).reshape(-1, 2)
+    E = energy_landscape(c, terms, grid, tie=tie, max_batch_log2=9)
+    for k in (0, 10, 34):
+        want, _ = fn(grid[k])
+        assert abs(E[k] - float(want)) < 1e-5
+    # the coarse-grid argmax sits near (pi/4, pi/8)
+    gi, bi = np.unravel_index(np.argmax(E.reshape(g.shape)), g.shape)
+    assert abs(gs[gi] - np.pi / 4) < 0.2
+    assert abs(bs[bi] - np.pi / 8) < 0.16
+
+    import pytest
+    with pytest.raises(ValueError):
+        energy_landscape(c, terms, np.zeros(3), tie=tie)
