@@ -131,3 +131,36 @@ def shadows_expectation(
         means = est[:cut].reshape(g, -1).mean(axis=1) if cut else est
         total += float(coeff) * float(np.median(means))
     return total
+
+
+def shadows_reduced_density(
+    bases: np.ndarray,
+    outcomes: np.ndarray,
+    qubits: Sequence[int],
+) -> np.ndarray:
+    """Reconstruct the reduced density matrix of ``qubits`` from shadow
+    snapshots: rho_A = E_s [ prod_q (3 U_q^dag |b_q><b_q| U_q - I) ].
+
+    Little-endian over ``qubits`` in the given order.  Unbiased; error
+    ~sqrt(4^k/S).  Feed the (bases, outcomes) pool from
+    :func:`shadow_snapshots`."""
+    qs = [int(q) for q in qubits]
+    if len(set(qs)) != len(qs):
+        raise ValueError("qubits must be distinct")
+    S = bases.shape[0]
+    # per-(basis, bit) single-qubit estimator 3 U^dag |b><b| U - I
+    est = np.empty((3, 2, 2, 2), dtype=complex)
+    for b in range(3):
+        u = _ROT[b]
+        for bit in range(2):
+            proj = np.zeros((2, 2), dtype=complex)
+            proj[bit, bit] = 1.0
+            est[b, bit] = 3.0 * (u.conj().T @ proj @ u) - np.eye(2)
+    rho = np.zeros((1 << len(qs),) * 2, dtype=complex)
+    for s in range(S):
+        m = np.array([[1.0]], dtype=complex)
+        for q in qs:
+            m = np.kron(est[bases[s, q], (int(outcomes[s]) >> q) & 1], m)
+        rho += m
+    rho /= S
+    return rho
