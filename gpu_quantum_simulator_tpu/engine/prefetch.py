@@ -2428,12 +2428,23 @@ _RUN_CACHE_LIMIT = 8
 
 def _circuit_fingerprint(circuit) -> str:
     """Cheap hash over the gate stream (vs hashing 100s of MB of fused
-    matrices): names, qubits, params, qubit count."""
-    h = hashlib.sha256(f"c|{circuit.num_qubits}".encode())
-    for g in circuit.gates:
-        h.update(g.name.encode())
-        h.update(np.asarray(g.qubits, dtype=np.int32).tobytes())
-        h.update(np.asarray(g.params, dtype=np.float64).tobytes())
+    matrices): names, qubits, params, qubit count.
+
+    Four bulk updates instead of 3 numpy allocations per gate — the
+    per-gate form cost ~11 ms on the 2445-gate benchmark circuit, half
+    of the engine's total host-side overhead.  Unambiguous: the name
+    stream is separator-joined and the qubit stream carries an arity
+    sentinel, so (names, qubits, param counts, params) reconstruct the
+    gate list uniquely."""
+    gates = circuit.gates
+    h = hashlib.sha256(f"c|{circuit.num_qubits}|{len(gates)}".encode())
+    h.update("|".join(g.name for g in gates).encode())
+    h.update(np.array([q for g in gates for q in (-1,) + g.qubits],
+                      dtype=np.int32).tobytes())
+    h.update(np.array([len(g.params) for g in gates],
+                      dtype=np.int8).tobytes())
+    h.update(np.array([p for g in gates for p in g.params],
+                      dtype=np.float64).tobytes())
     return h.hexdigest()
 
 
