@@ -412,6 +412,82 @@ def trotter_tfim_parts(
     return prefix, body, int(steps)
 
 
+def _xx_interaction(c: Circuit, theta: float, a: int, b: int) -> None:
+    """exp(-i*(theta/2)*X_a X_b): ZZ conjugated by H on both qubits."""
+    c.h(a)
+    c.h(b)
+    _zz_interaction(c, theta, a, b)
+    c.h(a)
+    c.h(b)
+
+
+def _yy_interaction(c: Circuit, theta: float, a: int, b: int) -> None:
+    """exp(-i*(theta/2)*Y_a Y_b): ZZ conjugated by V = H Sdg (V Y V^dag = Z)."""
+    for q in (a, b):
+        c.sdg(q)
+        c.h(q)
+    _zz_interaction(c, theta, a, b)
+    for q in (a, b):
+        c.h(q)
+        c.s(q)
+
+
+def trotter_heisenberg_parts(
+    num_qubits: int,
+    dt: float,
+    Jx: float = 1.0,
+    Jy: float = 1.0,
+    Jz: float = 1.0,
+    h: float = 0.0,
+    steps: int = 10,
+    periodic: bool = False,
+):
+    """(prefix, body, steps) for first-order Trotter evolution under the
+    XYZ Heisenberg chain of :func:`heisenberg_terms` from |0...0>.
+
+    One step applies exp(-i dt Jx XX) exp(-i dt Jy YY) exp(-i dt Jz ZZ)
+    per bond (XX/YY as basis-conjugated ZZ interactions) then the field
+    exp(-i dt h Z) per site; the body is a fixed block — iterate with
+    ``run_device_iterated``."""
+    n = num_qubits
+    prefix = Circuit(n)
+    body = Circuit(n)
+    bonds = [(i, i + 1) for i in range(n - 1)]
+    if periodic and n > 2:
+        bonds.append((n - 1, 0))
+    for a, b in bonds:
+        if Jx:
+            _xx_interaction(body, 2.0 * float(Jx) * float(dt), a, b)
+        if Jy:
+            _yy_interaction(body, 2.0 * float(Jy) * float(dt), a, b)
+        if Jz:
+            _zz_interaction(body, 2.0 * float(Jz) * float(dt), a, b)
+    if h:
+        for q in range(n):
+            # rz = diag(1, e^{i theta}): exp(-i dt h Z) ~ rz(+2 h dt) phase
+            body.rz(2.0 * float(h) * float(dt), q)
+    return prefix, body, int(steps)
+
+
+def trotter_heisenberg(
+    num_qubits: int,
+    dt: float,
+    Jx: float = 1.0,
+    Jy: float = 1.0,
+    Jz: float = 1.0,
+    h: float = 0.0,
+    steps: int = 10,
+    periodic: bool = False,
+) -> Circuit:
+    """Unrolled first-order Heisenberg Trotter circuit."""
+    prefix, body, steps = trotter_heisenberg_parts(
+        num_qubits, dt, Jx, Jy, Jz, h, steps, periodic)
+    c = Circuit(prefix.num_qubits, list(prefix.gates))
+    for _ in range(steps):
+        c.gates.extend(body.gates)
+    return c
+
+
 def trotter_tfim(
     num_qubits: int,
     dt: float,
