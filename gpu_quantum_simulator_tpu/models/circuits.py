@@ -270,6 +270,51 @@ def qaoa_maxcut(
     return c
 
 
+def bernstein_vazirani(secret: int, num_qubits: int) -> Circuit:
+    """BV circuit recovering ``secret`` (an n-bit mask) in one query.
+
+    Qubits 0..n-1 = the query register, qubit n = the |-> ancilla; the
+    oracle f(x) = s.x is a cx from each secret bit.  Measuring the query
+    register yields ``secret`` with probability 1."""
+    n = num_qubits
+    if not 0 <= secret < (1 << n):
+        raise ValueError(f"secret {secret} needs more than {n} bits")
+    c = Circuit(n + 1)
+    c.x(n)
+    c.h(n)
+    for q in range(n):
+        c.h(q)
+    for q in range(n):
+        if (secret >> q) & 1:
+            c.cx(q, n)
+    for q in range(n):
+        c.h(q)
+    return c
+
+
+def deutsch_jozsa(num_qubits: int, balanced: bool = True,
+                  mask: int = 1) -> Circuit:
+    """Deutsch-Jozsa: query register measures 0 iff f is constant.
+
+    ``balanced=True`` uses f(x) = parity(mask & x) (any nonzero mask);
+    ``balanced=False`` uses the constant oracle f = 0."""
+    n = num_qubits
+    if balanced and not 0 < mask < (1 << n):
+        raise ValueError("balanced oracle needs a nonzero n-bit mask")
+    c = Circuit(n + 1)
+    c.x(n)
+    c.h(n)
+    for q in range(n):
+        c.h(q)
+    if balanced:
+        for q in range(n):
+            if (mask >> q) & 1:
+                c.cx(q, n)
+    for q in range(n):
+        c.h(q)
+    return c
+
+
 def _controlled_p(c: Circuit, phi: float, ctrl: int, tgt: int) -> None:
     """diag(1,1,1,e^{i phi}) from the gate set (qelib1 cu1 pattern)."""
     c.p(phi / 2, ctrl)

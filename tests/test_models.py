@@ -260,3 +260,32 @@ def test_trotter_heisenberg_matches_exact_evolution():
     e0 = float(np.real(np.vdot(psi0, H @ psi0)))
     e1 = expectation_pauli_sum(c, terms)
     assert abs(e1 - e0) < 0.03
+
+
+def test_bernstein_vazirani_and_deutsch_jozsa():
+    from gpu_quantum_simulator_tpu.config import SimulatorConfig
+    from gpu_quantum_simulator_tpu.engine.simulator import Simulator
+    from gpu_quantum_simulator_tpu.observables import marginal_probabilities
+
+    import jax.numpy as jnp
+    import pytest
+
+    sim = Simulator(SimulatorConfig(strategy="mxu"))
+    n = 6
+    for secret in (0b101101, 0, 0b111111):
+        c = models.bernstein_vazirani(secret, n)
+        p = np.abs(sim.run(c)) ** 2
+        # query register (low n bits) = secret with certainty
+        reg = p.reshape(2, 1 << n).sum(axis=0)
+        assert reg[secret] > 1 - 1e-6
+
+    for balanced, mask in ((True, 0b0110), (False, 1)):
+        c = models.deutsch_jozsa(4, balanced=balanced, mask=mask)
+        p = np.abs(sim.run(c)) ** 2
+        p0 = p.reshape(2, 16).sum(axis=0)[0]   # P(query register == 0)
+        assert (p0 < 1e-6) if balanced else (p0 > 1 - 1e-6)
+
+    with pytest.raises(ValueError):
+        models.bernstein_vazirani(1 << 6, 6)
+    with pytest.raises(ValueError):
+        models.deutsch_jozsa(4, balanced=True, mask=0)
