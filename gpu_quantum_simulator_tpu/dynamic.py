@@ -202,6 +202,13 @@ class DynamicCircuit:
         self.items.append(Noise(kind, qubit, float(p)))
         return self
 
+    def thermal(self, qubit: int, t1: float, t2: float, time: float):
+        """Insert T1/T2 thermal relaxation (density.kraus_thermal) as a
+        Born-weighted Kraus trajectory event on ``qubit``."""
+        from .density import kraus_thermal
+
+        return self.noise_kraus(kraus_thermal(t1, t2, time), qubit)
+
     def noise_kraus(self, kraus, *qubits: int):
         """Insert an arbitrary 1- or 2-qubit channel (see ``KrausNoise``).
 

@@ -375,3 +375,27 @@ def test_kraus_validation():
     dc.noise_kraus([np.eye(2)], 1)                  # identity channel is fine
     with pytest.raises(ValueError):
         dc.to_qasm()                                # no QASM spelling
+
+
+def test_thermal_trajectory_matches_density():
+    """DynamicCircuit.thermal (Kraus trajectories) averages to the exact
+    thermal channel: <Z> after relaxation from |+> and from |1>."""
+    from gpu_quantum_simulator_tpu.density import DensitySimulator, NoisyCircuit
+    from gpu_quantum_simulator_tpu.dynamic import DynamicCircuit, run_dynamic_batched
+
+    t1, t2, t = 10.0, 12.0, 4.0
+    gamma = 1 - np.exp(-t / t1)
+
+    dc = DynamicCircuit(1)
+    dc.x(0)
+    dc.thermal(0, t1, t2, t)
+    res = run_dynamic_batched(dc, shots=4096, seed=2, return_states=True)
+    # <Z> = P0 - P1 = 1 - 2 e^{-t/T1} for a |1> start
+    p1 = np.mean([np.abs(r.state[1]) ** 2 for r in res])
+    assert abs(p1 - np.exp(-t / t1)) < 0.03
+
+    nc = NoisyCircuit(1)
+    nc.x(0)
+    nc.channel("thermal", 0, t1=t1, t2=t2, time=t)
+    rho = DensitySimulator().run(nc).matrix()
+    assert abs(rho[1, 1].real - np.exp(-t / t1)) < 1e-6
