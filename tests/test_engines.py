@@ -184,3 +184,32 @@ def test_auto_strategy_dispatch():
     assert res.strategy == "prefetch"
     want = REF.simulate_reference(c)
     assert np.max(np.abs(res.state - want)) < 2e-5
+
+
+def test_all_strategies_one_circuit_cross_parity():
+    """One deep random circuit through EVERY device strategy (plus
+    prefetch-inplace halves and the 8-way sharded mesh) agrees with the
+    f64 reference to engine tolerance — the single-sweep composition
+    fuzz."""
+    import numpy as np
+
+    from gpu_quantum_simulator_tpu.ref.cpu import simulate_reference
+
+    n = 10
+    c = models.random_circuit(n, 300, seed=99)
+    want = simulate_reference(c)
+
+    for strategy in ("naive", "fused2x2", "fused3in1", "fused4x4",
+                     "megakernel", "scan", "mxu", "pallas", "vmem",
+                     "prefetch", "auto"):
+        got = Simulator(SimulatorConfig(strategy=strategy)).run(c)
+        err = float(np.max(np.abs(got - want)))
+        assert err < 3e-5, (strategy, err)
+
+    got = Simulator(SimulatorConfig(
+        strategy="prefetch", prefetch_inplace=True)).run(c)
+    assert float(np.max(np.abs(got - want))) < 3e-5
+
+    got = Simulator(SimulatorConfig(
+        strategy="sharded", mesh_shape=(8,))).run(c)
+    assert float(np.max(np.abs(got - want))) < 3e-5
