@@ -270,6 +270,36 @@ def qaoa_maxcut(
     return c
 
 
+def w_state(num_qubits: int) -> Circuit:
+    """|W_n> = (|10...0> + |01...0> + ... + |0...01>) / sqrt(n).
+
+    Cascade construction: qubit 0 starts the excitation with
+    ry(2 acos(sqrt(1/n))); each step passes the remaining amplitude down
+    with a controlled rotation (decomposed through the native gate set:
+    cry(t) = ry(t/2); cx; ry(-t/2); cx) followed by cx back-transfer."""
+    import math as _m
+
+    n = num_qubits
+    if n < 1:
+        raise ValueError("w_state needs >= 1 qubit")
+    c = Circuit(n)
+    if n == 1:
+        c.x(0)
+        return c
+    # excitation starts on qubit 0 with full weight
+    c.x(0)
+    for k in range(n - 1):
+        # move amplitude sqrt((n-1-k)/(n-k)) of the excitation from qubit k
+        # to qubit k+1: controlled-ry from k on k+1, then cx back
+        theta = 2.0 * _m.acos(_m.sqrt(1.0 / (n - k)))
+        c.ry(theta / 2, k + 1)
+        c.cx(k, k + 1)
+        c.ry(-theta / 2, k + 1)
+        c.cx(k, k + 1)
+        c.cx(k + 1, k)
+    return c
+
+
 def bernstein_vazirani(secret: int, num_qubits: int) -> Circuit:
     """BV circuit recovering ``secret`` (an n-bit mask) in one query.
 

@@ -289,3 +289,18 @@ def test_bernstein_vazirani_and_deutsch_jozsa():
         models.bernstein_vazirani(1 << 6, 6)
     with pytest.raises(ValueError):
         models.deutsch_jozsa(4, balanced=True, mask=0)
+
+
+def test_w_state_amplitudes():
+    from gpu_quantum_simulator_tpu.ref.cpu import simulate_reference
+
+    for n in (1, 2, 3, 6, 9):
+        v = simulate_reference(models.w_state(n))
+        want = np.zeros(1 << n, dtype=complex)
+        for q in range(n):
+            want[1 << q] = 1.0 / np.sqrt(n)
+        assert np.max(np.abs(v - want)) < 1e-12, n
+
+    import pytest
+    with pytest.raises(ValueError):
+        models.w_state(0)
