@@ -10,8 +10,10 @@ log() { echo "[$(date +%H:%M:%S)] $*" | tee -a bench_artifacts/queue_logs/queue.
 
 # Hard deadline (epoch seconds): the driver runs bench.py on this same
 # chip at round end — never let a queue job overlap it (shared HBM).
-# Default: QSIM_QUEUE_DEADLINE env, else now + 8 h.
-DEADLINE=${QSIM_QUEUE_DEADLINE:-$(( $(date +%s) + 8 * 3600 ))}
+# Default: QSIM_QUEUE_DEADLINE env, else now + 6 h (the tunnel has been
+# down most of the round; a late return must still leave the chip free
+# for the driver's round-end bench).
+DEADLINE=${QSIM_QUEUE_DEADLINE:-$(( $(date +%s) + 6 * 3600 ))}
 
 run() { # run <name> <timeout_s> <cmd...>
   local name=$1 to=$2; shift 2
