@@ -27,7 +27,7 @@ enable_persistent_cache()
 from .ir.circuit import Gate, Circuit
 from .ir.oplist import circuit_unitary
 from .ir import gates
-from .qasm.parser import (parse_qasm, parse_qasm_dynamic,
+from .qasm.parser import (QasmError, parse_qasm, parse_qasm_dynamic,
                           parse_qasm_dynamic_file, parse_qasm_file)
 from .engine.simulator import Simulator, simulate
 from .config import SimulatorConfig
@@ -56,6 +56,7 @@ __all__ = [
     "gates",
     "models",
     "circuit_unitary",
+    "QasmError",
     "parse_qasm",
     "parse_qasm_dynamic",
     "parse_qasm_dynamic_file",

@@ -30,6 +30,11 @@ MAT = 5.2
 PERM = 3.5
 MONO = 3.7
 RELAYOUT = 10.9
+# folded-relayout input surcharge per grid step (QSIM_STREAM_RELAYOUT):
+# the block's input drops to Tr-granular copies sourced through sigma —
+# same bytes, more DMA issues.  Estimate until scripts/dma_probe.py
+# prices Tr-sized copies (hbmTr64 vs hbmTr512).
+FOLD_IN = 2.0
 XSWAP_SPLIT = None   # in-place pair-grid swap pass (None -> BASE_PLAIN/2)
 DISPATCH_S = 0.030   # per chain part over the axon tunnel
 
@@ -49,23 +54,40 @@ def tswap_us(k: int) -> float:
     return 1.76 + 0.675 * (k - 1)
 
 
-def estimate_plan(plan, n: int, inplace: bool = False, stream: bool = False):
+def estimate_plan(plan, n: int, inplace: bool = False, stream: bool = False,
+                  fold_relayout: bool = False):
     """(seconds, breakdown dict) for one PrefetchPlan at width n.
 
     ``stream`` models the QSIM_STREAM_PLAIN chains: in-place xswaps ride
     the block's pair-mode input stream (no standalone pass) and steered
-    flat blocks cost the streamed base.
+    flat blocks cost the streamed base.  ``fold_relayout`` models the
+    QSIM_STREAM_RELAYOUT chains: a relayout followed by a plain step block
+    drops its standalone pass; the follower pays FOLD_IN on its base
+    (mirrors prefetch._fold_relayout_entries).
     """
     from . import prefetch as P
 
     T = P.tile_rows(n)
     gs = max((1 << (n - P.LOCAL_QUBITS)) // T, 1)
     logt = plan.logt
+    blocks = plan.blocks
+    folds_away: set = set()   # relayout entries that fold forward
+    fold_into: set = set()    # step blocks paying the folded-input base
+    if fold_relayout and not inplace:
+        for i in range(len(blocks) - 1):
+            b, nxt = blocks[i], blocks[i + 1]
+            if (i not in fold_into and b.relayout is not None
+                    and not b.kinds and nxt.relayout is None
+                    and nxt.gswap is None and nxt.prologue is None
+                    and nxt.kinds):
+                folds_away.add(i)
+                fold_into.add(i + 1)
     acc = {"base": 0.0, "mat": 0.0, "mono": 0.0, "tswap": 0.0, "perm": 0.0,
            "relayout": 0.0, "xswap": 0.0}
-    for b in plan.blocks:
+    for i, b in enumerate(blocks):
         if b.relayout is not None:
-            acc["relayout"] += RELAYOUT * gs
+            if i not in folds_away:
+                acc["relayout"] += RELAYOUT * gs
             continue
         if b.gswap is not None:
             continue
@@ -80,6 +102,8 @@ def estimate_plan(plan, n: int, inplace: bool = False, stream: bool = False):
         else:
             base = (BASE_SPLIT if inplace else
                     BASE_STEERED if b.prologue is not None else BASE_PLAIN)
+        if i in fold_into:
+            base += FOLD_IN
         acc["base"] += base * gs
         for kind in b.kinds:
             if kind == 0:
@@ -93,7 +117,7 @@ def estimate_plan(plan, n: int, inplace: bool = False, stream: bool = False):
     total = sum(acc.values()) * US
     # chain parts: approximate with the real chunker on the block count
     max_chunk = max(32, P.DISPATCH_GRID_BUDGET // gs)
-    nparts = len(P._chunks(len(plan.blocks), max_chunk))
+    nparts = len(P._chunks(len(blocks) - len(folds_away), max_chunk))
     total += nparts * DISPATCH_S
     acc["dispatch_parts"] = nparts
     return total, acc

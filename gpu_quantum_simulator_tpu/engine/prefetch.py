@@ -66,6 +66,10 @@ RELAYOUT_TILE_ROWS = 64       # relayout kernel block rows (exposes row bits
 CAP_STEPS = 48                # steps (mats + tswaps + perms) per block
 CAP_MATS = 12                 # 2 tables x 12 x 256 KB = 6 MB VMEM
 MIN_QUBITS = 9                # below this the megakernel path is used
+RELAYOUT_SLOTS = 24           # scal tail slots reserved for a FOLDED relayout
+                              # sigma (scal mode 5): enough for every exposed
+                              # row-block bit at n = 30 with Tr = 64 (16) and
+                              # the shrunken-tile test geometries
 # relayout parking looks this many topological waves past the ready set
 # when filling spare park slots (the plan portfolio tries several depths
 # and keeps the model-cheapest plan, so this is only the fallback depth)
@@ -314,6 +318,10 @@ class _Block:
     # standalone multi-qubit relayout entry: sigma over exposed slots
     # (see get_relayout_kernel); a block carrying this has no steps
     relayout: Optional[np.ndarray] = None
+    # FOLDED relayout (QSIM_STREAM_RELAYOUT): the same sigma, applied by
+    # sourcing THIS block's streamed input copies through the permutation
+    # at relayout-tile granularity — no standalone state pass
+    relayout_pro: Optional[np.ndarray] = None
     # standalone mesh-bit exchange entry (sharded execution): swap local
     # window bit 7 with mesh-axis bit ``gswap`` via a ppermute half exchange
     gswap: Optional[int] = None
@@ -1030,7 +1038,7 @@ def get_block_kernel(n: int, real_dtype, precision: str, interpret: bool,
     fixed ~10.4 us/grid-step empty-pass overhead (kernel_micro_n24.json).
     """
     dt = np.dtype(real_dtype)
-    key = (n, cap_steps, cap_mats, dt.str, precision, interpret)
+    key = (n, cap_steps, cap_mats, dt.str, precision, interpret, _stream_on())
     fn = _KERNEL_CACHE.get(key)
     if fn is not None:
         return fn
@@ -1117,9 +1125,10 @@ def get_block_kernel(n: int, real_dtype, precision: str, interpret: bool,
         interpret=interpret,
     )
 
-    if _STREAM_PLAIN:
-        # the streaming kernel handles BOTH forms (steered input copies
-        # fold the pending xswap exactly like map_half does)
+    if _stream_on():
+        # the streaming kernel handles ALL forms (steered input copies
+        # fold the pending xswap exactly like map_half does; folded
+        # relayout input copies source through the sigma)
         fn = get_stream_block_kernel(n, dt, precision, interpret,
                                      cap_steps, cap_mats)
         _KERNEL_CACHE[key] = fn
@@ -1146,6 +1155,18 @@ STREAM_TILES = 4     # streaming block kernel: in-flight (T, 256) tiles
 # probe (scripts/dma_probe.py) shows the manual window beating Mosaic's
 # revolving buffers on the empty pass.
 _STREAM_PLAIN = bool(int(os.environ.get("QSIM_STREAM_PLAIN", "0")))
+# Fold standalone relayout passes into the NEXT plain block's streamed
+# input copies (scal mode 5; docs/ROADMAP.md design note 1): kills both
+# the relayout's own state round-trip AND its forced block boundary, at
+# the cost of Tr-granular input DMAs (T/Tr copies per tile per component
+# instead of one).  Implies streaming-kernel routing.  Default off until
+# the DMA probe prices Tr-sized copies (hbmTr64 vs hbmTr512).
+_STREAM_RELAYOUT = bool(int(os.environ.get("QSIM_STREAM_RELAYOUT", "0")))
+
+
+def _stream_on() -> bool:
+    """Route flat blocks through the manual streaming DMA kernel."""
+    return _STREAM_PLAIN or _STREAM_RELAYOUT
 
 
 def get_stream_block_kernel(n: int, real_dtype, precision: str,
@@ -1163,7 +1184,12 @@ def get_stream_block_kernel(n: int, real_dtype, precision: str,
     xswap-prologue form: when scal[1] == 1 the input copies become four
     (T, 128) column-half reads whose source tile/column fold the pending
     cross-tile swap into the stream (the manual twin of the grid form's
-    ``map_half`` BlockSpec steering).
+    ``map_half`` BlockSpec steering).  scal[1] == 5 is the FOLDED RELAYOUT
+    form (QSIM_STREAM_RELAYOUT): the input copies drop to relayout-tile
+    granularity — T/Tr reads of (Tr, 256) per tile per component — each
+    sourced through the pending row-block permutation sigma stored at
+    scal[4 + 2*cap_steps + a] (the standalone relayout pass and its block
+    boundary disappear; src_of matches get_relayout_kernel exactly).
     """
     dt = np.dtype(real_dtype)
     key = ("stream", n, cap_steps, cap_mats, dt.str, precision, interpret)
@@ -1176,10 +1202,16 @@ def get_stream_block_kernel(n: int, real_dtype, precision: str,
     nt = R2 // T
     W = min(STREAM_TILES, nt)
     prec = _precision(precision)
+    Tr = relayout_rows(n)
+    K = T // Tr                       # relayout blocks per working tile
+    mrow = (R2 // Tr - 1).bit_length()  # exposed row-block bits
+    has_fold = mrow >= 1              # plans only emit relayouts with
+    soff = 4 + 2 * cap_steps          # sigma slot offset in scal
 
     def kernel(scal_ref, sre, sim, a_ref, b_ref, p_ref, ore, oim,
                bre, bim, cre, cim, isem, osem):
-        active = scal_ref[1] == 1
+        mode = scal_ref[1]
+        active = mode == 1
 
         def in_plain(t, s):
             return (pltpu.make_async_copy(sre.at[pl.ds(t * T, T), :],
@@ -1211,27 +1243,55 @@ def get_stream_block_kernel(n: int, real_dtype, precision: str,
                                       isem.at[s, 3]),
             )
 
-        def start_in(t, s):
+        def in_folded(t, s):
+            # folded relayout: working tile t's K relayout blocks each
+            # source the (Tr, 256) block j with j_bit[a] = i_bit[sigma(a)]
+            # (identical addressing to get_relayout_kernel.src_of); modes
+            # are exclusive per block, so sem indices 0..2K-1 are free
+            copies = []
+            for c in range(K):
+                i = t * K + c
+                j = jnp.zeros((), jnp.int32)
+                for a in range(mrow):
+                    j = j | (((i >> scal_ref[soff + a]) & 1) << a)
+                copies.append(pltpu.make_async_copy(
+                    sre.at[pl.ds(j * Tr, Tr), :],
+                    bre.at[s, pl.ds(c * Tr, Tr), :], isem.at[s, 2 * c]))
+                copies.append(pltpu.make_async_copy(
+                    sim.at[pl.ds(j * Tr, Tr), :],
+                    bim.at[s, pl.ds(c * Tr, Tr), :], isem.at[s, 2 * c + 1]))
+            return copies
+
+        def _in_dispatch(t, s, go):
             @pl.when(active)
             def _():
                 for d in in_steered(t, s):
-                    d.start()
+                    go(d)
 
-            @pl.when(jnp.logical_not(active))
-            def _():
-                for d in in_plain(t, s):
-                    d.start()
+            if has_fold:
+                folded = mode == 5
+
+                @pl.when(folded)
+                def _():
+                    for d in in_folded(t, s):
+                        go(d)
+
+                @pl.when(jnp.logical_and(jnp.logical_not(active),
+                                         jnp.logical_not(folded)))
+                def _():
+                    for d in in_plain(t, s):
+                        go(d)
+            else:
+                @pl.when(jnp.logical_not(active))
+                def _():
+                    for d in in_plain(t, s):
+                        go(d)
+
+        def start_in(t, s):
+            _in_dispatch(t, s, lambda d: d.start())
 
         def wait_in(t, s):
-            @pl.when(active)
-            def _():
-                for d in in_steered(t, s):
-                    d.wait()
-
-            @pl.when(jnp.logical_not(active))
-            def _():
-                for d in in_plain(t, s):
-                    d.wait()
+            _in_dispatch(t, s, lambda d: d.wait())
 
         def out_d(t, s):
             return (pltpu.make_async_copy(cre.at[s],
@@ -1292,7 +1352,8 @@ def get_stream_block_kernel(n: int, real_dtype, precision: str,
             + [tab(cap_mats), tab(cap_mats), tab(LANE_QUBITS)],
             out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
             scratch_shapes=[pltpu.VMEM((W, T, DVIEW), dt)] * 4
-            + [pltpu.SemaphoreType.DMA((W, 4)),
+            + [pltpu.SemaphoreType.DMA(
+                   (W, max(4, 2 * K) if has_fold else 4)),
                pltpu.SemaphoreType.DMA((W, 2))],
         ),
         out_shape=[jax.ShapeDtypeStruct((R2, DVIEW), dt)] * 2,
@@ -1574,7 +1635,8 @@ def get_split_kernels(n: int, real_dtype, precision: str, interpret: bool,
     Returns ``(block_fn, xswap_fn)`` over (scal, re0, re1, im0, im1).
     """
     dt = np.dtype(real_dtype)
-    key = ("split", n, cap_steps, cap_mats, dt.str, precision, interpret)
+    key = ("split", n, cap_steps, cap_mats, dt.str, precision, interpret,
+           _STREAM_PLAIN)
     fn = _KERNEL_CACHE.get(key)
     if fn is not None:
         return fn
@@ -1896,7 +1958,7 @@ def get_block_chain_split(n: int, real_dtype, precision: str, interpret: bool,
     state's own buffers."""
     dt = np.dtype(real_dtype)
     key = ("split", n, cap_steps, cap_mats, dt.str, precision, interpret,
-           num_blocks)
+           num_blocks, _STREAM_PLAIN)
     fn = _CHAIN_CACHE.get(key)
     if fn is not None:
         return fn
@@ -1947,7 +2009,8 @@ def get_block_chain(n: int, real_dtype, precision: str, interpret: bool,
     every circuit whose plan chunks to the same power-of-2 sizes.
     """
     dt = np.dtype(real_dtype)
-    key = (n, cap_steps, cap_mats, dt.str, precision, interpret, num_blocks)
+    key = (n, cap_steps, cap_mats, dt.str, precision, interpret, num_blocks,
+           _stream_on())
     fn = _CHAIN_CACHE.get(key)
     if fn is not None:
         return fn
@@ -2053,10 +2116,38 @@ def join_halves(re0, re1, im0, im1):
 
 
 # ------------------------------------------------------------------ program
+def _fold_relayout_entries(entries: Sequence[_Block]) -> List[_Block]:
+    """Merge (standalone relayout, following plain step block) pairs.
+
+    QSIM_STREAM_RELAYOUT: the streaming block kernel sources its input
+    copies THROUGH a pending row-block permutation at relayout-tile
+    granularity (scal mode 5), so a relayout immediately followed by a
+    plain step block needs no state pass of its own — the sigma rides the
+    next block's input DMA (docs/ROADMAP.md design note 1).  Pairs where
+    the next block already carries an xswap prologue (the steered input
+    path owns the sourcing), is itself a relayout/gswap entry, or is
+    empty keep the standalone form.
+    """
+    out: List[_Block] = []
+    for blk in entries:
+        prev = out[-1] if out else None
+        if (prev is not None and prev.relayout is not None
+                and not prev.kinds
+                and blk.relayout is None and blk.relayout_pro is None
+                and blk.gswap is None and blk.prologue is None
+                and blk.kinds):
+            out[-1] = _Block(kinds=blk.kinds, midx=blk.midx, mats=blk.mats,
+                             relayout_pro=prev.relayout)
+        else:
+            out.append(blk)
+    return out
+
+
 def materialize_entries(entries: Sequence[_Block], cap_steps: int,
                         cap_mats: int, dt, inplace: bool = False,
                         single_class: bool = False,
-                        max_chunk: int = 1 << 30):
+                        max_chunk: int = 1 << 30,
+                        fold_relayout: bool = False):
     """Pack plan entries into grouped, pow-2-chunked scal + factor tables.
 
     Two block classes keep table H2D near the real content volume:
@@ -2075,6 +2166,8 @@ def materialize_entries(entries: Sequence[_Block], cap_steps: int,
     cos/sin row-phase vectors (see _get_expander).  Shared by
     PrefetchProgram and the mesh engine (parallel/sharded_prefetch.py).
     """
+    if fold_relayout:
+        entries = _fold_relayout_entries(entries)
     if single_class:
         # large-n mode: every entry shares ONE capacity class so the whole
         # circuit chains as a handful of pow-2 chunks.  Class alternation
@@ -2111,7 +2204,8 @@ def materialize_entries(entries: Sequence[_Block], cap_steps: int,
         B = len(blks)
         sizes = _chunks(B, max_chunk)
         Bp = sum(sizes)
-        scal = np.zeros((Bp, 4 + 2 * cap_steps), dtype=np.int32)
+        scal = np.zeros((Bp, 4 + 2 * cap_steps + RELAYOUT_SLOTS),
+                        dtype=np.int32)
         u_re = np.zeros((Bp, cap, UPAD, UPAD), dtype=dt)
         u_im = np.zeros((Bp, cap, UPAD, UPAD), dtype=dt)
         mvec = np.zeros((Bp, cap, DVIEW), dtype=np.int32)
@@ -2143,6 +2237,14 @@ def materialize_entries(entries: Sequence[_Block], cap_steps: int,
                 scal[i, 1] = 4
                 scal[i, 2] = blk.gswap
                 continue
+            if blk.relayout_pro is not None:
+                # folded relayout (streaming kernel mode 5): sigma rides
+                # the scal TAIL so kinds/midx keep their slots
+                m = len(blk.relayout_pro)
+                assert m <= RELAYOUT_SLOTS, (m, RELAYOUT_SLOTS)
+                scal[i, 1] = 5
+                scal[i, 4 + 2 * cap_steps : 4 + 2 * cap_steps + m] = (
+                    blk.relayout_pro)
             scal[i, 4 : 4 + k] = blk.kinds
             scal[i, 4 + cap_steps : 4 + cap_steps + k] = blk.midx
             for s, (u, positions, operm) in enumerate(blk.mats):
@@ -2243,7 +2345,8 @@ class PrefetchProgram:
         for (cap, sizes, scal, u_re, u_im, mvec, hvec, mvec_o,
              hvec_o, phases, mono) in materialize_entries(
                 entries, cap_steps, cap_mats, dt, inplace=inplace,
-                single_class=single_class, max_chunk=max_chunk):
+                single_class=single_class, max_chunk=max_chunk,
+                fold_relayout=(not inplace) and _STREAM_RELAYOUT):
             off = 0
             for c in sizes:
                 chain_builder = get_block_chain_split if inplace else get_block_chain
@@ -2541,6 +2644,10 @@ def run_prefetch(circuit, config, initial_parts=None, return_halves=False):
         _circuit_fingerprint(circuit), config.precision,
         config.max_fused_qubits, str(np.dtype(real_dtype)), bool(inplace),
         bool(reorder), max_high, cap_mats, window,
+        # kernel-routing flags: programs bake their chain executables at
+        # build time, so an in-process A/B toggling these must not reuse
+        # the other arm's program
+        _STREAM_PLAIN, _STREAM_RELAYOUT,
     )
     cached = _RUN_CACHE.get(run_key)
     if cached is not None:

@@ -1,3 +1,3 @@
-from .parser import parse_qasm, parse_qasm_file
+from .parser import QasmError, parse_qasm, parse_qasm_file
 
-__all__ = ["parse_qasm", "parse_qasm_file"]
+__all__ = ["QasmError", "parse_qasm", "parse_qasm_file"]

@@ -88,6 +88,10 @@ run noisy 2400 python scripts/noisy_demo.py 16 1024
 # 5d. planner-knob A/B (plan_model --tune candidates: max_high/cap_mats)
 run knob_ab 3600 python scripts/knob_ab.py 24 26
 
+# 5e. streamed-input relayout fold A/B (grid vs stream vs fold; the
+# phase-3 design note — decides QSIM_STREAM_RELAYOUT's default)
+run stream_relayout_ab 5400 python scripts/stream_relayout_ab.py 22 24
+
 # 6. large-n demos with the new kernels
 run n29 7200 python scripts/n29_demo.py
 run n30 7200 python scripts/n30_demo.py

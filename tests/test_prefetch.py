@@ -551,6 +551,96 @@ def test_stream_plain_kernel_parity(tile_rows):
         PF._CHAIN_CACHE.clear()
 
 
+def test_fold_relayout_entries_unit():
+    """The fold pass merges (standalone relayout, following plain step
+    block) pairs into one mode-5 block and leaves unmergeable shapes
+    (prologue on the next block, trailing relayout) standalone."""
+    sig = np.array([1, 0], dtype=np.int32)
+    mk_plain = lambda: PF._Block(kinds=[0], midx=[0],
+                                 mats=[(np.eye(2), (0,), None)])
+    out = PF._fold_relayout_entries([PF._Block(relayout=sig), mk_plain()])
+    assert len(out) == 1
+    assert out[0].relayout_pro is sig and out[0].kinds == [0]
+    assert out[0].relayout is None
+    # next block already carries an xswap prologue: no fold
+    pro = mk_plain()
+    pro.prologue = (1, 0)
+    out = PF._fold_relayout_entries([PF._Block(relayout=sig), pro])
+    assert len(out) == 2 and out[0].relayout is sig
+    # trailing relayout stays standalone
+    out = PF._fold_relayout_entries([mk_plain(), PF._Block(relayout=sig)])
+    assert len(out) == 2 and out[1].relayout is sig
+    # back-to-back relayouts: only the second can fold forward
+    out = PF._fold_relayout_entries(
+        [PF._Block(relayout=sig), PF._Block(relayout=sig), mk_plain()])
+    assert len(out) == 2
+    assert out[0].relayout is sig and out[1].relayout_pro is sig
+
+
+@pytest.mark.parametrize("n,t_rows,relayout_rows", [(12, 4, 1), (13, 8, 2)])
+def test_stream_relayout_fold_parity(n, t_rows, relayout_rows):
+    """QSIM_STREAM_RELAYOUT folds standalone relayout passes into the next
+    plain block's streamed input copies (scal mode 5, Tr-granular reads
+    sourced through sigma) with exact end-to-end parity.  Shrunken tiles
+    force the relayout path; the two geometries cover K = T/Tr of 4 input
+    copies per tile (sub-tile sources) and Tr straddling tile boundaries.
+    The materialized chain must contain folded rows and strictly fewer
+    standalone relayout entries than the plan emitted."""
+    old_t, old_r = PF.TILE_ROWS, PF.RELAYOUT_TILE_ROWS
+    old_sr = PF._STREAM_RELAYOUT
+    PF.TILE_ROWS, PF.RELAYOUT_TILE_ROWS = t_rows, relayout_rows
+    PF._STREAM_RELAYOUT = True
+    try:
+        PF._KERNEL_CACHE.clear()
+        PF._CHAIN_CACHE.clear()
+        c = models.grover_like(n, num_gates=300, seed=13)
+        ops = _fuse_pipeline(c, 7, max_high=2)
+        plan = PF.plan_prefetch(ops, n)
+        assert plan.num_relayouts > 0, "test needs the relayout path"
+        rows = np.concatenate([m[2] for m in PF.materialize_entries(
+            plan.blocks, PF.CAP_STEPS, PF.CAP_MATS, np.dtype(np.float32),
+            fold_relayout=True)])
+        assert (rows[:, 1] == 5).sum() >= 1, "no folded relayout rows"
+        assert (rows[:, 1] == 3).sum() < plan.num_relayouts
+        prog = PF.PrefetchProgram(ops, n, interpret=True)
+        from gpu_quantum_simulator_tpu.ops.apply import (
+            initial_state_parts, join_state)
+
+        re, im = initial_state_parts(n, dtype=np.float32)
+        re, im = prog(re, im)
+        state = unpermute_state(
+            join_state(np.asarray(re), np.asarray(im)), prog.final_position)
+        want = simulate_reference(c)
+        assert np.max(np.abs(state - want)) < TOL
+    finally:
+        PF.TILE_ROWS, PF.RELAYOUT_TILE_ROWS = old_t, old_r
+        PF._STREAM_RELAYOUT = old_sr
+        PF._KERNEL_CACHE.clear()
+        PF._CHAIN_CACHE.clear()
+
+
+def test_stream_relayout_final_layout_restore():
+    """The facade path (relabel + in-plan restore) stays exact under
+    QSIM_STREAM_RELAYOUT — the restore's own relayout pass may fold too."""
+    n = 12
+    old_t, old_r = PF.TILE_ROWS, PF.RELAYOUT_TILE_ROWS
+    old_sr = PF._STREAM_RELAYOUT
+    PF.TILE_ROWS, PF.RELAYOUT_TILE_ROWS = 4, 1
+    PF._STREAM_RELAYOUT = True
+    try:
+        PF._KERNEL_CACHE.clear()
+        PF._CHAIN_CACHE.clear()
+        c = models.grover_like(n, num_gates=300, seed=17)
+        got = _run_prefetch(c)
+        want = simulate_reference(c)
+        assert np.max(np.abs(got - want)) < TOL
+    finally:
+        PF.TILE_ROWS, PF.RELAYOUT_TILE_ROWS = old_t, old_r
+        PF._STREAM_RELAYOUT = old_sr
+        PF._KERNEL_CACHE.clear()
+        PF._CHAIN_CACHE.clear()
+
+
 @pytest.mark.parametrize("tile_rows", [4, 8])
 def test_stream_split_kernel_parity(tile_rows):
     """The ALIASED in-place chain with blocks routed through the manual
