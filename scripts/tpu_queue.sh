@@ -92,6 +92,10 @@ run knob_ab 3600 python scripts/knob_ab.py 24 26
 # phase-3 design note — decides QSIM_STREAM_RELAYOUT's default)
 run stream_relayout_ab 5400 python scripts/stream_relayout_ab.py 22 24
 
+# 5f. precision ladder (highest/high/default): seconds + amplitude error
+# at n=18 and n=24 — the documented accuracy/speed trade for sampling
+run precision_ab 5400 python scripts/precision_ab.py 18 24
+
 # 6. large-n demos with the new kernels
 run n29 7200 python scripts/n29_demo.py
 run n30 7200 python scripts/n30_demo.py
