@@ -221,7 +221,10 @@ class Circuit:
                 raise ValueError(f"target qubit {q} out of range")
         if len(set(qmap)) != len(qmap):
             raise ValueError("target qubits must be distinct")
-        for g in other.gates:
+        # snapshot: ``other`` may be ``self`` (c.compose(c) doubles a
+        # circuit); iterating the live list while append() extends it
+        # would never terminate
+        for g in list(other.gates):
             self.append(g.name, *(qmap[q] for q in g.qubits), params=g.params)
         return self
 

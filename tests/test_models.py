@@ -97,6 +97,15 @@ def test_circuit_compose_mapping_and_errors():
         Circuit(4).compose(inner, qubits=[2, 2])     # duplicate
 
 
+def test_circuit_self_compose_doubles():
+    # regression: c.compose(c) must snapshot the gate list — iterating
+    # the live list while appending never terminated (unbounded memory)
+    c = Circuit(2).h(0).cx(0, 1).rz(0.5, 1)
+    c.compose(c)
+    assert len(c.gates) == 6
+    assert [g.name for g in c.gates] == ["h", "cx", "rz"] * 2
+
+
 def test_phase_estimation_exact_and_concentrated():
     """QPE peaks EXACTLY (p=1) at the dyadic eigenphase index and
     concentrates >40% on the two neighbors for a non-dyadic phase."""

@@ -619,6 +619,40 @@ def test_stream_relayout_fold_parity(n, t_rows, relayout_rows):
         PF._CHAIN_CACHE.clear()
 
 
+def test_stream_relayout_iterated():
+    """iterate_program composes correctly when the chain carries folded
+    relayout rows (QSIM_STREAM_RELAYOUT): two scanned repetitions of a
+    layout-closed program equal the doubled circuit."""
+    n = 12
+    old_t, old_r = PF.TILE_ROWS, PF.RELAYOUT_TILE_ROWS
+    old_sr = PF._STREAM_RELAYOUT
+    PF.TILE_ROWS, PF.RELAYOUT_TILE_ROWS = 4, 1
+    PF._STREAM_RELAYOUT = True
+    try:
+        PF._KERNEL_CACHE.clear()
+        PF._CHAIN_CACHE.clear()
+        c = models.grover_like(n, num_gates=60, seed=13)
+        ops = _fuse_pipeline(c, 7, max_high=2)
+        plan = PF.plan_prefetch(ops, n, final_layout=np.arange(n))
+        assert plan.num_relayouts > 0, "test needs the relayout path"
+        prog = PF.PrefetchProgram(ops, n, interpret=True,
+                                  final_layout=np.arange(n))
+        from gpu_quantum_simulator_tpu.ops.apply import (
+            initial_state_parts, join_state)
+
+        re, im = initial_state_parts(n, dtype=np.float32)
+        re, im = PF.iterate_program(prog, 2)(re, im)
+        got = join_state(np.asarray(re), np.asarray(im))
+        doubled = c.compose(c)
+        want = simulate_reference(doubled)
+        assert np.max(np.abs(got - want)) < TOL
+    finally:
+        PF.TILE_ROWS, PF.RELAYOUT_TILE_ROWS = old_t, old_r
+        PF._STREAM_RELAYOUT = old_sr
+        PF._KERNEL_CACHE.clear()
+        PF._CHAIN_CACHE.clear()
+
+
 def test_stream_relayout_final_layout_restore():
     """The facade path (relabel + in-plan restore) stays exact under
     QSIM_STREAM_RELAYOUT — the restore's own relayout pass may fold too."""
