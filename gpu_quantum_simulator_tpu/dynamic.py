@@ -830,14 +830,15 @@ def expectation_noisy(
 ) -> float:
     """<H> = sum_k c_k <P_k> under a per-gate noise model, via trajectories.
 
-    Terms use the observables.expectation_pauli_sum spec.  Per basis group
+    Terms use the observables.expectation_pauli_sum spec.  Per
+    qubit-wise-commuting group (observables.qwc_groups)
     the noisy circuit (+ noiseless measurement-basis rotations) runs as ONE
     batched ensemble; because every shot block is unit-norm, the
     trajectory-averaged <Z-string> is a single global signed reduction over
     the flat ensemble divided by the shot count — no per-shot readout at
     all.  Noisy VQE/QAOA cost evaluation at state-vector widths.
     """
-    from .observables import _basis, _parse_pauli, _with_rotations
+    from .observables import _parse_pauli, _with_rotations, qwc_groups
     from .sampling import expectation_z
 
     cfg = config or SimulatorConfig()
@@ -850,18 +851,18 @@ def expectation_noisy(
     s_full = max(0, (int(shots) - 1).bit_length())
     s_chunk = min(s_full, max_width - n)
 
-    groups: dict = {}
+    parsed = []
     const = 0.0
     for coeff, pauli in terms:
         ops = _parse_pauli(pauli, n)
         if not ops:
             const += coeff
             continue
-        groups.setdefault(_basis(ops), []).append((float(coeff), ops))
+        parsed.append((float(coeff), ops))
 
     noisy = with_noise(circuit, kind, p1, p2, correlated=correlated)
     total = const
-    for basis, members in groups.items():
+    for basis, members in qwc_groups(parsed):
         rotated_tail = _with_rotations(Circuit(n), basis)
         dc = DynamicCircuit(n, items=list(noisy.items) + list(rotated_tail.gates))
         sums = [0.0 for _ in members]

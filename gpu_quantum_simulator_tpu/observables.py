@@ -6,9 +6,10 @@ bitstrings).  Implementation is engine-agnostic and TPU-friendly: an
 X/Y factor is rotated into the Z basis by appending one-qubit basis
 changes to the circuit (X -> H, Y -> S^dag then H), after which the
 diagonal Z-string reduces on device (sampling.expectation_z) with no
-state transfer.  Strings sharing a measurement basis are grouped so a
-k-term Hamiltonian costs one circuit execution per distinct basis, not
-per term — the standard commuting-group trick.
+state transfer.  Strings are grouped by qubit-wise commutation (distinct
+bases merge whenever no qubit demands two different rotations), so a
+k-term Hamiltonian costs one circuit execution per QWC group, not per
+term — e.g. a transverse-field Ising H runs in 2 executions total.
 """
 
 from __future__ import annotations
@@ -47,9 +48,35 @@ def _parse_pauli(pauli: str, num_qubits: int) -> Dict[int, str]:
     return ops
 
 
-def _basis(ops: Dict[int, str]) -> Tuple[Tuple[int, str], ...]:
-    """Measurement-basis fingerprint: the non-Z rotations required."""
-    return tuple(sorted((q, p) for q, p in ops.items() if p != "Z"))
+def qwc_groups(
+    terms: Sequence[Tuple[float, Dict[int, str]]],
+) -> List[Tuple[tuple, List[Tuple[float, Dict[int, str]]]]]:
+    """Bin parsed Pauli terms into qubit-wise-commuting groups.
+
+    Terms are QWC-compatible when no qubit carries two DIFFERENT letters
+    across them (I is compatible with anything; Z conflicts with an X/Y
+    rotation on the same qubit).  Each bin measures once under the
+    non-Z rotations of its merged letter map, and every member reduces
+    as a Z-string on its own qubits in that frame.  Greedy first-fit
+    over terms sorted widest-first: a TFIM's n X-terms + (n-1) ZZ-terms
+    collapse from n+1 distinct bases to 2 executions, and disjoint
+    terms (Z0, X1) share one execution.  Returns
+    [(rotation_basis, members)] in deterministic order."""
+    bins: List[Tuple[Dict[int, str], List[Tuple[float, Dict[int, str]]]]] = []
+    order = sorted(range(len(terms)),
+                   key=lambda i: (-len(terms[i][1]),
+                                  sorted(terms[i][1].items())))
+    for i in order:
+        coeff, ops = terms[i]
+        for letters, members in bins:
+            if all(letters.get(q, p) == p for q, p in ops.items()):
+                letters.update(ops)
+                members.append((coeff, ops))
+                break
+        else:
+            bins.append((dict(ops), [(coeff, ops)]))
+    return [(tuple(sorted((q, p) for q, p in letters.items() if p != "Z")),
+             members) for letters, members in bins]
 
 
 def _with_rotations(circuit: Circuit, basis) -> Circuit:
@@ -113,10 +140,11 @@ def expectation_pauli_sum(
 ) -> float:
     """<H> for H = sum_k c_k P_k.
 
-    ``method="basis"``: one circuit execution per DISTINCT measurement
-    basis (set of non-Z factors); all Z-string reductions for a basis run
-    on the same device state.  ``method="state"``: ONE execution total —
-    every term evaluates as a device-side <psi|P|psi> pass on the final
+    ``method="basis"``: one circuit execution per qubit-wise-commuting
+    group of terms (see ``qwc_groups``); all Z-string reductions for a
+    group run on the same device state.  ``method="state"``: ONE
+    execution total — every term evaluates as a device-side <psi|P|psi>
+    pass on the final
     state (needs a second state resident, n <= 28; wins whenever the
     circuit is deeper than one state pass per extra basis, i.e. almost
     always).  ``"auto"`` picks "state" when several bases exist and the
@@ -129,19 +157,20 @@ def expectation_pauli_sum(
     sim = Simulator(cfg)
     n = circuit.num_qubits
 
-    groups: Dict[tuple, List[Tuple[float, Dict[int, str]]]] = {}
+    parsed: List[Tuple[float, Dict[int, str]]] = []
     const = 0.0
     for coeff, pauli in terms:
         ops = _parse_pauli(pauli, n)
         if not ops:
             const += coeff          # identity term
             continue
-        groups.setdefault(_basis(ops), []).append((float(coeff), ops))
+        parsed.append((float(coeff), ops))
 
+    bins = qwc_groups(parsed)
     if method not in ("auto", "basis", "state"):
         raise ValueError(f"unknown method {method!r}")
     if method == "auto":
-        method = ("state" if len(groups) > 1 and n <= 28
+        method = ("state" if len(bins) > 1 and n <= 28
                   and cfg.strategy != "reference" else "basis")
     if method == "state":
         if cfg.strategy == "reference":
@@ -149,8 +178,6 @@ def expectation_pauli_sum(
         import jax
 
         re, im, _ = sim.run_device(circuit)
-        parsed = [(coeff, ops)
-                  for members in groups.values() for coeff, ops in members]
 
         def eval_terms(re, im):
             import jax.numpy as jnp
@@ -164,7 +191,7 @@ def expectation_pauli_sum(
         return const + float(jax.jit(eval_terms)(re, im))
 
     total = const
-    for basis, members in groups.items():
+    for basis, members in bins:
         rotated = _with_rotations(circuit, basis)
         if cfg.strategy == "reference":
             state = sim.run(rotated)

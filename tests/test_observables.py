@@ -18,7 +18,8 @@ P = {"I": I2, "X": X, "Y": Y, "Z": Z}
 
 def dense_pauli(pauli: str, n: int) -> np.ndarray:
     # qubit k = bit k (little-endian): qubit 0 is the LAST kron factor
-    ops = {q: p for q, p in enumerate(pauli)} if " " not in pauli else None
+    sparse = " " in pauli or any(ch.isdigit() for ch in pauli)
+    ops = {q: p for q, p in enumerate(pauli)} if not sparse else None
     if ops is None:
         ops = {}
         for term in pauli.split():
@@ -58,6 +59,40 @@ def test_hamiltonian_grouping_and_identity():
     h = sum(coeff * dense_pauli(p, n) for coeff, p in terms)
     want = float(np.real(np.vdot(psi, h @ psi)))
     got = expectation_pauli_sum(c, terms, SimulatorConfig(strategy="mxu"))
+    assert abs(got - want) < 1e-5
+
+
+def test_qwc_grouping_merges_compatible_bases():
+    """Qubit-wise-commuting grouping: a TFIM's n X-terms + (n-1) ZZ-terms
+    collapse to exactly 2 measurement groups (Z conflicts with an X
+    rotation on the same qubit, so the letter maps stay separate), and
+    the merged-basis evaluation still matches the dense Hamiltonian."""
+    from gpu_quantum_simulator_tpu.observables import _parse_pauli, qwc_groups
+
+    n = 5
+    terms = models.tfim_terms(n, J=0.8, g=0.6)
+    parsed = [(coeff, _parse_pauli(p, n)) for coeff, p in terms]
+    bins = qwc_groups(parsed)
+    assert len(bins) == 2, bins
+    assert sum(len(m) for _, m in bins) == len(terms)
+    assert {b for b, _ in bins} == {tuple((q, "X") for q in range(n)), ()}
+    # disjoint-qubit terms share one execution; Y vs X on a qubit splits
+    parsed2 = [(1.0, _parse_pauli(p, 3)) for p in
+               ["X0", "X0 X1", "Y0", "Z0 Z1", "Y0 Z1", "Z2"]]
+    bins2 = qwc_groups(parsed2)
+    assert len(bins2) == 3
+    sizes = {b: len(mm) for b, mm in bins2}
+    # X0X1 absorbs X0 and the free-qubit Z2; Y0 absorbs Y0Z1; Z0Z1 alone
+    assert sizes[((0, "X"), (1, "X"))] == 3
+    assert sizes[((0, "Y"),)] == 2
+    assert sizes[()] == 1
+
+    c = models.random_circuit(n, 60, seed=21)
+    psi = simulate_reference(c)
+    h = sum(coeff * dense_pauli(p, n) for coeff, p in terms)
+    want = float(np.real(np.vdot(psi, h @ psi)))
+    got = expectation_pauli_sum(c, terms, SimulatorConfig(strategy="mxu"),
+                                method="basis")
     assert abs(got - want) < 1e-5
 
 
