@@ -374,6 +374,86 @@ def phase_estimation(num_eval_qubits: int, theta: float) -> Circuit:
     return c
 
 
+# every unit mod 15 is +-2^r: value -> (rotation index r, complement?)
+_MOD15_UNITS = {1: (0, False), 2: (1, False), 4: (2, False), 8: (3, False),
+                14: (0, True), 13: (1, True), 11: (2, True), 7: (3, True)}
+# 4-bit rotate-left by r as transposition chains over work-bit indices
+_ROTL_SWAPS = {1: ((2, 3), (1, 2), (0, 1)),
+               2: ((0, 2), (1, 3)),
+               3: ((0, 1), (1, 2), (2, 3))}
+
+
+def shor_order_finding(a: int = 7, num_eval_qubits: int = 8) -> Circuit:
+    """Compiled Shor order-finding circuit for N = 15 (factoring demo).
+
+    Eval register = qubits 0..t-1 (little-endian phase index, the
+    :func:`phase_estimation` convention); work register = qubits t..t+3
+    holding x = 1.  The controlled multipliers a^(2^j) mod 15 compile to
+    named 1q/2q gates because every unit mod 15 is +-2^r: x -> 2x mod 15
+    rotates the 4 work bits left (2^4 = 1 mod 15) and x -> -x mod 15 is
+    the bitwise complement (x + ~x = 15), so each multiplier costs at
+    most 3 cswaps + 4 cx (Vandersypen-style compiled modular
+    exponentiation).  After the inverse QFT the eval register peaks
+    EXACTLY at the r-th multiples s * 2^t / r of the dyadic eigenphases
+    (r = order of a mod 15: 4 for a in {2, 7, 8, 13}, 2 for {4, 11, 14}).
+    Beyond-reference workload: the reference ships no algorithm library.
+    """
+    from ..ir.decompose import emit_cswap
+
+    t = int(num_eval_qubits)
+    if t < 2:
+        raise ValueError("need at least 2 eval qubits")
+    a = int(a) % 15
+    if a not in _MOD15_UNITS or a == 1:
+        raise ValueError(f"a must be a unit mod 15 and != 1, got {a}")
+    c = Circuit(t + 4)
+    w = [t + k for k in range(4)]
+    c.x(w[0])                       # work register starts at |x=1>
+    for q in range(t):
+        c.h(q)
+    for j in range(t):
+        m = pow(a, 1 << j, 15)
+        if m == 1:
+            continue                # higher squarings collapse to identity
+        r, neg = _MOD15_UNITS[m]
+        for lo, hi in _ROTL_SWAPS.get(r, ()):
+            emit_cswap(c, j, w[lo], w[hi])
+        if neg:                     # rotation and complement commute
+            for k in range(4):
+                c.cx(j, w[k])
+    c.compose(qft(t).inverse(), qubits=range(t))
+    return c
+
+
+def shor_factors_from_index(index: int, num_eval_qubits: int, a: int,
+                            modulus: int = 15):
+    """Classical Shor post-processing: measured eval index -> factor pair.
+
+    ``index / 2^t ~ s / r`` for the order r of ``a``; the continued
+    fraction (``Fraction.limit_denominator``) recovers a divisor of r,
+    small multiples restore r itself, and ``gcd(a^(r/2) +- 1, N)`` splits
+    N when r is even and a^(r/2) != -1.  Returns the sorted nontrivial
+    pair (p, q) or None (index 0, odd order, or the trivial -1 root).
+    """
+    from fractions import Fraction
+    from math import gcd
+
+    t = int(num_eval_qubits)
+    if int(index) % (1 << t) == 0:
+        return None                 # phase 0 carries no order information
+    d = Fraction(int(index), 1 << t).limit_denominator(modulus).denominator
+    r = next((d * k for k in range(1, modulus // d + 1)
+              if pow(a, d * k, modulus) == 1), None)
+    if r is None or r % 2:
+        return None
+    y = pow(a, r // 2, modulus)
+    if y == modulus - 1:
+        return None
+    p, q = gcd(y - 1, modulus), gcd(y + 1, modulus)
+    pair = tuple(sorted((p, q)))
+    return pair if pair[0] > 1 and pair[0] * pair[1] == modulus else None
+
+
 def qaoa_maxcut_tied(
     num_qubits: int,
     edges: Optional[Sequence] = None,

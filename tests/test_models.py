@@ -106,6 +106,37 @@ def test_circuit_self_compose_doubles():
     assert [g.name for g in c.gates] == ["h", "cx", "rz"] * 2
 
 
+def test_shor_order_finding_peaks_and_factors():
+    """Compiled Shor-15: the eval register peaks EXACTLY at the four
+    multiples of 2^t/4 for a=7 (order 4), and the classical
+    post-processing recovers 15 = 3 x 5 from every non-zero peak."""
+    t = 6
+    c = models.shor_order_finding(7, num_eval_qubits=t)
+    psi = simulate_reference(c)
+    p = np.abs(psi) ** 2
+    p_eval = p.reshape(16, 1 << t).sum(axis=0)   # eval = low t bits
+    peaks = [0, 16, 32, 48]
+    assert p_eval[peaks].sum() > 1 - 1e-9
+    for s in peaks:
+        assert abs(p_eval[s] - 0.25) < 1e-9
+    results = {models.shor_factors_from_index(i, t, 7) for i in peaks[1:]}
+    assert results == {(3, 5)}
+    assert models.shor_factors_from_index(0, t, 7) is None
+
+    # order-2 multiplier (a=4): peaks at {0, 2^t/2}; still factors
+    t2 = 4
+    c2 = models.shor_order_finding(4, num_eval_qubits=t2)
+    p2 = np.abs(simulate_reference(c2)) ** 2
+    pe2 = p2.reshape(16, 1 << t2).sum(axis=0)
+    assert pe2[0] + pe2[8] > 1 - 1e-9
+    assert models.shor_factors_from_index(8, t2, 4) == (3, 5)
+
+    with pytest.raises(ValueError):
+        models.shor_order_finding(3)    # not a unit mod 15
+    with pytest.raises(ValueError):
+        models.shor_order_finding(7, num_eval_qubits=1)
+
+
 def test_phase_estimation_exact_and_concentrated():
     """QPE peaks EXACTLY (p=1) at the dyadic eigenphase index and
     concentrates >40% on the two neighbors for a non-dyadic phase."""
