@@ -322,6 +322,72 @@ def bernstein_vazirani(secret: int, num_qubits: int) -> Circuit:
     return c
 
 
+def simon(secret: int, num_bits: int) -> Circuit:
+    """Simon's problem: query register measures only y with y.s = 0.
+
+    Qubits 0..n-1 = query register, n..2n-1 = oracle output.  The oracle
+    copies x to the output (cx fan-out), then XORs ``secret`` into it
+    controlled on the lowest set bit i0 of the secret — a 2-to-1 function
+    with f(x) = f(x XOR s) (bijective when s = 0).  After the final
+    Hadamards every measured query string y satisfies parity(y & s) = 0;
+    n-1 independent samples determine s via GF(2) elimination
+    (:func:`simon_secret_from_samples`)."""
+    n = num_bits
+    if not 0 <= secret < (1 << n):
+        raise ValueError(f"secret {secret} needs more than {n} bits")
+    c = Circuit(2 * n)
+    for q in range(n):
+        c.h(q)
+    for q in range(n):
+        c.cx(q, n + q)
+    if secret:
+        i0 = (secret & -secret).bit_length() - 1
+        for k in range(n):
+            if (secret >> k) & 1:
+                c.cx(i0, n + k)
+    for q in range(n):
+        c.h(q)
+    return c
+
+
+def simon_secret_from_samples(samples, num_bits: int) -> Optional[int]:
+    """Recover Simon's secret from query-register samples by GF(2)
+    elimination: the samples span the hyperplane orthogonal to s, so the
+    one-dimensional null space of the row space is {0, s}.  Returns the
+    nonzero secret, 0 when the rows span the full space (s = 0), or None
+    when the samples are insufficient (null space still > 1-dimensional)."""
+    n = num_bits
+    basis: Dict[int, int] = {}       # pivot bit -> fully reduced row
+    for y in samples:
+        v = int(y) & ((1 << n) - 1)
+        while v:
+            b = v.bit_length() - 1
+            if b in basis:
+                v ^= basis[b]
+                continue
+            for p in sorted(basis, reverse=True):
+                if (v >> p) & 1:         # clear lower pivots from v too
+                    v ^= basis[p]
+            for p, r in basis.items():   # back-substitute: keep RREF
+                if (r >> b) & 1:
+                    basis[p] = r ^ v
+            basis[b] = v
+            break
+    rank = len(basis)
+    if rank == n:
+        return 0
+    if rank < n - 1:
+        return None
+    # RREF rows are 2^pivot (+ the free bit): the null vector sets the
+    # free bit and every pivot whose row contains it
+    free = next(b for b in range(n) if b not in basis)
+    s = 1 << free
+    for p, r in basis.items():
+        if (r >> free) & 1:
+            s |= 1 << p
+    return s
+
+
 def deutsch_jozsa(num_qubits: int, balanced: bool = True,
                   mask: int = 1) -> Circuit:
     """Deutsch-Jozsa: query register measures 0 iff f is constant.

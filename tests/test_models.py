@@ -106,6 +106,37 @@ def test_circuit_self_compose_doubles():
     assert [g.name for g in c.gates] == ["h", "cx", "rz"] * 2
 
 
+def test_simon_orthogonal_samples_and_recovery():
+    """Simon's circuit: the query register is uniform over the hyperplane
+    orthogonal to the secret, and GF(2) elimination recovers it."""
+    n, s = 5, 0b10110
+    c = models.simon(s, n)
+    p = np.abs(simulate_reference(c)) ** 2
+    py = p.reshape(1 << n, 1 << n).sum(axis=0)   # query = low n bits
+    support = np.nonzero(py > 1e-12)[0]
+    assert all(bin(int(y) & s).count("1") % 2 == 0 for y in support)
+    assert len(support) == 1 << (n - 1)
+    assert np.allclose(py[support], 1.0 / (1 << (n - 1)), atol=1e-9)
+    assert models.simon_secret_from_samples(support.tolist(), n) == s
+    # regression: recovery must be sample-order independent (rows were
+    # inserted with stale lower-pivot bits, breaking the RREF invariant)
+    import random
+    ys = support.tolist()
+    for seed in range(3):
+        random.Random(seed).shuffle(ys)
+        assert models.simon_secret_from_samples(ys, n) == s
+    assert models.simon_secret_from_samples([0, int(support[1])], n) is None
+
+    # s = 0: f is a bijection, samples span the full space -> returns 0
+    p0 = np.abs(simulate_reference(models.simon(0, 3))) ** 2
+    y0 = np.nonzero(p0.reshape(8, 8).sum(axis=0) > 1e-12)[0]
+    assert len(y0) == 8
+    assert models.simon_secret_from_samples(y0.tolist(), 3) == 0
+
+    with pytest.raises(ValueError):
+        models.simon(1 << 5, 5)
+
+
 def test_shor_order_finding_peaks_and_factors():
     """Compiled Shor-15: the eval register peaks EXACTLY at the four
     multiples of 2^t/4 for a=7 (order 4), and the classical
