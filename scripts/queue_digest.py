@@ -113,7 +113,8 @@ def main():
 
     for demo in ("n29_demo", "n30_demo", "fusion_ab", "density_demo", "kh0_ab",
                  "variational_demo", "noisy_demo", "knob_ab", "vqe_demo",
-                 "quench_demo", "stream_relayout_ab", "precision_ab"):
+                 "quench_demo", "stream_relayout_ab", "precision_ab",
+                 "grover22_demo"):
         d = _load(demo + ".json")
         if d:
             brief = {}

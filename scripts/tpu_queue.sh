@@ -79,6 +79,9 @@ run variational 3600 python scripts/variational_demo.py 24 prefetch
 # 5b2. device-resident VQE loop (adjoint scan; n=16, 60 adam steps)
 run vqe 3600 python scripts/vqe_demo.py 16 3 60
 
+# 5b2b. Grover-22 via iterated prefetch vs mxu (round-2 demo geometry)
+run grover22 2400 python scripts/grover22_demo.py
+
 # 5b3. TFIM quench: entanglement growth at n=24 (entropy via MXU rho)
 run quench 3600 python scripts/quench_demo.py 24 120 0.05 20
 
