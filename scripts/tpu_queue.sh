@@ -111,4 +111,7 @@ run sweep3 7200 python scripts/sweep_fill.py stage3
 
 # 9. consolidate the CSV (freshest rows per strategy/n)
 run consolidate 600 python scripts/sweep_fill.py consolidate
+
+# 10. decision table into the logs (also runnable by hand any time)
+run digest 600 python scripts/queue_digest.py
 log "QUEUE DONE"
