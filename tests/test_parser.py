@@ -136,6 +136,17 @@ class TestDynamicSubset:
             assert [(m.qubit, m.clbit) for m in ms] == [(0, 0), (1, 1)]
             assert dc.num_clbits == 2
 
+    def test_dynamic_file_variant(self, tmp_path):
+        from gpu_quantum_simulator_tpu import parse_qasm_dynamic_file
+        from gpu_quantum_simulator_tpu.dynamic import Measure
+
+        p = tmp_path / "t.qasm"
+        p.write_text("OPENQASM 3.0; qubit[2] q; bit[1] c;\n"
+                     "h q[0]; c[0] = measure q[0];\n")
+        dc = parse_qasm_dynamic_file(str(p))
+        assert dc.num_qubits == 2 and dc.num_clbits == 1
+        assert any(isinstance(i, Measure) for i in dc.items)
+
     def test_reset_and_if(self):
         from gpu_quantum_simulator_tpu.dynamic import CondGate, Reset
         from gpu_quantum_simulator_tpu.qasm.parser import parse_qasm_dynamic
