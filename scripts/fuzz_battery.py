@@ -1,0 +1,179 @@
+"""Randomized differential fuzz battery (beyond the suite's fixed seeds).
+
+Three independent batteries, all hermetic (forced CPU; the sharded one
+forces an 8-virtual-device platform and therefore must run in a fresh
+process — it re-execs itself with the XLA flag set):
+
+  engines   random circuits x all single-chip engines vs the f64
+            reference, plus to_qasm -> parse_qasm round-trip identity
+  sharded   monolithic + segmented sharded engines on a virtual mesh
+  planner   plan_prefetch invariants across the knob grid (no execution):
+            requested final layout honored, involution-restricted sigmas,
+            step kinds in range
+
+Usage: python scripts/fuzz_battery.py [engines|sharded|planner|all]
+                                      [trials] [seed]
+Exit code != 0 on any failure.  The round-3 run (40/12+10/60 trials,
+seed defaults) found zero engine/planner failures; the two bugs fuzzing
+DID find (Circuit.compose(self) non-termination, Simon GF(2) recovery
+order dependence) were in IR / classical post-processing and are pinned
+by regression tests.
+"""
+
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+MODE = sys.argv[1] if len(sys.argv) > 1 else "all"
+TRIALS = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+SEED = int(sys.argv[3]) if len(sys.argv) > 3 else 318
+
+
+def _init_cpu():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    os.environ["QSIM_NO_COMPILE_CACHE"] = "1"
+
+
+def fuzz_engines(trials: int, seed: int) -> int:
+    _init_cpu()
+    import numpy as np
+
+    from gpu_quantum_simulator_tpu import models, parse_qasm
+    from gpu_quantum_simulator_tpu.config import SimulatorConfig
+    from gpu_quantum_simulator_tpu.engine.simulator import Simulator
+    from gpu_quantum_simulator_tpu.ref.cpu import simulate_reference
+
+    rng = np.random.default_rng(seed)
+    strats = ["naive", "fused2x2", "fused4x4", "megakernel", "scan", "mxu",
+              "vmem", "prefetch"]
+    fails = 0
+    for trial in range(trials):
+        n = int(rng.integers(4, 13))
+        gates = int(rng.integers(20, 260))
+        s0 = int(rng.integers(0, 10_000))
+        c = models.random_circuit(n, gates, seed=s0)
+        want = simulate_reference(c)
+        if np.max(np.abs(want - simulate_reference(parse_qasm(c.to_qasm())))) > 1e-12:
+            print("QASM ROUNDTRIP FAIL", n, gates, s0, flush=True)
+            fails += 1
+        picks = strats if trial % 4 == 0 else \
+            [strats[int(rng.integers(len(strats)))]]
+        for s in picks:
+            try:
+                got = Simulator(SimulatorConfig(strategy=s)).run(c)
+                err = float(np.max(np.abs(got - want)))
+                if err > 3e-5:
+                    print("PARITY FAIL", s, n, gates, s0, err, flush=True)
+                    fails += 1
+            except Exception as e:  # noqa: BLE001 — report and count
+                print("CRASH", s, n, gates, s0, repr(e)[:200], flush=True)
+                fails += 1
+    print(f"engines: {trials} circuits, fails = {fails}", flush=True)
+    return fails
+
+
+def fuzz_sharded(trials: int, seed: int) -> int:
+    _init_cpu()
+    import numpy as np
+
+    from gpu_quantum_simulator_tpu import models
+    from gpu_quantum_simulator_tpu.config import SimulatorConfig
+    from gpu_quantum_simulator_tpu.engine.simulator import Simulator
+    from gpu_quantum_simulator_tpu.ref.cpu import simulate_reference
+
+    rng = np.random.default_rng(seed)
+    fails = 0
+    for trial in range(trials):
+        n = int(rng.integers(10, 14))
+        gates = int(rng.integers(60, 400))
+        s0 = int(rng.integers(0, 10_000))
+        c = models.random_circuit(n, gates, seed=s0)
+        want = simulate_reference(c)
+        for segmented in (False, True):
+            try:
+                got = Simulator(SimulatorConfig(
+                    strategy="sharded", shard_segmented=segmented)).run(c)
+                err = float(np.max(np.abs(got - want)))
+                if err > 3e-5:
+                    print("PARITY FAIL", segmented, n, gates, s0, err, flush=True)
+                    fails += 1
+            except Exception as e:  # noqa: BLE001
+                print("CRASH", segmented, n, gates, s0, repr(e)[:200], flush=True)
+                fails += 1
+    print(f"sharded: {trials} circuits x 2 engines, fails = {fails}", flush=True)
+    return fails
+
+
+def fuzz_planner(trials: int, seed: int) -> int:
+    _init_cpu()
+    import numpy as np
+
+    from gpu_quantum_simulator_tpu import models
+    from gpu_quantum_simulator_tpu.engine import prefetch as PF
+    from gpu_quantum_simulator_tpu.engine.simulator import _fuse_pipeline
+
+    rng = np.random.default_rng(seed)
+    fails = checked = 0
+    for _ in range(trials):
+        n = int(rng.integers(9, 27))
+        gates = int(rng.integers(30, 900))
+        s0 = int(rng.integers(0, 10**6))
+        c = models.random_circuit(n, gates, seed=s0)
+        ops = _fuse_pipeline(c, min(7, n), max_high=int(rng.integers(1, 4)),
+                             window=int(rng.choice([4, 8, 16])))
+        final = (rng.permutation(n).astype(int) if rng.random() < 0.5
+                 else np.arange(n))
+        kwargs = dict(final_layout=final,
+                      cap_mats=int(rng.choice([1, 2, 4, PF.CAP_MATS])),
+                      involution_relayout=bool(rng.random() < 0.4),
+                      lookahead_waves=int(rng.choice([0, 1, 3, 6])))
+        try:
+            plan = PF.plan_prefetch(ops, n, **kwargs)
+        except ValueError as e:
+            if "local qubits" in str(e) or "window" in str(e):
+                continue
+            print("CRASH", n, s0, kwargs, repr(e)[:200], flush=True)
+            fails += 1
+            continue
+        if list(plan.final_position) != [int(p) for p in final]:
+            print("LAYOUT FAIL", n, s0, kwargs, flush=True)
+            fails += 1
+        for b in plan.blocks:
+            if kwargs["involution_relayout"] and b.relayout is not None:
+                sg = np.asarray(b.relayout)
+                if not np.array_equal(sg[sg], np.arange(len(sg))):
+                    print("INVOLUTION FAIL", n, s0, flush=True)
+                    fails += 1
+            if any(not 0 <= k <= plan.logt + 2 for k in b.kinds):
+                print("KIND FAIL", n, s0, flush=True)
+                fails += 1
+        checked += 1
+    print(f"planner: {checked} plans checked, fails = {fails}", flush=True)
+    return fails
+
+
+def main() -> None:
+    # the sharded battery needs the virtual 8-device platform, which must
+    # be set before jax initializes — re-exec once with the flag in place
+    if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
+        env = dict(os.environ)
+        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                            + " --xla_force_host_platform_device_count=8").strip()
+        sys.exit(subprocess.call([sys.executable, os.path.abspath(__file__)]
+                                 + sys.argv[1:], env=env))
+    defaults = {"engines": 40, "sharded": 10, "planner": 60}
+    fails = 0
+    for mode, fn in (("engines", fuzz_engines), ("sharded", fuzz_sharded),
+                     ("planner", fuzz_planner)):
+        if MODE in (mode, "all"):
+            fails += fn(TRIALS or defaults[mode], SEED)
+    print("FUZZ BATTERY DONE, total fails =", fails, flush=True)
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()
