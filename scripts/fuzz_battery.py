@@ -10,8 +10,9 @@ process — it re-execs itself with the XLA flag set):
   planner   plan_prefetch invariants across the knob grid (no execution):
             requested final layout honored, involution-restricted sigmas,
             step kinds in range
+  density   random interleaved gate/channel streams vs dense Kraus algebra
 
-Usage: python scripts/fuzz_battery.py [engines|sharded|planner|all]
+Usage: python scripts/fuzz_battery.py [engines|sharded|planner|density|all]
                                       [trials] [seed]
 Exit code != 0 on any failure.  The round-3 run (40/12+10/60 trials,
 seed defaults) found zero engine/planner failures; the two bugs fuzzing
@@ -156,6 +157,55 @@ def fuzz_planner(trials: int, seed: int) -> int:
     return fails
 
 
+def fuzz_density(trials: int, seed: int) -> int:
+    """Random interleaved gate/channel streams vs dense Kraus algebra."""
+    _init_cpu()
+    import numpy as np
+
+    from gpu_quantum_simulator_tpu import models
+    from gpu_quantum_simulator_tpu.density import (
+        NAMED_CHANNELS, Channel, DensitySimulator, NoisyCircuit)
+    from gpu_quantum_simulator_tpu.ir.oplist import (
+        expand_unitary, gate_op, op_matrix)
+
+    rng = np.random.default_rng(seed)
+    one_q = ["depolarizing", "dephasing", "bit_flip", "amplitude_damping"]
+    fails = 0
+    for _ in range(trials):
+        n = int(rng.integers(2, 4))
+        nc = NoisyCircuit(n)
+        segs = int(rng.integers(2, 5))
+        for _ in range(segs):
+            c = models.random_circuit(n, int(rng.integers(5, 25)),
+                                      seed=int(rng.integers(10_000)))
+            nc.items.extend(c.gates)
+            name = one_q[int(rng.integers(len(one_q)))]
+            p = float(rng.uniform(0.05, 0.4))
+            key = "gamma" if name == "amplitude_damping" else "p"
+            nc.channel(name, int(rng.integers(n)), **{key: p})
+        rho = np.zeros((1 << n, 1 << n), dtype=complex)
+        rho[0, 0] = 1.0
+        allq = tuple(range(n))
+        for item in nc.items:
+            if isinstance(item, Channel):
+                acc = np.zeros_like(rho)
+                for k in item.kraus:
+                    big = expand_unitary(np.asarray(k), item.qubits, allq)
+                    acc += big @ rho @ big.conj().T
+                rho = acc
+            else:
+                u, qs = op_matrix(gate_op(item))   # little-endian sorted basis
+                big = expand_unitary(u, qs, allq)
+                rho = big @ rho @ big.conj().T
+        got = DensitySimulator().run(nc).matrix()
+        err = float(np.max(np.abs(got - rho)))
+        if err > 3e-5:
+            print("DENSITY FAIL", n, segs, err, flush=True)
+            fails += 1
+    print(f"density: {trials} noisy circuits, fails = {fails}", flush=True)
+    return fails
+
+
 def main() -> None:
     # the sharded battery needs the virtual 8-device platform, which must
     # be set before jax initializes — re-exec once with the flag in place
@@ -165,10 +215,10 @@ def main() -> None:
                             + " --xla_force_host_platform_device_count=8").strip()
         sys.exit(subprocess.call([sys.executable, os.path.abspath(__file__)]
                                  + sys.argv[1:], env=env))
-    defaults = {"engines": 40, "sharded": 10, "planner": 60}
+    defaults = {"engines": 40, "sharded": 10, "planner": 60, "density": 20}
     fails = 0
     for mode, fn in (("engines", fuzz_engines), ("sharded", fuzz_sharded),
-                     ("planner", fuzz_planner)):
+                     ("planner", fuzz_planner), ("density", fuzz_density)):
         if MODE in (mode, "all"):
             fails += fn(TRIALS or defaults[mode], SEED)
     print("FUZZ BATTERY DONE, total fails =", fails, flush=True)
