@@ -148,7 +148,10 @@ def expectation_pauli_sum(
     state (needs a second state resident, n <= 28; wins whenever the
     circuit is deeper than one state pass per extra basis, i.e. almost
     always).  ``"auto"`` picks "state" when several bases exist and the
-    width allows it.
+    width allows it.  Under the in-place split-state engine (n >= 30, or
+    ``prefetch_inplace=True``) the basis method reduces each group on the
+    four column halves (``sampling.expectation_z_halves``) — <H> works at
+    the largest widths with no flat-state materialization.
     """
     from .engine.simulator import Simulator
     from .sampling import expectation_z
@@ -190,9 +193,21 @@ def expectation_pauli_sum(
 
         return const + float(jax.jit(eval_terms)(re, im))
 
+    # split-state route: the in-place prefetch engine (n >= 30, or forced
+    # via prefetch_inplace) never materializes a flat 2^n pair — measure
+    # each group's Z-strings on the four column halves instead
+    halves = (cfg.strategy == "prefetch" and sim._prefetch_inplace(n))
+
     total = const
     for basis, members in bins:
         rotated = _with_rotations(circuit, basis)
+        if halves:
+            from .sampling import expectation_z_halves
+
+            parts, _ = sim.run_device_halves(rotated)
+            for coeff, ops in members:
+                total += coeff * expectation_z_halves(*parts, list(ops), n)
+            continue
         if cfg.strategy == "reference":
             state = sim.run(rotated)
             p = np.abs(state) ** 2

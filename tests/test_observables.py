@@ -96,6 +96,23 @@ def test_qwc_grouping_merges_compatible_bases():
     assert abs(got - want) < 1e-5
 
 
+def test_pauli_sum_inplace_halves_route():
+    """<H> through the in-place split-state engine (the n >= 30 layout,
+    forced at small n): each QWC group reduces on the four column halves
+    with no flat-state materialization, matching the dense value."""
+    n = 10
+    c = models.random_circuit(n, 80, seed=13)
+    terms = models.tfim_terms(n, J=0.9, g=0.5) + [(0.3, "Y2 X7")]
+    psi = simulate_reference(c)
+    h = sum(coeff * dense_pauli(p, n) for coeff, p in terms)
+    want = float(np.real(np.vdot(psi, h @ psi)))
+    got = expectation_pauli_sum(
+        c, terms,
+        SimulatorConfig(strategy="prefetch", prefetch_inplace=True),
+        method="basis")
+    assert abs(got - want) < 1e-4
+
+
 def test_bad_strings_rejected():
     c = models.ghz(3)
     with pytest.raises(ValueError):
