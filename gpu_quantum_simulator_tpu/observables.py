@@ -303,7 +303,12 @@ def marginal_probabilities(re, im, qubits: Sequence[int],
         return p
 
     p = np.asarray(reduce_(re, im))
-    # p is little-endian over sorted(qs); permute to the requested order
+    return _reorder_marginal(p, keep, qs)
+
+
+def _reorder_marginal(p: np.ndarray, keep, qs) -> np.ndarray:
+    """Permute a little-endian-over-sorted(qs) marginal to the requested
+    qubit order."""
     k = len(qs)
     if keep == qs or k == 0:
         return p
@@ -315,6 +320,57 @@ def marginal_probabilities(re, im, qubits: Sequence[int],
     res = np.zeros_like(p)
     res[out_idx] = p
     return res
+
+
+def marginal_probabilities_halves(re0, re1, im0, im1, qubits: Sequence[int],
+                                  num_qubits: int) -> np.ndarray:
+    """Marginal distribution over ``qubits`` from a column-half-split
+    state (the n >= 30 in-place layout; ``Simulator.run_device_halves``).
+
+    Each half is a (2^(n-8), 128) block — qubits 0..6 are the lanes,
+    qubit 7 selects the half, qubits 8.. are the rows — so both halves
+    reduce device-side over their own (n-1)-bit index space exactly like
+    :func:`marginal_probabilities` (rank-3 sums, never a (2,)*n
+    reshape), and the two small results combine across qubit 7 on the
+    host.  Only 2^len(qubits) floats per half reach the host."""
+    import jax
+
+    qs = [int(q) for q in qubits]
+    if len(set(qs)) != len(qs):
+        raise ValueError("qubits must be distinct")
+    for q in qs:
+        if not 0 <= q < num_qubits:
+            raise ValueError(f"qubit {q} out of range")
+
+    keep = sorted(qs)
+    # within one half, original qubit q maps to bit q (q < 7) or q-1 (q > 7)
+    mapped = {q if q < 7 else q - 1 for q in keep if q != 7}
+    nn = num_qubits - 1
+
+    @jax.jit
+    def reduce_half(re, im):
+        p = (re * re + im * im).reshape(-1)
+        m = nn
+        for q in range(nn - 1, -1, -1):
+            if q in mapped:
+                continue
+            hi, lo = 1 << (m - 1 - q), 1 << q
+            p = p.reshape(hi, 2, lo).sum(axis=1).reshape(-1)
+            m -= 1
+        return p
+
+    p0 = np.asarray(reduce_half(re0, im0))
+    p1 = np.asarray(reduce_half(re1, im1))
+    if 7 in keep:
+        j7 = keep.index(7)
+        i = np.arange(1 << (len(keep) - 1))
+        base = (i & ((1 << j7) - 1)) | ((i >> j7) << (j7 + 1))
+        p = np.zeros(1 << len(keep), dtype=p0.dtype)
+        p[base] = p0
+        p[base | (1 << j7)] = p1
+    else:
+        p = p0 + p1
+    return _reorder_marginal(p, keep, qs)
 
 
 def entanglement_entropy(re, im, cut: int, num_qubits: int,

@@ -201,6 +201,35 @@ def test_marginal_probabilities_match_full_distribution():
         marginal_probabilities(re, im, [n], n)
 
 
+def test_marginal_probabilities_halves_matches_flat():
+    """Split-state marginals (n >= 30 layout, forced at small n) agree
+    with flat-state marginals across lane/half/row qubit picks and
+    requested-order permutations."""
+    import jax.numpy as jnp
+
+    from gpu_quantum_simulator_tpu.engine.simulator import Simulator
+    from gpu_quantum_simulator_tpu.observables import (
+        marginal_probabilities, marginal_probabilities_halves)
+
+    n = 11
+    c = models.grover_like(n, num_gates=200, seed=17)
+    sim = Simulator(SimulatorConfig(strategy="prefetch",
+                                    prefetch_inplace=True))
+    parts, _ = sim.run_device_halves(c)
+    flat = Simulator(SimulatorConfig(strategy="prefetch")).run(c)
+    re, im = jnp.asarray(flat.real), jnp.asarray(flat.imag)
+
+    for qs in ([0], [7], [9], [3, 7], [10, 7, 2], [8, 1], [6, 5, 9, 7]):
+        want = marginal_probabilities(re, im, qs, n)
+        got = marginal_probabilities_halves(*parts, qs, n)
+        assert np.max(np.abs(got - want)) < 1e-6, qs
+        assert abs(got.sum() - 1.0) < 1e-5
+    with pytest.raises(ValueError):
+        marginal_probabilities_halves(*parts, [0, 0], n)
+    with pytest.raises(ValueError):
+        marginal_probabilities_halves(*parts, [n], n)
+
+
 def test_entanglement_entropy_known_values():
     import jax.numpy as jnp
     import pytest
