@@ -405,7 +405,45 @@ def entanglement_entropy(re, im, cut: int, num_qubits: int,
         return dot(vr, vr) + dot(vi, vi), dot(vr, vi) - dot(vi, vr)
 
     rr, ri = (np.asarray(x, dtype=np.float64) for x in rho(re, im))
+    return _entropy_of_rho(rr, ri, base)
+
+
+def _entropy_of_rho(rr: np.ndarray, ri: np.ndarray, base: float) -> float:
     w = np.linalg.eigvalsh(rr + 1j * ri)
     w = w[w > 1e-12]
     w = w / w.sum()
     return float(-(w * (np.log(w) / np.log(base))).sum())
+
+
+def entanglement_entropy_halves(re0, re1, im0, im1, cut: int,
+                                num_qubits: int, base: float = 2.0) -> float:
+    """Von Neumann entropy of qubits [0, cut) from a column-half-split
+    state (the n >= 30 in-place layout).
+
+    For ``cut <= 7`` the cut qubits are lane bits inside BOTH halves, so
+    rho = V0^dagger V0 + V1^dagger V1 with V_h = half h viewed as a
+    (2^(n-1-cut), 2^cut) matrix — two MXU matmul pairs per half, a
+    (2^cut)^2 host fetch, eigvalsh on the host (the split-state twin of
+    :func:`entanglement_entropy`)."""
+    import jax
+    import jax.numpy as jnp
+
+    if not 1 <= cut <= 7:
+        raise ValueError("split-state entropy supports lane cuts 1..7; "
+                         f"got {cut}")
+    D = 1 << cut
+
+    @jax.jit
+    def rho_half(re, im):
+        vr = re.reshape(-1, D)
+        vi = im.reshape(-1, D)
+        dot = lambda a, b: jnp.dot(
+            a.T, b, preferred_element_type=vr.dtype,
+            precision=jax.lax.Precision.HIGHEST)
+        return dot(vr, vr) + dot(vi, vi), dot(vr, vi) - dot(vi, vr)
+
+    rr0, ri0 = rho_half(re0, im0)
+    rr1, ri1 = rho_half(re1, im1)
+    rr = np.asarray(rr0, dtype=np.float64) + np.asarray(rr1, dtype=np.float64)
+    ri = np.asarray(ri0, dtype=np.float64) + np.asarray(ri1, dtype=np.float64)
+    return _entropy_of_rho(rr, ri, base)

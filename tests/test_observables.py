@@ -230,6 +230,28 @@ def test_marginal_probabilities_halves_matches_flat():
         marginal_probabilities_halves(*parts, [n], n)
 
 
+def test_entanglement_entropy_halves_matches_flat():
+    import jax.numpy as jnp
+
+    from gpu_quantum_simulator_tpu.engine.simulator import Simulator
+    from gpu_quantum_simulator_tpu.observables import (
+        entanglement_entropy, entanglement_entropy_halves)
+
+    n = 11
+    c = models.grover_like(n, num_gates=220, seed=29)
+    sim = Simulator(SimulatorConfig(strategy="prefetch",
+                                    prefetch_inplace=True))
+    parts, _ = sim.run_device_halves(c)
+    flat = Simulator(SimulatorConfig(strategy="prefetch")).run(c)
+    re, im = jnp.asarray(flat.real), jnp.asarray(flat.imag)
+    for cut in (1, 3, 7):
+        want = entanglement_entropy(re, im, cut, n)
+        got = entanglement_entropy_halves(*parts, cut, n)
+        assert abs(got - want) < 1e-4, (cut, got, want)
+    with pytest.raises(ValueError):
+        entanglement_entropy_halves(*parts, 8, n)
+
+
 def test_entanglement_entropy_known_values():
     import jax.numpy as jnp
     import pytest
