@@ -27,6 +27,97 @@ def _putb(n: int, length: int) -> str:
     return format(n, f"0{length}b")
 
 
+def _run_split_state(sim, circuit, args, cfg) -> int:
+    """CLI path for the in-place split-state engine (n >= 30, or forced
+    ``prefetch_inplace``): the flat 2^n state is never materialized — top
+    amplitudes, sampling, marginals, entropy, and Pauli expectations all
+    reduce on the four column halves."""
+    import time
+
+    import numpy as np
+
+    n = circuit.num_qubits
+    for flag, val in (("--save-state", args.save_state),
+                      ("--load-state", args.load_state)):
+        if val:
+            print(f"ERROR: {flag} needs a flat state; not available with "
+                  "the in-place split-state engine", file=sys.stderr)
+            return 1
+
+    t0 = time.perf_counter()
+    try:
+        parts, num_ops = sim.run_device_halves(circuit)
+    except ValueError as exc:
+        print(f"ERROR: {exc}", file=sys.stderr)
+        return 1
+    from .sampling import norm_halves
+
+    norm = float(norm_halves(*parts))
+    seconds = time.perf_counter() - t0
+
+    if args.json:
+        print(json.dumps({
+            "circuit": args.circuit, "num_qubits": n,
+            "num_gates": len(circuit.gates), "num_fused_ops": num_ops,
+            "strategy": "prefetch", "split_state": True,
+            "norm": norm, "seconds": seconds,
+        }))
+    else:
+        print(f"{seconds:.6f}")
+
+    if args.amplitudes:
+        from .sampling import amplitudes_halves, top_amplitudes_halves
+
+        idx, probs = top_amplitudes_halves(*parts, k=args.amplitudes)
+        amps = amplitudes_halves(*parts, idx)
+        for i, pv, a in zip(idx, probs, amps):
+            print(f"|{_putb(int(i), n)}>  p={pv:.6f}  "
+                  f"amp={a.real:+.6f}{a.imag:+.6f}i")
+
+    if args.expectation:
+        from .observables import expectation_pauli
+
+        for pauli in args.expectation:
+            try:
+                val = expectation_pauli(circuit, pauli, cfg)
+            except ValueError as exc:
+                print(f"ERROR in Pauli string {pauli!r}: {exc}",
+                      file=sys.stderr)
+                return 1
+            print(f"EXPECTATION {pauli}: {val:+.9f}")
+
+    if args.marginal:
+        from .observables import marginal_probabilities_halves
+
+        for spec in args.marginal:
+            try:
+                qs = [int(t) for t in spec.split(",") if t.strip()]
+                dist = marginal_probabilities_halves(*parts, qs, n)
+            except ValueError as exc:
+                print(f"ERROR in --marginal {spec!r}: {exc}", file=sys.stderr)
+                return 1
+            for i, pv in enumerate(dist):
+                print(f"MARGINAL {spec} |{_putb(i, len(qs))}>: {pv:.6f}")
+
+    if args.entropy_cut:
+        from .observables import entanglement_entropy_halves
+
+        try:
+            s = entanglement_entropy_halves(*parts, args.entropy_cut, n)
+        except ValueError as exc:
+            print(f"ERROR in --entropy-cut: {exc}", file=sys.stderr)
+            return 1
+        print(f"ENTROPY cut={args.entropy_cut}: {s:.6f} bits")
+
+    if args.measurements:
+        from .sampling import sample_halves
+
+        outcomes = sample_halves(*parts, n, args.measurements, args.seed)
+        for o in outcomes:
+            print(f"MEASUREMENT: {_putb(int(o), n)} ({int(o)})")
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="gpu_quantum_simulator_tpu")
     p.add_argument("circuit", help="OpenQASM 2/3 circuit file")
@@ -42,6 +133,12 @@ def main(argv=None) -> int:
         "pass (~1e-3/gate, exploratory only)",
     )
     p.add_argument("--seed", type=int, default=0, help="measurement RNG seed")
+    p.add_argument(
+        "--inplace", action="store_true",
+        help="force the in-place split-state prefetch engine (automatic at "
+        "n >= 30); outputs reduce on the column halves, never a flat 2^n "
+        "state (requires --strategy prefetch)",
+    )
     p.add_argument(
         "--json", action="store_true", help="emit a structured JSON record instead"
     )
@@ -108,6 +205,7 @@ def main(argv=None) -> int:
     cfg = SimulatorConfig(
         strategy=args.strategy, dtype=args.dtype, permute=args.permute,
         precision=args.precision,
+        prefetch_inplace=True if args.inplace else None,
     )
 
     noisy = (args.noise_p1 > 0.0 or args.noise_p2 > 0.0
@@ -164,6 +262,19 @@ def main(argv=None) -> int:
         trace_ctx.__enter__()
 
     sim = Simulator(cfg)
+    rsim = sim._resolved(circuit.num_qubits)
+    if (rsim.config.strategy == "prefetch"
+            and rsim._prefetch_inplace(circuit.num_qubits)):
+        if initial is not None:
+            print("ERROR: --load-state needs a flat state; not available "
+                  "with the in-place split-state engine", file=sys.stderr)
+            return 1
+        try:
+            return _run_split_state(rsim, circuit, args, cfg)
+        finally:
+            if trace_ctx is not None:
+                trace_ctx.__exit__(None, None, None)
+
     res = sim.run_detailed(circuit, initial=initial)
 
     if trace_ctx is not None:

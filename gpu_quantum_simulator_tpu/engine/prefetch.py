@@ -2611,6 +2611,10 @@ def run_prefetch(circuit, config, initial_parts=None, return_halves=False):
         return initial_state_parts(n, dtype=real_dtype)
 
     if n < MIN_QUBITS:
+        if return_halves:
+            raise ValueError(
+                f"split-state halves need the (rows, 256) layout, i.e. "
+                f"n >= {MIN_QUBITS}; got n = {n}")
         from ..passes.fuse4x4 import fuse_4x4
         from ..passes.fuse_k import fuse_k
         from .megakernel import build_megakernel

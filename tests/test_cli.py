@@ -155,3 +155,42 @@ def test_cli_marginal_and_entropy():
     assert r.returncode == 1 and "out of range" in r.stderr
     r = _run_cli("/root/reference/entanglement.qasm", "--entropy-cut", "2")
     assert r.returncode == 1
+
+
+def test_cli_split_state_inplace(tmp_path):
+    """--inplace drives the n>=30-style split-state path end-to-end: the
+    flat state is never built; amplitudes/marginal/entropy/sampling all
+    come from halves reductions.  GHZ(10): tops {0, 2^10-1}, 50/50
+    marginal over [0,1] on 00/11, 1 bit of entropy at any cut."""
+    from gpu_quantum_simulator_tpu import models
+
+    n = 10
+    f = tmp_path / "ghz.qasm"
+    f.write_text(models.ghz(n).to_qasm())
+    r = _run_cli(
+        str(f), "--strategy", "prefetch",
+        "--inplace", "--json", "--amplitudes", "2", "-m", "10",
+        "--marginal", "0,1", "--entropy-cut", "2", "--seed", "1",
+    )
+    assert r.returncode == 0, r.stderr
+    lines = r.stdout.strip().splitlines()
+    rec = json.loads(lines[0])
+    assert rec["split_state"] is True and abs(rec["norm"] - 1.0) < 1e-4
+    amp_lines = [l for l in lines if l.startswith("|")]
+    tops = {int(l.split(">")[0][1:], 2) for l in amp_lines}
+    assert tops == {0, (1 << n) - 1}
+    meas = [l for l in lines if l.startswith("MEASUREMENT:")]
+    assert len(meas) == 10
+    assert {m.split()[1] for m in meas} <= {"0" * n, "1" * n}
+    marg = {l.split()[2]: float(l.split()[-1])
+            for l in lines if l.startswith("MARGINAL")}
+    assert abs(marg["|00>:"] - 0.5) < 1e-4 and abs(marg["|11>:"] - 0.5) < 1e-4
+    ent = [l for l in lines if l.startswith("ENTROPY cut=2")]
+    assert ent and abs(float(ent[0].split()[-2]) - 1.0) < 1e-4
+    # flat-only flags and too-small widths are rejected cleanly
+    r2 = _run_cli(str(f), "--strategy", "prefetch", "--inplace",
+                  "--save-state", "/tmp/x.npz")
+    assert r2.returncode == 1 and "split-state" in r2.stderr
+    r3 = _run_cli("/root/reference/entanglement.qasm", "--strategy",
+                  "prefetch", "--inplace")
+    assert r3.returncode == 1 and "n >=" in r3.stderr
