@@ -37,19 +37,33 @@ def _run_split_state(sim, circuit, args, cfg) -> int:
     import numpy as np
 
     n = circuit.num_qubits
-    for flag, val in (("--save-state", args.save_state),
-                      ("--load-state", args.load_state)):
-        if val:
-            print(f"ERROR: {flag} needs a flat state; not available with "
-                  "the in-place split-state engine", file=sys.stderr)
+    initial_parts = None
+    if args.load_state:
+        from .utils.checkpoint import load_state_halves
+
+        try:
+            initial_parts, meta = load_state_halves(args.load_state)
+        except ValueError as exc:
+            print(f"ERROR: {exc}", file=sys.stderr)
+            return 1
+        if int(meta["num_qubits"]) != n:
+            print(f"ERROR: checkpoint has {meta['num_qubits']} qubits, "
+                  f"circuit has {n}", file=sys.stderr)
             return 1
 
     t0 = time.perf_counter()
     try:
-        parts, num_ops = sim.run_device_halves(circuit)
+        parts, num_ops = sim.run_device_halves(
+            circuit, initial_parts=initial_parts)
     except ValueError as exc:
         print(f"ERROR: {exc}", file=sys.stderr)
         return 1
+    if args.save_state:
+        from .utils.checkpoint import save_state_halves
+
+        save_state_halves(args.save_state, *parts, n,
+                          meta={"circuit": args.circuit,
+                                "strategy": "prefetch"})
     from .sampling import norm_halves
 
     norm = float(norm_halves(*parts))
@@ -189,18 +203,9 @@ def main(argv=None) -> int:
         print(f"ERROR while parsing quantum circuit: {exc}", file=sys.stderr)
         return 1
 
-    initial = None
-    if args.load_state:
-        from .utils.checkpoint import load_state
-
-        re0, im0, meta = load_state(args.load_state)
-        if meta["num_qubits"] != circuit.num_qubits:
-            print(
-                f"ERROR: checkpoint has {meta['num_qubits']} qubits, "
-                f"circuit has {circuit.num_qubits}", file=sys.stderr,
-            )
-            return 1
-        initial = re0 + 1j * im0
+    # --load-state is resolved AFTER the execution path is chosen: the
+    # split-state engine loads column-half checkpoints, the flat engines
+    # load flat ones (see below)
 
     cfg = SimulatorConfig(
         strategy=args.strategy, dtype=args.dtype, permute=args.permute,
@@ -265,15 +270,24 @@ def main(argv=None) -> int:
     rsim = sim._resolved(circuit.num_qubits)
     if (rsim.config.strategy == "prefetch"
             and rsim._prefetch_inplace(circuit.num_qubits)):
-        if initial is not None:
-            print("ERROR: --load-state needs a flat state; not available "
-                  "with the in-place split-state engine", file=sys.stderr)
-            return 1
         try:
             return _run_split_state(rsim, circuit, args, cfg)
         finally:
             if trace_ctx is not None:
                 trace_ctx.__exit__(None, None, None)
+
+    initial = None
+    if args.load_state:
+        from .utils.checkpoint import load_state
+
+        re0, im0, meta = load_state(args.load_state)
+        if meta["num_qubits"] != circuit.num_qubits:
+            print(
+                f"ERROR: checkpoint has {meta['num_qubits']} qubits, "
+                f"circuit has {circuit.num_qubits}", file=sys.stderr,
+            )
+            return 1
+        initial = re0 + 1j * im0
 
     res = sim.run_detailed(circuit, initial=initial)
 

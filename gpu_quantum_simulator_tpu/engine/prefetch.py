@@ -2677,6 +2677,12 @@ def run_prefetch(circuit, config, initial_parts=None, return_halves=False):
             _RUN_CACHE.pop(next(iter(_RUN_CACHE)))
         _RUN_CACHE[run_key] = prog
 
+    if initial_parts is not None and len(initial_parts) == 4:
+        # column-half resume (save_state_halves): rebuild the flat host
+        # pair once — host RAM, never a device join
+        re0, re1, im0, im1 = (np.asarray(x) for x in initial_parts)
+        initial_parts = (np.concatenate([re0, re1], axis=1).reshape(-1),
+                         np.concatenate([im0, im1], axis=1).reshape(-1))
     if perm is not None and initial_parts is not None:
         iv = np.asarray(initial_parts[0]) + 1j * np.asarray(initial_parts[1])
         iv = unpermute_state(iv, np.argsort(perm))

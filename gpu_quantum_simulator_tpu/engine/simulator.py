@@ -205,7 +205,7 @@ class Simulator:
             return bool(cfg.prefetch_inplace)
         return n >= 30
 
-    def run_device_halves(self, circuit: Circuit):
+    def run_device_halves(self, circuit: Circuit, initial_parts=None):
         """Run via the in-place prefetch engine and return the state as the
         four (R2, 128) column-half arrays: ``((re0, re1, im0, im1), nops)``.
 
@@ -213,11 +213,13 @@ class Simulator:
         2^n join needs one contiguous 4.3 GB block the post-run heap cannot
         always provide, while every measurement helper
         (``sampling.sample_halves`` / ``norm_halves``) consumes the halves
-        directly.  Original qubit basis, as always.
+        directly.  Original qubit basis, as always.  ``initial_parts``
+        resumes from a prior state: either a flat (re, im) pair or the
+        four column halves (``utils.checkpoint.load_state_halves``).
         """
         sim = self._resolved(circuit.num_qubits)
         if sim is not self:
-            return sim.run_device_halves(circuit)
+            return sim.run_device_halves(circuit, initial_parts=initial_parts)
         if not self._prefetch_inplace(circuit.num_qubits):
             raise ValueError(
                 "run_device_halves requires strategy='prefetch' with the "
@@ -225,7 +227,8 @@ class Simulator:
         from .prefetch import run_prefetch
 
         parts, _, num_ops, _ = run_prefetch(
-            circuit, self.config, return_halves=True)
+            circuit, self.config, initial_parts=initial_parts,
+            return_halves=True)
         parts[0].block_until_ready()
         return parts, num_ops
 

@@ -40,6 +40,41 @@ def load_state(path: str) -> Tuple[np.ndarray, np.ndarray, dict]:
     return re, im, meta
 
 
+def save_state_halves(path: str, re0, re1, im0, im1, num_qubits: int,
+                      meta: Optional[dict] = None) -> None:
+    """Checkpoint a column-half-split state (the n >= 30 in-place layout)
+    WITHOUT a flat 2^n join: the four (2^(n-8), 128) halves are fetched
+    and written as-is (same total bytes as the flat format, but no
+    contiguous 2^n device or host buffer is ever needed)."""
+    halves = [np.asarray(x) for x in (re0, re1, im0, im1)]
+    want = (1 << (num_qubits - 8), 128)
+    for h in halves:
+        if h.shape != want:
+            raise ValueError(
+                f"half shape {h.shape} != {want} for n = {num_qubits}")
+    record = {"num_qubits": num_qubits, "dtype": str(halves[0].dtype),
+              "layout": "halves"}
+    if meta:
+        record.update(meta)
+    np.savez_compressed(path, re0=halves[0], re1=halves[1], im0=halves[2],
+                        im1=halves[3], meta=json.dumps(record))
+
+
+def load_state_halves(path: str):
+    """((re0, re1, im0, im1), meta) from a :func:`save_state_halves` file."""
+    with np.load(path) as z:
+        if "re0" not in z:
+            raise ValueError(
+                f"{path} is not a split-state checkpoint (no 're0'); "
+                "use load_state")
+        parts = (z["re0"], z["re1"], z["im0"], z["im1"])
+        meta = json.loads(str(z["meta"]))
+    want = (1 << (int(meta["num_qubits"]) - 8), 128)
+    if parts[0].shape != want:
+        raise ValueError(f"corrupt checkpoint: {parts[0].shape} vs {meta}")
+    return parts, meta
+
+
 def save_state_sharded(path: str, re, im, num_qubits: int,
                        meta: Optional[dict] = None) -> None:
     """Checkpoint a MESH-SHARDED state without gathering to host.

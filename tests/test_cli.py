@@ -187,10 +187,28 @@ def test_cli_split_state_inplace(tmp_path):
     assert abs(marg["|00>:"] - 0.5) < 1e-4 and abs(marg["|11>:"] - 0.5) < 1e-4
     ent = [l for l in lines if l.startswith("ENTROPY cut=2")]
     assert ent and abs(float(ent[0].split()[-2]) - 1.0) < 1e-4
-    # flat-only flags and too-small widths are rejected cleanly
+    # split checkpoint round-trip: save GHZ, resume with X-layer -> back
+    # to a product state whose top amplitude is |1...1> with p ~ 0.5 twice
+    ck = tmp_path / "ghz_halves.npz"
     r2 = _run_cli(str(f), "--strategy", "prefetch", "--inplace",
-                  "--save-state", "/tmp/x.npz")
-    assert r2.returncode == 1 and "split-state" in r2.stderr
-    r3 = _run_cli("/root/reference/entanglement.qasm", "--strategy",
+                  "--save-state", str(ck))
+    assert r2.returncode == 0, r2.stderr
+    g = tmp_path / "xlayer.qasm"
+    xl = models.ghz(n)
+    xl.gates.clear()
+    for q in range(n):
+        xl.x(q)
+    g.write_text(xl.to_qasm())
+    r3 = _run_cli(str(g), "--strategy", "prefetch", "--inplace",
+                  "--load-state", str(ck), "--amplitudes", "2")
+    assert r3.returncode == 0, r3.stderr
+    tops3 = {l.split(">")[0][1:]: float(l.split("p=")[1].split()[0])
+             for l in r3.stdout.splitlines() if l.startswith("|")}
+    # X^n maps GHZ onto itself: both branches still carry p ~ 0.5 (a
+    # reset-to-|0> resume would put ALL mass on |1...1>)
+    assert abs(tops3["0" * n] - 0.5) < 1e-4
+    assert abs(tops3["1" * n] - 0.5) < 1e-4
+    # too-small widths are rejected cleanly
+    r4 = _run_cli("/root/reference/entanglement.qasm", "--strategy",
                   "prefetch", "--inplace")
-    assert r3.returncode == 1 and "n >=" in r3.stderr
+    assert r4.returncode == 1 and "n >=" in r4.stderr
