@@ -169,3 +169,31 @@ def emit_composite(c: Circuit, name: str, qubits, params=()) -> None:
         c.append("u", a, params=(math.pi / 2, -math.pi, math.pi - theta))
     else:  # pragma: no cover
         raise ValueError(name)
+
+
+def zyz_angles(u):
+    """(theta, phi, lam, gamma) with u = e^{i gamma} * u3(theta, phi, lam).
+
+    The controlled-gate lowering for ARBITRARY 1q unitaries (QASM3
+    ``ctrl @``): controlled-u = p(gamma) on the control (the phase fires
+    exactly when the control is 1) followed by cu3(theta, phi, lam)."""
+    import cmath
+
+    import numpy as np
+
+    u = np.asarray(u, dtype=complex)
+    a, b, c_, d = u[0, 0], u[0, 1], u[1, 0], u[1, 1]
+    theta = 2.0 * math.atan2(abs(c_), abs(a))
+    if abs(a) < 1e-12:              # theta = pi: top-left column vanishes
+        gamma = cmath.phase(c_)
+        phi = 0.0
+        lam = cmath.phase(-b) - gamma
+    elif abs(c_) < 1e-12:           # theta = 0: diagonal
+        gamma = cmath.phase(a)
+        phi = 0.0
+        lam = cmath.phase(d) - gamma
+    else:
+        gamma = cmath.phase(a)
+        phi = cmath.phase(c_) - gamma
+        lam = cmath.phase(-b) - gamma
+    return theta, phi, lam, gamma

@@ -502,3 +502,93 @@ def test_dynamic_broadcast_measure_reset():
     with pytest.raises(QasmError, match="too small"):
         parse_qasm_dynamic(
             "OPENQASM 2.0;\nqreg q[3];\ncreg c[1];\nmeasure q -> c;\n")
+
+
+class TestQasm3Modifiers:
+    """inv @ / pow(k) @ / ctrl(n) @ / negctrl(n) @ lower exactly (global
+    phase included): 1q gates via p(gamma)+cu3 ZYZ, cx via ccx."""
+
+    @staticmethod
+    def _u(src, n):
+        import gpu_quantum_simulator_tpu as Q
+        c = Q.parse_qasm(f"OPENQASM 3.0; qubit[{n}] q; {src}")
+        return Q.circuit_unitary(c)
+
+    @staticmethod
+    def _controlled(u, c_bit, t_bit, n, neg=False):
+        import numpy as np
+        N = 1 << n
+        m = np.eye(N, dtype=complex)
+        want = 0 if neg else 1
+        for col in range(N):
+            if ((col >> c_bit) & 1) != want:
+                continue
+            t0 = col & ~(1 << t_bit)
+            t1 = col | (1 << t_bit)
+            tb = (col >> t_bit) & 1
+            m[:, col] = 0
+            m[t0, col] = u[0, tb]
+            m[t1, col] = u[1, tb]
+        return m
+
+    def test_ctrl_matches_dense(self):
+        import numpy as np
+        from gpu_quantum_simulator_tpu.ir.gates import matrix_1q
+        for name, params, src in [
+            ("x", (), "ctrl @ x q[0], q[1];"),
+            ("z", (), "ctrl @ z q[0], q[1];"),
+            ("sx", (), "ctrl @ sx q[0], q[1];"),
+            ("rz", (0.7,), "ctrl @ rz(0.7) q[0], q[1];"),
+            ("u", (0.5, 1.2, -0.9), "ctrl @ u(0.5, 1.2, -0.9) q[0], q[1];"),
+            ("s", (), "ctrl @ s q[0], q[1];"),
+        ]:
+            got = self._u(src, 2)
+            want = self._controlled(matrix_1q(name, params), 0, 1, 2)
+            assert np.max(np.abs(got - want)) < 1e-9, name
+
+    def test_negctrl_and_reversed_operands(self):
+        import numpy as np
+        from gpu_quantum_simulator_tpu.ir.gates import matrix_1q
+        got = self._u("negctrl @ x q[1], q[0];", 2)
+        want = self._controlled(matrix_1q("x", ()), 1, 0, 2, neg=True)
+        assert np.max(np.abs(got - want)) < 1e-9
+
+    def test_ctrl2_and_nesting_equal_ccx(self):
+        import numpy as np
+        a = self._u("ctrl(2) @ x q[0], q[1], q[2];", 3)
+        b = self._u("ctrl @ ctrl @ x q[0], q[1], q[2];", 3)
+        c = self._u("ccx q[0], q[1], q[2];", 3)
+        assert np.max(np.abs(a - c)) < 1e-9
+        assert np.max(np.abs(b - c)) < 1e-9
+
+    def test_ctrl_of_cx_is_toffoli(self):
+        import numpy as np
+        a = self._u("ctrl @ cx q[2], q[0], q[1];", 3)
+        b = self._u("ccx q[2], q[0], q[1];", 3)
+        assert np.max(np.abs(a - b)) < 1e-9
+
+    def test_inv_and_pow(self):
+        import numpy as np
+        assert np.max(np.abs(self._u("inv @ s q[0];", 1)
+                             - self._u("sdg q[0];", 1))) < 1e-12
+        assert np.max(np.abs(self._u("pow(3) @ t q[0];", 1)
+                             - np.diag([1, np.exp(3j * np.pi / 4)]))) < 1e-12
+        assert np.max(np.abs(self._u("pow(-2) @ s q[0];", 1)
+                             - np.diag([1, np.exp(-1j * np.pi)]))) < 1e-12
+        assert np.max(np.abs(self._u("pow(0) @ h q[0];", 1)
+                             - np.eye(2))) < 1e-12
+        # inv distributes over a multi-gate composite target
+        assert np.max(np.abs(self._u("inv @ swap q[0], q[1];", 2)
+                             - self._u("swap q[0], q[1];", 2))) < 1e-12
+
+    def test_modifier_errors(self):
+        from gpu_quantum_simulator_tpu.qasm.parser import QasmError
+        for src in [
+            "pow(0.5) @ x q[0];",              # fractional power
+            "ctrl @ x q[0], q[0];",            # control overlaps target
+            "ctrl(2) @ x q[0], q[1];",         # not enough operands
+            "ctrl @ x q, q[1];",               # bare-register control
+            "inv(2) @ x q[0];",                # inv takes no argument
+        ]:
+            with pytest.raises(QasmError):
+                self._u(src, 2)
