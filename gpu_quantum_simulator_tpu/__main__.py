@@ -195,7 +195,18 @@ def main(argv=None) -> int:
         "--trace", metavar="DIR",
         help="write a jax.profiler trace of the run to DIR (view in "
         "TensorBoard / Perfetto)")
+    p.add_argument(
+        "--device", choices=["auto", "cpu"], default="auto",
+        help="execution backend: auto = whatever JAX selects (the TPU when "
+        "attached); cpu = force the host CPU (works with the accelerator "
+        "unreachable — set BEFORE any backend touch, the env pin cannot be "
+        "overridden via os.environ)")
     args = p.parse_args(argv)
+
+    if args.device == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     try:
         circuit = parse_qasm_file(args.circuit)

@@ -115,7 +115,8 @@ class DynamicCircuit:
         return self
 
     _GATE_HELPERS = frozenset(
-        {"h", "x", "sx", "z", "s", "sdg", "t", "tdg", "rz", "cx"})
+        {"h", "x", "y", "z", "sx", "sxdg", "id", "s", "sdg", "t", "tdg",
+         "rz", "rx", "ry", "p", "u", "cx"})
 
     def __getattr__(self, name):
         # delegate gate helpers (h/x/cx/rz/...) to append, mirroring Circuit

@@ -67,6 +67,9 @@ run micro24s 3600 python scripts/kernel_microbench.py 24 64 stream
 run bench 2400 python bench.py
 run bench_stream 2400 env QSIM_STREAM_PLAIN=1 python bench.py
 run bench_vmem 2400 env QSIM_BENCH_STRATEGY=vmem python bench.py
+# mxu ran 0.12 s exec-only at n=18 this round — if it beats prefetch on
+# the full-pipeline protocol too, it becomes the bench default
+run bench_mxu 2400 env QSIM_BENCH_STRATEGY=mxu python bench.py
 
 # 5. in-place microbench pair (halves-native + streaming split A/B) —
 # cheap and decision-relevant, so it runs before the multi-hour stages

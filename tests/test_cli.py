@@ -212,3 +212,23 @@ def test_cli_split_state_inplace(tmp_path):
     r4 = _run_cli("/root/reference/entanglement.qasm", "--strategy",
                   "prefetch", "--inplace")
     assert r4.returncode == 1 and "n >=" in r4.stderr
+
+
+def test_cli_device_cpu_flag():
+    # The flag itself must force the CPU backend BEFORE backend init — no
+    # jax.config shim in the subprocess, unlike _run_cli.  With the
+    # accelerator tunnel unreachable this is the only way to drive the CLI.
+    import os
+
+    env = dict(os.environ)
+    env["QSIM_NO_COMPILE_CACHE"] = "1"
+    r = subprocess.run(
+        [sys.executable, "-m", "gpu_quantum_simulator_tpu",
+         "/root/reference/entanglement.qasm", "--strategy", "megakernel",
+         "--device", "cpu", "--json"],
+        capture_output=True, text=True, env=env, cwd="/root/repo",
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stderr
+    rec = json.loads(r.stdout.strip().splitlines()[0])
+    assert rec["num_qubits"] == 2

@@ -188,3 +188,12 @@ def test_dynamic_prefetch_strategy():
         idx = int(np.argmax(np.abs(r.state) ** 2))
         assert idx in (0, (1 << n) - 1)
         assert (idx != 0) == bool(r.clbits[0])
+
+
+def test_gate_helpers_cover_circuit_surface():
+    # every Circuit construction helper works on DynamicCircuit too
+    dc = DynamicCircuit(2, 1)
+    dc.rx(0.3, 0).ry(0.2, 1).y(0).p(0.1, 1).u(0.1, 0.2, 0.3, 0)
+    dc.sxdg(1).id(0)
+    assert [g.name for g in dc.items] == [
+        "rx", "ry", "y", "p", "u", "sxdg", "id"]

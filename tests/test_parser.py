@@ -581,10 +581,26 @@ class TestQasm3Modifiers:
         assert np.max(np.abs(self._u("inv @ swap q[0], q[1];", 2)
                              - self._u("swap q[0], q[1];", 2))) < 1e-12
 
+    def test_fractional_pow(self):
+        import numpy as np
+        from gpu_quantum_simulator_tpu.ir.gates import matrix_1q
+        # principal sqrt of X IS sx (eigenvalues {1, i}), exact
+        got = self._u("pow(0.5) @ x q[0];", 1)
+        assert np.max(np.abs(got - matrix_1q("sx", ()))) < 1e-12
+        # cube root of z composes back to z, global phase included
+        r = self._u("pow(1/3) @ z q[0];", 1)
+        assert np.max(np.abs(r @ r @ r - matrix_1q("z", ()))) < 1e-12
+        # fractional power of a gate with a nontrivial global phase
+        y3 = self._u("pow(0.3) @ y q[0];", 1)
+        w, v = np.linalg.eig(matrix_1q("y", ()))
+        want = (v * (w.astype(complex) ** 0.3)) @ np.linalg.inv(v)
+        assert np.max(np.abs(y3 - want)) < 1e-12
+
     def test_modifier_errors(self):
         from gpu_quantum_simulator_tpu.qasm.parser import QasmError
         for src in [
-            "pow(0.5) @ x q[0];",              # fractional power
+            "pow(0.5) @ cx q[0], q[1];",       # fractional multi-qubit
+            "pow(0.5) @ swap q[0], q[1];",     # fractional multi-gate
             "ctrl @ x q[0], q[0];",            # control overlaps target
             "ctrl(2) @ x q[0], q[1];",         # not enough operands
             "ctrl @ x q, q[1];",               # bare-register control
@@ -592,3 +608,43 @@ class TestQasm3Modifiers:
         ]:
             with pytest.raises(QasmError):
                 self._u(src, 2)
+
+
+class TestGphase:
+    """OpenQASM 3 gphase: bare = e^{ig} I (real amplitude content for a
+    state-vector simulator); ctrl(n) @ gphase = the multi-controlled
+    phase; negctrl levels conjugate their own control."""
+
+    _u = staticmethod(TestQasm3Modifiers._u)
+
+    def test_bare_and_inv_pow(self):
+        import numpy as np
+        g = 0.7
+        assert np.max(np.abs(self._u("gphase(0.7);", 1)
+                             - np.exp(1j * g) * np.eye(2))) < 1e-9
+        assert np.max(np.abs(self._u("inv @ gphase(0.7);", 1)
+                             - np.exp(-1j * g) * np.eye(2))) < 1e-9
+        assert np.max(np.abs(self._u("pow(2) @ gphase(0.7);", 1)
+                             - np.exp(2j * g) * np.eye(2))) < 1e-9
+
+    def test_controlled(self):
+        import numpy as np
+        g = 0.7
+        assert np.max(np.abs(self._u("ctrl @ gphase(0.7) q[0];", 1)
+                             - np.diag([1, np.exp(1j * g)]))) < 1e-9
+        want = np.diag([1, 1, 1, np.exp(1j * g)])
+        assert np.max(np.abs(
+            self._u("ctrl(2) @ gphase(0.7) q[0], q[1];", 2) - want)) < 1e-9
+        assert np.max(np.abs(self._u("negctrl @ gphase(0.7) q[0];", 1)
+                             - np.diag([np.exp(1j * g), 1]))) < 1e-9
+        w2 = np.diag([np.exp(1j * g), 1, 1, 1])
+        assert np.max(np.abs(
+            self._u("negctrl(2) @ gphase(0.7) q[0], q[1];", 2) - w2)) < 1e-9
+
+    def test_operand_count_errors(self):
+        import pytest
+        from gpu_quantum_simulator_tpu.qasm.parser import QasmError
+        for bad in ["ctrl(2) @ gphase(0.7) q[0];",
+                    "ctrl @ gphase(0.7) q[0], q[1];"]:
+            with pytest.raises(QasmError):
+                self._u(bad, 2)
