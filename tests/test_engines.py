@@ -213,3 +213,29 @@ def test_all_strategies_one_circuit_cross_parity():
     got = Simulator(SimulatorConfig(
         strategy="sharded", mesh_shape=(8,))).run(c)
     assert float(np.max(np.abs(got - want))) < 3e-5
+
+
+def test_plan_cache_skips_refusion(monkeypatch):
+    """A repeat run of the same circuit must serve the fused plan from the
+    fingerprint cache — never re-fuse (the fusion passes cost ~0.35 s on
+    the 2445-gate benchmark circuit, 3x its n=18 device time)."""
+    from gpu_quantum_simulator_tpu.engine import simulator as S
+
+    c = models.grover_like(9, num_gates=120, seed=77)
+    outs = {}
+    for strat in ("mxu", "vmem"):
+        sim = Simulator(SimulatorConfig(strategy=strat))
+        outs[strat] = np.asarray(sim.run_detailed(c).state)
+
+    def boom(*a, **k):
+        raise AssertionError("plan cache missed: circuit was re-fused")
+
+    monkeypatch.setattr(S, "_fuse_pipeline", boom)
+    for strat in ("mxu", "vmem"):
+        sim = Simulator(SimulatorConfig(strategy=strat))
+        again = np.asarray(sim.run_detailed(c).state)
+        assert np.max(np.abs(again - outs[strat])) == 0.0
+    # appending a gate invalidates: the run must now attempt to re-fuse
+    c.h(0)
+    with pytest.raises(AssertionError, match="re-fused"):
+        Simulator(SimulatorConfig(strategy="mxu")).run_detailed(c)
