@@ -80,7 +80,8 @@ def main():
 
     for line_name, log in (("verify", "verify.log"), ("bench", "bench.log"),
                            ("bench_stream", "bench_stream.log"),
-                           ("bench_vmem", "bench_vmem.log")):
+                           ("bench_vmem", "bench_vmem.log"),
+                           ("bench_mxu", "bench_mxu.log")):
         path = os.path.join(LOGS, log)
         if os.path.exists(path):
             tail = [l.strip() for l in open(path).read().splitlines()[-4:]]
