@@ -2607,6 +2607,12 @@ def run_prefetch(circuit, config, initial_parts=None, return_halves=False):
     from .simulator import _fuse_pipeline
 
     n = circuit.num_qubits
+    if n > 30:
+        # fail BEFORE planning/allocating: n = 30 is the single-chip
+        # ceiling (16 GB HBM holds it only as split column halves)
+        raise ValueError(
+            f"n = {n} exceeds the single-chip ceiling (n = 30); use "
+            "strategy='sharded' over a multi-chip mesh")
     if config.dtype != "complex64":
         raise ValueError(
             "the prefetch strategy is float32-only (Mosaic kernels); use "

@@ -494,6 +494,13 @@ class Simulator:
         cfg = self.config
         real_dtype = _init_real_dtype(cfg)
         n = circuit.num_qubits
+        if n > 30 and cfg.strategy != "sharded":
+            # fail BEFORE allocating: a 2^31 state is past the single-chip
+            # ceiling (n = 30 fits 16 GB HBM only as split halves) and the
+            # attempt would thrash for minutes first
+            raise ValueError(
+                f"n = {n} exceeds the single-chip ceiling (n = 30); use "
+                "strategy='sharded' over a multi-chip mesh")
         # pallas/prefetch/sharded construct their own start state (prefetch
         # builds column halves directly); pre-allocating a flat 2^n pair
         # here would hold 8.6 GB of dead buffers through an n=30 run

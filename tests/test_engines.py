@@ -239,3 +239,15 @@ def test_plan_cache_skips_refusion(monkeypatch):
     c.h(0)
     with pytest.raises(AssertionError, match="re-fused"):
         Simulator(SimulatorConfig(strategy="mxu")).run_detailed(c)
+
+
+def test_single_chip_width_ceiling_fails_fast():
+    """n > 30 must raise BEFORE any 2^n allocation (an attempt thrashes
+    for minutes); the error points at the sharded multi-chip path."""
+    c = Circuit(31)
+    c.h(0)
+    for strat in ("mxu", "prefetch", "naive", "auto"):
+        with pytest.raises(ValueError, match="single-chip ceiling"):
+            Simulator(SimulatorConfig(strategy=strat)).run(c)
+    with pytest.raises(ValueError, match="single-chip ceiling"):
+        Simulator(SimulatorConfig(strategy="prefetch")).run_device_halves(c)
