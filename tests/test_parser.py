@@ -648,3 +648,54 @@ class TestGphase:
                     "ctrl @ gphase(0.7) q[0], q[1];"]:
             with pytest.raises(QasmError):
                 self._u(bad, 2)
+
+
+class TestQasm3Classical:
+    """OpenQASM 3 compile-time classical subset: input/const declarations,
+    for loops (inclusive ranges, steps, value sets, nesting), and
+    arithmetic register indices — all expanded before the statement walk."""
+
+    def test_for_loop_ghz(self):
+        import numpy as np
+        import gpu_quantum_simulator_tpu as Q
+        src = ("OPENQASM 3;\nqubit[5] q;\nh q[0];\n"
+               "for uint i in [0:3] { cx q[i], q[i+1]; }\n")
+        c = Q.parse_qasm(src)
+        assert [(g.name, g.qubits) for g in c.gates] == [
+            ("h", (0,)), ("cx", (0, 1)), ("cx", (1, 2)),
+            ("cx", (2, 3)), ("cx", (3, 4))]
+        p = np.abs(np.asarray(Q.simulate(c, strategy="megakernel"))) ** 2
+        assert abs(p[0] - 0.5) < 1e-6 and abs(p[31] - 0.5) < 1e-6
+
+    def test_inputs_consts_steps_sets_nesting(self):
+        import gpu_quantum_simulator_tpu as Q
+        src = ("OPENQASM 3;\ninput float theta;\nconst uint n = 4;\n"
+               "qubit[4] q;\n"
+               "for uint i in [0:n-1] { rz(theta*i) q[i]; }\n"
+               "for uint i in [0:2:n-2] { for uint j in {1, 3} "
+               "{ cx q[i], q[j]; } }\n")
+        c = Q.parse_qasm(src, inputs={"theta": 0.25})
+        names = [(g.name, g.qubits, g.params) for g in c.gates]
+        assert names[1] == ("rz", (1,), (0.25,))
+        assert names[3][2] == (0.75,)
+        assert ("cx", (0, 1), ()) in names and ("cx", (2, 3), ()) in names
+
+    def test_descending_range(self):
+        import gpu_quantum_simulator_tpu as Q
+        c = Q.parse_qasm("OPENQASM 3;\nqubit[3] q;\n"
+                         "for int i in [2:-1:0] { h q[i]; }\n")
+        assert [g.qubits[0] for g in c.gates] == [2, 1, 0]
+
+    def test_errors(self):
+        import pytest
+        from gpu_quantum_simulator_tpu.qasm.parser import QasmError
+        import gpu_quantum_simulator_tpu as Q
+        with pytest.raises(QasmError, match="no value for input"):
+            Q.parse_qasm("OPENQASM 3;\ninput float t;\nqubit[1] q;\n"
+                         "rz(t) q[0];\n")
+        with pytest.raises(QasmError, match="zero loop step"):
+            Q.parse_qasm("OPENQASM 3;\nqubit[2] q;\n"
+                         "for int i in [0:0:1] { h q[0]; }\n")
+        with pytest.raises(QasmError, match="unbalanced braces"):
+            Q.parse_qasm("OPENQASM 3;\nqubit[2] q;\n"
+                         "for int i in [0:1] { h q[0];\n")
