@@ -699,3 +699,19 @@ class TestQasm3Classical:
         with pytest.raises(QasmError, match="unbalanced braces"):
             Q.parse_qasm("OPENQASM 3;\nqubit[2] q;\n"
                          "for int i in [0:1] { h q[0];\n")
+
+
+def test_dynamic_parser_classical_subset():
+    """input/const/for expand in the dynamic subset too — loops may carry
+    measurements and conditioned gates."""
+    from gpu_quantum_simulator_tpu.dynamic import Measure
+    from gpu_quantum_simulator_tpu.qasm.parser import parse_qasm_dynamic
+
+    dc = parse_qasm_dynamic(
+        "OPENQASM 3;\ninput float theta;\nqubit[3] q; bit[3] c;\n"
+        "for uint i in [0:2] { rz(theta*(i+1)) q[i]; }\n"
+        "for uint i in [0:2] { c[i] = measure q[i]; }\n",
+        inputs={"theta": 0.5})
+    ms = [(m.qubit, m.clbit) for m in dc.items if isinstance(m, Measure)]
+    assert ms == [(0, 0), (1, 1), (2, 2)]
+    assert dc.items[1].params == (1.0,)
