@@ -23,7 +23,7 @@ _DIRECT = {
     "rx", "ry", "rz", "p", "u",
 }
 _COMPOSITE = {"cz", "swap", "ccx", "ccz", "cy", "ch", "cswap", "crz",
-              "cp", "cu1", "cu3", "crx", "cry", "rzz", "rxx", "u2"}
+              "cp", "cu1", "cu3", "crx", "cry", "rzz", "rxx", "ryy", "u2"}
 _IGNORED = {"barrier", "delay", "id"}
 
 
@@ -70,6 +70,19 @@ def from_qiskit(qc, *, strict: bool = True,
             qubits = tuple(qc.find_bit(q).index for q in qargs)
         except AttributeError:
             qubits = tuple(getattr(q, "index") for q in qargs)
+        if name == "unitary":
+            # UnitaryGate: params[0] is the matrix (little-endian over
+            # qargs, same convention as Circuit.unitary); 1q/2q via KAK
+            try:
+                _emit_unitary_inst(out, op, qubits)
+            except _Unsupported as exc:
+                if strict:
+                    raise ValueError(
+                        f"unsupported qiskit instruction: {exc}; pass "
+                        f"strict=False to drop it") from None
+                if dropped is not None:
+                    dropped.append(name)
+            continue
         params = tuple(float(p) for p in getattr(op, "params", ()))
 
         try:
@@ -86,6 +99,23 @@ def from_qiskit(qc, *, strict: bool = True,
 
 class _Unsupported(Exception):
     pass
+
+
+def _emit_unitary_inst(out: Circuit, op, qubits) -> None:
+    """Lower a qiskit UnitaryGate (raises _Unsupported past 2 qubits)."""
+    import numpy as np
+
+    raw = getattr(op, "params", ())
+    if raw:
+        mat = np.asarray(raw[0], dtype=complex)
+    else:  # pragma: no cover - UnitaryGate always carries its matrix
+        mat = np.asarray(op.to_matrix(), dtype=complex)
+    if len(qubits) > 2:
+        raise _Unsupported(f"unitary on {len(qubits)} qubits (max 2)")
+    try:
+        out.unitary(mat, *qubits)
+    except ValueError as exc:
+        raise _Unsupported(f"unitary: {exc}") from None
 
 
 def _emit_gate(out: Circuit, name: str, qubits, params) -> None:
@@ -157,14 +187,16 @@ def from_qiskit_dynamic(qc, *, strict: bool = True,
             for q in qubits:
                 dc.reset(q)
             continue
-        params = tuple(float(p) for p in getattr(op, "params", ()))
-
         cond = getattr(op, "condition", None)
         tmp = Circuit(num_qubits)
         try:
             if name in ("if_else", "while_loop", "for_loop", "switch_case"):
                 raise _Unsupported(name)
-            _emit_gate(tmp, name, qubits, params)
+            if name == "unitary":
+                _emit_unitary_inst(tmp, op, qubits)
+            else:
+                params = tuple(float(p) for p in getattr(op, "params", ()))
+                _emit_gate(tmp, name, qubits, params)
         except _Unsupported:
             if strict:
                 raise ValueError(

@@ -130,6 +130,16 @@ class Circuit:
     def cx(self, control: int, target: int):
         return self.append("cx", control, target)
 
+    def unitary(self, u, *qubits: int):
+        """Append an arbitrary 1q or 2q unitary matrix as native gates
+        (exact, global phase included; 2q via the KAK decomposition,
+        ir.decompose.emit_unitary).  2q basis: index = bit(qubits[1])*2 +
+        bit(qubits[0]) — little-endian over the operand order."""
+        from .decompose import emit_unitary
+
+        emit_unitary(self, u, qubits)
+        return self
+
     # -- queries ---------------------------------------------------------------
     def __len__(self) -> int:
         return len(self.gates)

@@ -24,7 +24,7 @@ COMPOSITE_GATES = {
     "u1": (1, 1), "u2": (1, 2), "u3": (1, 3),
     "crz": (2, 1), "cp": (2, 1), "cu1": (2, 1), "cu3": (2, 3),
     "crx": (2, 1), "cry": (2, 1),
-    "rzz": (2, 1), "rxx": (2, 1),
+    "rzz": (2, 1), "rxx": (2, 1), "ryy": (2, 1),
 }
 
 
@@ -167,6 +167,24 @@ def emit_composite(c: Circuit, name: str, qubits, params=()) -> None:
         c.cx(a, b)
         c.h(b)
         c.append("u", a, params=(math.pi / 2, -math.pi, math.pi - theta))
+    elif name == "ryy":
+        # exact exp(-i theta/2 YY) (qiskit's convention; qelib1 has no
+        # ryy): conjugate the cx-rz-cx core by rx(pi/2) on both qubits
+        # (rx maps Z -> Y).  The core is e^{i theta/2} exp(-i theta/2 ZZ)
+        # in this library's rz = diag(1, e^{i theta}) convention, so the
+        # leading p-x-p-x pair contributes the compensating e^{-i theta/2}
+        (theta,), (a, b) = params, qubits
+        c.p(-theta / 2, a)
+        c.x(a)
+        c.p(-theta / 2, a)
+        c.x(a)
+        c.rx(math.pi / 2, a)
+        c.rx(math.pi / 2, b)
+        c.cx(a, b)
+        c.rz(theta, b)
+        c.cx(a, b)
+        c.rx(-math.pi / 2, a)
+        c.rx(-math.pi / 2, b)
     else:  # pragma: no cover
         raise ValueError(name)
 
@@ -197,3 +215,228 @@ def zyz_angles(u):
         phi = cmath.phase(c_) - gamma
         lam = cmath.phase(-b) - gamma
     return theta, phi, lam, gamma
+
+
+# ---------------------------------------------------------------- KAK / 2q
+# Cartan decomposition of an arbitrary two-qubit unitary into native gates:
+# U = e^{i phi} (A1 (x) A0) exp(i (a XX + b YY + c ZZ)) (B1 (x) B0).
+# The middle factors into the COMMUTING pair products Rxx Ryy Rzz (XX, YY,
+# ZZ mutually commute), each a library composite, and the 1q factors lower
+# through zyz_angles.  A simulator-oriented choice: exactness over cx
+# count — the fusion passes collapse the whole sequence into one dense
+# 4x4 block anyway, so the canonical 3-cx circuit would buy nothing here.
+
+_MAGIC = None
+
+
+def _magic():
+    import numpy as np
+
+    global _MAGIC
+    if _MAGIC is None:
+        s = 2.0 ** -0.5
+        _MAGIC = s * np.array(
+            [[1, 0, 0, 1j],
+             [0, 1j, 1, 0],
+             [0, 1j, -1, 0],
+             [1, 0, 0, -1j]], dtype=complex)
+    return _MAGIC
+
+
+def _factor_kron(m):
+    """(v1, v0) with m = kron(v1, v0) for an exactly-separable 4x4 (rank-1
+    nearest-Kronecker via the reshuffled SVD), each factor unitarized."""
+    import numpy as np
+
+    r = np.asarray(m, dtype=complex).reshape(2, 2, 2, 2)
+    r = r.transpose(0, 2, 1, 3).reshape(4, 4)    # (i1 j1, i0 j0)
+    u, s, vh = np.linalg.svd(r)
+    if s[1] > 1e-8 * s[0]:
+        raise ValueError("matrix is not a Kronecker product")
+    v1 = (u[:, 0] * np.sqrt(s[0])).reshape(2, 2)
+    v0 = (vh[0] * np.sqrt(s[0])).reshape(2, 2)
+    # unitarize each factor (split the scale/phase slack evenly)
+    d1 = np.linalg.det(v1).astype(complex)
+    d0 = np.linalg.det(v0).astype(complex)
+    v1 = v1 / np.sqrt(d1)
+    v0 = v0 * np.sqrt(d1)
+    del d0
+    return v1, v0
+
+
+def kak_decompose(u):
+    """(phase, A1, A0, (a, b, c), B1, B0) with, as matrices over the basis
+    index = bit1*2 + bit0,
+
+        u = e^{i phase} kron(A1, A0) @ expm(i (a XX + b YY + c ZZ))
+            @ kron(B1, B0)
+
+    Robust over the degenerate classes (CNOT, SWAP, identity, kron
+    products): the complex-symmetric Gram matrix in the magic basis is
+    jointly diagonalized through a randomized real-combination retry loop.
+    """
+    import numpy as np
+
+    u = np.asarray(u, dtype=complex)
+    if u.shape != (4, 4):
+        raise ValueError(f"kak_decompose needs a 4x4 unitary, got {u.shape}")
+    if np.max(np.abs(u @ u.conj().T - np.eye(4))) > 1e-8:
+        raise ValueError("kak_decompose needs a unitary matrix")
+    E = _magic()
+    su = u / np.linalg.det(u).astype(complex) ** 0.25
+    m = E.conj().T @ su @ E
+    gram = m.T @ m
+
+    gr, gi = gram.real, gram.imag
+    rng = np.random.default_rng(7)
+    Q = None
+    for _ in range(24):
+        t = rng.standard_normal()
+        _, q = np.linalg.eigh(gr + t * gi)
+        d = q.T @ gram @ q
+        if np.max(np.abs(d - np.diag(np.diag(d)))) < 1e-9:
+            Q = q
+            break
+    if Q is None:  # pragma: no cover - the retry loop converges in practice
+        raise ValueError("failed to diagonalize the magic-basis Gram matrix")
+    if np.linalg.det(Q) < 0:
+        Q[:, 0] = -Q[:, 0]
+
+    two_theta = np.angle(np.diag(Q.T @ gram @ Q))
+    theta = two_theta / 2.0
+    # branch selection: det(gamma) = 1 makes sum(theta) = j*pi for integer
+    # j; the angle system below needs sum(theta) EXACTLY 0.  Shifting any
+    # theta_k by pi leaves Lambda_k = exp(2i theta_k) unchanged (it only
+    # flips the sign of D_k, i.e. of one real column of O1), so walk j to 0
+    j = int(round(np.sum(theta) / np.pi))
+    i = 0
+    while j != 0:
+        step = 1 if j > 0 else -1
+        theta[i % 4] -= np.pi * step
+        j -= step
+        i += 1
+    D = np.exp(1j * theta)
+    O2 = Q.T
+    O1 = m @ Q @ np.diag(1.0 / D)
+    if np.max(np.abs(O1.imag)) > 1e-7:  # pragma: no cover
+        raise ValueError("KAK left factor failed to be real orthogonal")
+    O1 = O1.real
+
+    # canonical coefficients: XX/YY/ZZ are diagonal in the magic basis
+    X = np.array([[0, 1], [1, 0]], dtype=complex)
+    Y = np.array([[0, -1j], [1j, 0]], dtype=complex)
+    Z = np.array([[1, 0], [0, -1]], dtype=complex)
+    cols = []
+    for P in (X, Y, Z):
+        PP = np.kron(P, P)
+        cols.append(np.real(np.diag(E.conj().T @ PP @ E)))
+    A = np.stack(cols, axis=1)                       # (4, 3)
+    abc, *_ = np.linalg.lstsq(A, theta, rcond=None)
+    if np.max(np.abs(A @ abc - theta)) > 1e-8:  # pragma: no cover
+        raise ValueError("KAK angle system inconsistent")
+
+    L = E @ O1 @ E.conj().T
+    R = E @ O2 @ E.conj().T
+    A1, A0 = _factor_kron(L)
+    B1, B0 = _factor_kron(R)
+    # the middle reconstructs exactly; fold every leftover phase into one
+    mid = _canonical_matrix(*abc)
+    recon = np.kron(A1, A0) @ mid @ np.kron(B1, B0)
+    ratio = (u @ np.linalg.inv(recon)).astype(complex)
+    phase = np.angle(np.trace(ratio) / 4.0)
+    if np.max(np.abs(ratio - np.exp(1j * phase) * np.eye(4))) > 1e-8:
+        raise ValueError("KAK reconstruction failed")  # pragma: no cover
+    return phase, A1, A0, tuple(float(v) for v in abc), B1, B0
+
+
+def _canonical_matrix(a, b, c):
+    """expm(i (a XX + b YY + c ZZ)) — product of the commuting factors."""
+    import numpy as np
+
+    X = np.array([[0, 1], [1, 0]], dtype=complex)
+    Y = np.array([[0, -1j], [1j, 0]], dtype=complex)
+    Z = np.array([[1, 0], [0, -1]], dtype=complex)
+    out = np.eye(4, dtype=complex)
+    for coef, P in ((a, X), (b, Y), (c, Z)):
+        PP = np.kron(P, P)
+        out = out @ (np.cos(coef) * np.eye(4) + 1j * np.sin(coef) * PP)
+    return out
+
+
+def emit_unitary(c: Circuit, u, qubits) -> None:
+    """Append an arbitrary 1q or 2q unitary as native gates (exact, global
+    phase included).  2q matrix basis: index = bit(qubits[1])*2 +
+    bit(qubits[0]) — little-endian over the operand order, the library's
+    convention (CLAUDE.md invariants)."""
+    import numpy as np
+
+    qubits = tuple(qubits)
+    u = np.asarray(u, dtype=complex)
+    if len(qubits) == 1:
+        if u.shape != (2, 2):
+            raise ValueError("1-qubit emit_unitary needs a 2x2 matrix")
+        theta, phi, lam, gamma = zyz_angles(u)
+        q = qubits[0]
+        if abs(gamma) > 1e-12:
+            c.p(gamma, q)
+            c.x(q)
+            c.p(gamma, q)
+            c.x(q)
+        c.append("u", q, params=(theta, phi, lam))
+        return
+    if len(qubits) != 2 or qubits[0] == qubits[1]:
+        raise ValueError("emit_unitary takes 1 or 2 distinct qubits")
+    q0, q1 = qubits
+    phase, A1, A0, (a, b, cz), B1, B0 = kak_decompose(u)
+    start = len(c.gates)
+    emit_unitary(c, B0, (q0,))
+    emit_unitary(c, B1, (q1,))
+    # exp(i k PP) = Rpp(-2k) with Rpp(t) = exp(-i t/2 PP)
+    emit_composite(c, "rxx", (q0, q1), (-2.0 * a,))
+    emit_composite(c, "ryy", (q0, q1), (-2.0 * b,))
+    emit_composite(c, "rzz", (q0, q1), (-2.0 * cz,))
+    emit_unitary(c, A0, (q0,))
+    emit_unitary(c, A1, (q1,))
+    # the composites carry known global-phase slack (e.g. qelib1's rzz);
+    # measure the residual on the emitted tail (a cheap 4x4 product) and
+    # cancel it exactly
+    resid = _emitted_phase_residual(c, u, (q0, q1), start)
+    if abs(resid) > 1e-12:
+        c.p(resid, q0)
+        c.x(q0)
+        c.p(resid, q0)
+        c.x(q0)
+
+
+def _emitted_phase_residual(c: Circuit, u, qubits, start: int):
+    """Phase phi with u = e^{i phi} * (unitary of c.gates[start:])."""
+    import numpy as np
+
+    q0, q1 = qubits
+    total = np.eye(4, dtype=complex)
+    for g in c.gates[start:]:
+        total = _gate_matrix_2q(g, q0, q1) @ total
+    ratio = np.asarray(u, dtype=complex) @ np.linalg.inv(total)
+    phase = float(np.angle(np.trace(ratio) / 4.0))
+    if np.max(np.abs(ratio - np.exp(1j * phase) * np.eye(4))) > 1e-8:
+        raise AssertionError("emit_unitary tail mismatch")  # pragma: no cover
+    return phase
+
+
+def _gate_matrix_2q(g, q0: int, q1: int):
+    """The 4x4 of a native gate over (q0, q1), basis bit1*2 + bit0."""
+    import numpy as np
+
+    if g.name == "cx":
+        ctl, tgt = g.qubits
+        cbit = 0 if ctl == q0 else 1
+        m = np.eye(4, dtype=complex)
+        for col in range(4):
+            if (col >> cbit) & 1:
+                m[:, col] = 0
+                m[col ^ (1 << (1 - cbit)), col] = 1
+        return m
+    u = g.matrix()
+    if g.qubits[0] == q0:
+        return np.kron(np.eye(2, dtype=complex), u)
+    return np.kron(u, np.eye(2, dtype=complex))

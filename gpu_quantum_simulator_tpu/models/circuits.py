@@ -736,3 +736,28 @@ def load_reference_circuit(name: str) -> Circuit:
 
     path = os.path.join(_REFERENCE_DIR, name if name.endswith(".qasm") else name + ".qasm")
     return parse_qasm_file(path)
+
+
+def quantum_volume(num_qubits: int, depth: Optional[int] = None,
+                   seed: int = 0) -> Circuit:
+    """IBM-style quantum-volume model circuit: ``depth`` layers (default
+    ``num_qubits`` — the square QV shape), each a random qubit permutation
+    followed by Haar-random SU(4) blocks on the paired qubits, lowered to
+    native gates through the exact KAK decomposition
+    (ir.decompose.emit_unitary).  The canonical whole-chip stress
+    workload: no structure for the fusion passes to exploit beyond the
+    pair blocks themselves."""
+    import numpy as np
+
+    if depth is None:
+        depth = num_qubits
+    rng = np.random.default_rng(seed)
+    c = Circuit(num_qubits)
+    for _ in range(depth):
+        order = rng.permutation(num_qubits)
+        for i in range(0, num_qubits - 1, 2):
+            z = rng.standard_normal((4, 4)) + 1j * rng.standard_normal((4, 4))
+            q, r = np.linalg.qr(z)
+            q = q * (np.diag(r) / np.abs(np.diag(r)))   # Haar-correct phase
+            c.unitary(q, int(order[i]), int(order[i + 1]))
+    return c

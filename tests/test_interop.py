@@ -171,3 +171,34 @@ def test_from_qiskit_dynamic_control_flow_rejected():
     dropped = []
     dc = from_qiskit_dynamic(qc, strict=False, dropped=dropped)
     assert dropped == ["if_else"] and not dc.items
+
+
+def test_unitary_instruction():
+    """qiskit UnitaryGate converts via KAK (1q via zyz); >2q unitaries are
+    rejected in strict mode and droppable otherwise."""
+    rng = np.random.default_rng(5)
+    z = rng.standard_normal((4, 4)) + 1j * rng.standard_normal((4, 4))
+    u2q, _ = np.linalg.qr(z)
+    z1 = rng.standard_normal((2, 2)) + 1j * rng.standard_normal((2, 2))
+    u1q, _ = np.linalg.qr(z1)
+
+    qc = _FakeQC(2)
+    qc.add("h", 0)
+    qc.add("unitary", 1, params=(u1q,))
+    qc.add("unitary", 0, 1, params=(u2q,))
+    c = from_qiskit(qc)
+
+    want = Circuit(2)
+    want.h(0)
+    want.unitary(u1q, 1)
+    want.unitary(u2q, 0, 1)
+    assert np.max(np.abs(simulate_reference(c)
+                         - simulate_reference(want))) < 1e-9
+
+    qc3 = _FakeQC(3)
+    qc3.add("unitary", 0, 1, 2, params=(np.eye(8, dtype=complex),))
+    with pytest.raises(ValueError, match="unsupported"):
+        from_qiskit(qc3)
+    dropped = []
+    from_qiskit(qc3, strict=False, dropped=dropped)
+    assert dropped == ["unitary"]
