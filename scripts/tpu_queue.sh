@@ -91,6 +91,10 @@ run quench 3600 python scripts/quench_demo.py 24 120 0.05 20
 # 5c. noisy trajectory-ensemble sampling (1024 shots, one batch)
 run noisy 2400 python scripts/noisy_demo.py 16 1024
 
+# 5c2. quantum volume at n=20: heavy-output probability from device
+# samples (the IBM QV pass metric) + dense-block (KAK) workload timing
+run qv20 3600 python scripts/qv_demo.py 20 20 2000
+
 # 5d. planner-knob A/B (plan_model --tune candidates: max_high/cap_mats)
 run knob_ab 3600 python scripts/knob_ab.py 24 26
 
