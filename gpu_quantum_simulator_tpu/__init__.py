@@ -39,7 +39,9 @@ from .gradients import (adjoint_gradient, make_adjoint_value_and_grad,
 from .observables import (expectation_pauli, expectation_pauli_sum,
                           overlap, state_fidelity)
 from .interop import from_qiskit
-from .mitigation import folded, zne_expectation
+from .mitigation import (folded, mitigate_readout,
+                         mitigate_readout_expectation_z,
+                         zne_expectation)
 from .shadows import shadow_snapshots, shadows_expectation
 from .sampling import (
     expectation_z,
@@ -84,6 +86,8 @@ __all__ = [
     "from_qiskit",
     "folded",
     "zne_expectation",
+    "mitigate_readout",
+    "mitigate_readout_expectation_z",
     "shadow_snapshots",
     "shadows_expectation",
 ]
