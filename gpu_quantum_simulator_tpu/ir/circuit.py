@@ -130,6 +130,49 @@ class Circuit:
     def cx(self, control: int, target: int):
         return self.append("cx", control, target)
 
+    def pauli_rot(self, theta: float, pauli: str):
+        """Append exp(-i theta/2 P) for an arbitrary Pauli string P (exact,
+        global phase included) — the Hamiltonian-simulation primitive.
+
+        ``pauli``: dense ("IXZY", qubit 0 leftmost) or sparse ("X0 Z3 Y5")
+        — the observables module's format.  Lowering: X factors conjugate
+        with h, Y with rx(pi/2) (both map Z into place), a cx parity
+        ladder folds the string onto its last qubit, rz(theta) rotates,
+        and the p-x-p-x pair supplies the e^{-i theta/2} this library's
+        rz = diag(1, e^{i theta}) convention leaves over.  An all-identity
+        string is the pure global phase e^{-i theta/2}."""
+        import math
+
+        from ..observables import _parse_pauli
+
+        ops = _parse_pauli(pauli, self.num_qubits)
+        qs = sorted(ops)
+        # the rz below contributes e^{+i theta/2} relative to the exact
+        # exponential; cancel it here (on qubit 0 for the identity string)
+        anchor = qs[-1] if qs else 0
+        self.p(-theta / 2, anchor)
+        self.x(anchor)
+        self.p(-theta / 2, anchor)
+        self.x(anchor)
+        if not qs:
+            return self
+        for q in qs:
+            if ops[q] == "X":
+                self.h(q)
+            elif ops[q] == "Y":
+                self.rx(math.pi / 2, q)
+        for a, b in zip(qs, qs[1:]):
+            self.cx(a, b)
+        self.rz(theta, qs[-1])
+        for a, b in reversed(list(zip(qs, qs[1:]))):
+            self.cx(a, b)
+        for q in qs:
+            if ops[q] == "X":
+                self.h(q)
+            elif ops[q] == "Y":
+                self.rx(-math.pi / 2, q)
+        return self
+
     def unitary(self, u, *qubits: int):
         """Append an arbitrary 1q or 2q unitary matrix as native gates
         (exact, global phase included; 2q via the KAK decomposition,

@@ -761,3 +761,31 @@ def quantum_volume(num_qubits: int, depth: Optional[int] = None,
             q = q * (np.diag(r) / np.abs(np.diag(r)))   # Haar-correct phase
             c.unitary(q, int(order[i]), int(order[i + 1]))
     return c
+
+
+def pauli_evolution(num_qubits: int, terms, time: float, steps: int = 1,
+                    order: int = 1) -> Circuit:
+    """Trotterized exp(-i H t) for ANY Pauli-sum H = sum_j c_j P_j, given
+    as (coeff, pauli) terms — the same format ``tfim_terms`` /
+    ``heisenberg_terms`` produce and ``expectation_pauli_sum`` consumes.
+    Each factor is one exact ``Circuit.pauli_rot`` (exp(-i theta/2 P) with
+    theta = 2 c_j dt).  ``order=1``: Lie-Trotter (error ~ t^2/steps);
+    ``order=2``: Strang splitting — half step forward, half step in
+    reversed term order (error ~ t^3/steps^2)."""
+    if steps < 1:
+        raise ValueError("steps must be >= 1")
+    if order not in (1, 2):
+        raise ValueError("order must be 1 (Lie-Trotter) or 2 (Strang)")
+    dt = float(time) / steps
+    c = Circuit(num_qubits)
+    terms = list(terms)
+    for _ in range(steps):
+        if order == 1:
+            for coef, pauli in terms:
+                c.pauli_rot(2.0 * float(coef) * dt, pauli)
+        else:
+            for coef, pauli in terms:
+                c.pauli_rot(float(coef) * dt, pauli)
+            for coef, pauli in reversed(terms):
+                c.pauli_rot(float(coef) * dt, pauli)
+    return c

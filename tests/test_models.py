@@ -375,3 +375,66 @@ def test_w_state_amplitudes():
     import pytest
     with pytest.raises(ValueError):
         models.w_state(0)
+
+
+class TestPauliRotEvolution:
+    """Circuit.pauli_rot = exact exp(-i theta/2 P); models.pauli_evolution
+    Trotterizes any (coeff, pauli) Hamiltonian with the textbook rates."""
+
+    def test_pauli_rot_exact(self):
+        import numpy as np
+        from scipy.linalg import expm
+
+        from gpu_quantum_simulator_tpu import circuit_unitary
+        from gpu_quantum_simulator_tpu.ir.circuit import Circuit
+
+        P = {"I": np.eye(2), "X": np.array([[0, 1], [1, 0]]),
+             "Y": np.array([[0, -1j], [1j, 0]]), "Z": np.diag([1, -1])}
+
+        def pauli_mat(s):
+            m = np.eye(1)
+            for ch in s:                    # qubit 0 leftmost = bit 0
+                m = np.kron(P[ch], m)
+            return m
+
+        for s, th in [("Z", 0.7), ("Y", -1.1), ("XZ", 2.2), ("IXI", 0.4),
+                      ("XYZ", -0.9), ("III", 1.3), ("YXZY", 0.25)]:
+            want = expm(-0.5j * th * pauli_mat(s))
+            c = Circuit(len(s))
+            c.pauli_rot(th, s)
+            got = np.asarray(circuit_unitary(c))
+            assert np.max(np.abs(got - want)) < 1e-9, s
+        # sparse spec == dense spec
+        a = Circuit(5).pauli_rot(0.7, "X0 Z3")
+        b = Circuit(5).pauli_rot(0.7, "XIIZI")
+        assert np.max(np.abs(np.asarray(circuit_unitary(a))
+                             - np.asarray(circuit_unitary(b)))) < 1e-12
+
+    def test_pauli_evolution_rates(self):
+        import numpy as np
+        from scipy.linalg import expm
+
+        from gpu_quantum_simulator_tpu import circuit_unitary, models
+        from gpu_quantum_simulator_tpu.observables import _parse_pauli
+
+        P = {"I": np.eye(2), "X": np.array([[0, 1], [1, 0]]),
+             "Y": np.array([[0, -1j], [1j, 0]]), "Z": np.diag([1, -1])}
+        n, t = 3, 0.6
+        terms = models.tfim_terms(n, J=1.0, g=0.7)
+        H = np.zeros((1 << n, 1 << n), dtype=complex)
+        for coef, s in terms:
+            ops = _parse_pauli(s, n)
+            m = np.eye(1)
+            for q in reversed(range(n)):
+                m = np.kron(m, P[ops.get(q, "I")])
+            H += coef * m
+        want = expm(-1j * t * H)
+
+        def err(order, steps):
+            c = models.pauli_evolution(n, terms, t, steps=steps, order=order)
+            return np.max(np.abs(np.asarray(circuit_unitary(c)) - want))
+
+        # Strang quarters the error when steps double (~dt^2)
+        e10, e20 = err(2, 10), err(2, 20)
+        assert e10 < 2e-3 and 3.0 < e10 / e20 < 5.0
+        assert err(1, 40) < 2e-2
