@@ -110,8 +110,8 @@ def _emit_unitary_inst(out: Circuit, op, qubits) -> None:
         mat = np.asarray(raw[0], dtype=complex)
     else:  # pragma: no cover - UnitaryGate always carries its matrix
         mat = np.asarray(op.to_matrix(), dtype=complex)
-    if len(qubits) > 2:
-        raise _Unsupported(f"unitary on {len(qubits)} qubits (max 2)")
+    if len(qubits) > 6:
+        raise _Unsupported(f"unitary on {len(qubits)} qubits (max 6)")
     try:
         out.unitary(mat, *qubits)
     except ValueError as exc:

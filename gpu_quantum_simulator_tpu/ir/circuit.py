@@ -174,10 +174,11 @@ class Circuit:
         return self
 
     def unitary(self, u, *qubits: int):
-        """Append an arbitrary 1q or 2q unitary matrix as native gates
-        (exact, global phase included; 2q via the KAK decomposition,
-        ir.decompose.emit_unitary).  2q basis: index = bit(qubits[1])*2 +
-        bit(qubits[0]) — little-endian over the operand order."""
+        """Append an arbitrary unitary matrix on 1-6 qubits as native
+        gates (exact, global phase included): 2q via the KAK
+        decomposition, 3q+ via the quantum Shannon decomposition
+        (ir.decompose.emit_unitary / emit_unitary_k).  Matrix basis:
+        index bit i = qubits[i] — little-endian over the operand order."""
         from .decompose import emit_unitary
 
         emit_unitary(self, u, qubits)

@@ -384,8 +384,11 @@ def emit_unitary(c: Circuit, u, qubits) -> None:
             c.x(q)
         c.append("u", q, params=(theta, phi, lam))
         return
+    if len(qubits) > 2:
+        emit_unitary_k(c, u, qubits)
+        return
     if len(qubits) != 2 or qubits[0] == qubits[1]:
-        raise ValueError("emit_unitary takes 1 or 2 distinct qubits")
+        raise ValueError("emit_unitary takes distinct qubits")
     q0, q1 = qubits
     phase, A1, A0, (a, b, cz), B1, B0 = kak_decompose(u)
     start = len(c.gates)
@@ -440,3 +443,159 @@ def _gate_matrix_2q(g, q0: int, q1: int):
     if g.qubits[0] == q0:
         return np.kron(np.eye(2, dtype=complex), u)
     return np.kron(u, np.eye(2, dtype=complex))
+
+
+# ----------------------------------------------------- quantum Shannon / kq
+# Recursive synthesis of k-qubit unitaries (k >= 3): the cosine-sine
+# decomposition splits U over the top qubit into two block-diagonal
+# multiplexers around one uniformly-controlled Ry; each multiplexer
+# demultiplexes into smaller unitaries around a uniformly-controlled Rz
+# (Shende-Bullock-Markov).  Uniformly-controlled rotations lower by the
+# Gray-code construction (Mottonen et al.): 2^m rotations + 2^m cx, with
+# the angle transform theta -> phi solved from the (-1)^{popcount(gray(j)
+# & s)} sign system.  All phase slack (this library's rz = diag(1, e^{i
+# theta}) convention) is SCALAR, so one numeric correction at the top
+# restores the matrix exactly, global phase included.
+
+_QSD_MAX_QUBITS = 6
+
+
+def _gray(j: int) -> int:
+    return j ^ (j >> 1)
+
+
+def _emit_mux_rot(c: Circuit, thetas, controls, target: int,
+                  kind: str) -> None:
+    """Uniformly-controlled rotation: for control state s apply
+    R_kind(thetas[s]) to the target (s = little-endian over ``controls``).
+    kind='ry' is exact; kind='rz' emits this library's rz (equal to the
+    symmetric Rz times a control-independent scalar — corrected at the
+    synthesis top level)."""
+    import numpy as np
+
+    m = len(controls)
+    rot = (lambda th: c.ry(th, target)) if kind == "ry" else \
+        (lambda th: c.rz(th, target))
+    if m == 0:
+        rot(float(thetas[0]))
+        return
+    size = 1 << m
+    M = np.empty((size, size))
+    for s in range(size):
+        for j in range(size):
+            M[s, j] = -1.0 if bin(_gray(j) & s).count("1") % 2 else 1.0
+    phi = np.linalg.solve(M, np.asarray(thetas, dtype=np.float64))
+    for j in range(size):
+        rot(float(phi[j]))
+        if j + 1 < size:
+            ctrl = ((j + 1) & -(j + 1)).bit_length() - 1
+        else:
+            ctrl = m - 1
+        c.cx(controls[ctrl], target)
+
+
+def _emit_demux(c: Circuit, A, B, qs) -> None:
+    """Block-diagonal multiplexer [A 0; 0 B] over the top qubit qs[-1]
+    (A for bit 0): (I x V) . mux-Rz . (I x W) with A = V D W,
+    B = V D^dagger W from the Schur form of A B^dagger."""
+    import numpy as np
+    import scipy.linalg
+
+    X = A @ B.conj().T
+    T, V = scipy.linalg.schur(X, output="complex")
+    if np.max(np.abs(T - np.diag(np.diag(T)))) > 1e-9:  # pragma: no cover
+        raise ValueError("demultiplexer Schur form is not diagonal")
+    d = np.sqrt(np.diag(T).astype(complex))
+    W = np.diag(d.conj()) @ V.conj().T @ A
+    _emit_qsd(c, W, qs[:-1])
+    _emit_mux_rot(c, -2.0 * np.angle(d), qs[:-1], qs[-1], "rz")
+    _emit_qsd(c, V, qs[:-1])
+
+
+def _emit_qsd(c: Circuit, u, qs) -> None:
+    import numpy as np
+
+    k = len(qs)
+    if k == 1:
+        theta, phi, lam, _ = zyz_angles(u)   # scalar slack fixed at top
+        c.append("u", qs[0], params=(theta, phi, lam))
+        return
+    if k == 2:
+        # reuse the KAK path (its internal phase fix keeps it exact;
+        # harmless under the top-level scalar correction)
+        _emit_kak_body(c, np.asarray(u, dtype=complex), qs)
+        return
+    from scipy.linalg import cossin
+
+    half = 1 << (k - 1)
+    (u1, u2), theta, (v1h, v2h) = cossin(
+        np.asarray(u, dtype=complex), p=half, q=half, separate=True)
+    _emit_demux(c, v1h, v2h, qs)
+    _emit_mux_rot(c, 2.0 * np.asarray(theta), qs[:-1], qs[-1], "ry")
+    _emit_demux(c, u1, u2, qs)
+
+
+def _emit_kak_body(c: Circuit, u, qs) -> None:
+    """KAK emission without its own trailing phase fix (the QSD top level
+    corrects the scalar once for the whole synthesis)."""
+    q0, q1 = qs
+    _, A1, A0, (a, b, cz), B1, B0 = kak_decompose(u)
+    for mat, q in ((B0, q0), (B1, q1)):
+        theta, phi, lam, _ = zyz_angles(mat)
+        c.append("u", q, params=(theta, phi, lam))
+    emit_composite(c, "rxx", (q0, q1), (-2.0 * a,))
+    emit_composite(c, "ryy", (q0, q1), (-2.0 * b,))
+    emit_composite(c, "rzz", (q0, q1), (-2.0 * cz,))
+    for mat, q in ((A0, q0), (A1, q1)):
+        theta, phi, lam, _ = zyz_angles(mat)
+        c.append("u", q, params=(theta, phi, lam))
+
+
+def _dense_of_gates(gates, k: int):
+    """2^k x 2^k matrix of a native gate list over qubits 0..k-1."""
+    import numpy as np
+
+    from ..ref.cpu import apply_gate_numpy
+
+    size = 1 << k
+    cols = np.eye(size, dtype=complex)
+    for g in gates:
+        for i in range(size):
+            cols[:, i] = apply_gate_numpy(cols[:, i], k, g)
+    return cols
+
+
+def emit_unitary_k(c: Circuit, u, qubits) -> None:
+    """Append a k-qubit unitary (3 <= k <= 6) as native gates via the
+    quantum Shannon decomposition; exact including global phase.  Basis:
+    index bit i = qubits[i] (little-endian over the operand order)."""
+    import numpy as np
+
+    qubits = tuple(qubits)
+    k = len(qubits)
+    u = np.asarray(u, dtype=complex)
+    if u.shape != (1 << k, 1 << k):
+        raise ValueError(
+            f"emit_unitary_k: got a {u.shape} matrix for {k} qubits")
+    if np.max(np.abs(u @ u.conj().T - np.eye(1 << k))) > 1e-8:
+        raise ValueError("emit_unitary_k needs a unitary matrix")
+    if len(set(qubits)) != k:
+        raise ValueError("duplicate qubits")
+    if k > _QSD_MAX_QUBITS:
+        raise ValueError(
+            f"unitary synthesis supports up to {_QSD_MAX_QUBITS} qubits "
+            f"(got {k}) — split the operator or supply a circuit")
+    scratch = Circuit(k)
+    _emit_qsd(scratch, u, list(range(k)))
+    dense = _dense_of_gates(scratch.gates, k)
+    ratio = u @ np.linalg.inv(dense)
+    phase = float(np.angle(np.trace(ratio) / (1 << k)))
+    if np.max(np.abs(ratio - np.exp(1j * phase) * np.eye(1 << k))) > 1e-7:
+        raise AssertionError("QSD reconstruction failed")  # pragma: no cover
+    if abs(phase) > 1e-12:
+        scratch.p(phase, 0)
+        scratch.x(0)
+        scratch.p(phase, 0)
+        scratch.x(0)
+    for g in scratch.gates:
+        c.append(g.name, *(qubits[q] for q in g.qubits), params=g.params)

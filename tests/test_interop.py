@@ -195,10 +195,20 @@ def test_unitary_instruction():
     assert np.max(np.abs(simulate_reference(c)
                          - simulate_reference(want))) < 1e-9
 
+    # 3q unitaries now lower via the Shannon decomposition
     qc3 = _FakeQC(3)
-    qc3.add("unitary", 0, 1, 2, params=(np.eye(8, dtype=complex),))
+    ccx = np.eye(8, dtype=complex)
+    ccx[[3, 7], :] = ccx[[7, 3], :]
+    qc3.add("x", 0)
+    qc3.add("x", 1)
+    qc3.add("unitary", 0, 1, 2, params=(ccx,))
+    v = simulate_reference(from_qiskit(qc3))
+    assert abs(abs(v[7]) - 1) < 1e-9      # |110> -> |111>
+
+    qc7 = _FakeQC(7)
+    qc7.add("unitary", *range(7), params=(np.eye(128, dtype=complex),))
     with pytest.raises(ValueError, match="unsupported"):
-        from_qiskit(qc3)
+        from_qiskit(qc7)
     dropped = []
-    from_qiskit(qc3, strict=False, dropped=dropped)
+    from_qiskit(qc7, strict=False, dropped=dropped)
     assert dropped == ["unitary"]

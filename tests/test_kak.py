@@ -110,3 +110,64 @@ def test_quantum_volume_cross_engine():
         v = np.asarray(simulate(c, strategy=strat))
         assert np.max(np.abs(v - ref)) < 1e-5
     assert abs(np.vdot(ref, ref) - 1) < 1e-9
+
+
+class TestQSD:
+    """Quantum Shannon decomposition: k-qubit unitary synthesis (k >= 3),
+    exact including global phase."""
+
+    @staticmethod
+    def _haar_k(rng, k):
+        d = 1 << k
+        z = rng.standard_normal((d, d)) + 1j * rng.standard_normal((d, d))
+        q, r = np.linalg.qr(z)
+        return q * (np.diag(r) / np.abs(np.diag(r)))
+
+    def test_random_k3_k4(self):
+        from gpu_quantum_simulator_tpu.ir.decompose import _dense_of_gates
+
+        rng = np.random.default_rng(0)
+        for k in (3, 4):
+            for _ in range(3):
+                u = self._haar_k(rng, k)
+                c = Circuit(k)
+                emit_unitary(c, u, tuple(range(k)))
+                assert np.max(np.abs(
+                    _dense_of_gates(c.gates, k) - u)) < 1e-7
+
+    def test_degenerate_k3(self):
+        from gpu_quantum_simulator_tpu.ir.decompose import _dense_of_gates
+
+        ccx = np.eye(8, dtype=complex)
+        ccx[[3, 7], :] = ccx[[7, 3], :]
+        perm = np.eye(8, dtype=complex)[[0, 4, 1, 5, 2, 6, 3, 7]]
+        for m in (ccx, perm, np.eye(8, dtype=complex)):
+            c = Circuit(3)
+            emit_unitary(c, m, (0, 1, 2))
+            assert np.max(np.abs(_dense_of_gates(c.gates, 3) - m)) < 1e-7
+
+    def test_through_engine_scattered_qubits(self):
+        """QSD output drives the real pipeline on non-contiguous, permuted
+        operands, against the CPU double reference."""
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        from gpu_quantum_simulator_tpu import simulate
+        from gpu_quantum_simulator_tpu.ref import simulate_reference
+
+        rng = np.random.default_rng(4)
+        u = self._haar_k(rng, 3)
+        c = Circuit(5)
+        for q in range(5):
+            c.h(q)
+        c.unitary(u, 4, 0, 2)       # scrambled operand order
+        v = np.asarray(simulate(c, strategy="mxu"))
+        ref = simulate_reference(c)
+        assert np.max(np.abs(v - ref)) < 1e-5
+
+    def test_size_guards(self):
+        with pytest.raises(ValueError, match="up to 6"):
+            emit_unitary(Circuit(7), np.eye(128, dtype=complex),
+                         tuple(range(7)))
+        with pytest.raises(ValueError, match="unitary"):
+            emit_unitary(Circuit(3), np.ones((8, 8)), (0, 1, 2))
