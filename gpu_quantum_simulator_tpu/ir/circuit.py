@@ -130,6 +130,18 @@ class Circuit:
     def cx(self, control: int, target: int):
         return self.append("cx", control, target)
 
+    def initialize(self, vec, *qubits: int):
+        """Append gates preparing the given amplitude vector from |0...0>
+        on ``qubits`` (default: the whole register) — the Mottonen
+        uniformly-controlled-rotation cascade, exact including global
+        phase (ir.decompose.emit_state_prep).  Unlike the engines'
+        ``initial=`` fast path this is a real circuit: portable,
+        invertible, exportable to QASM."""
+        from .decompose import emit_state_prep
+
+        emit_state_prep(self, vec, qubits or tuple(range(self.num_qubits)))
+        return self
+
     def pauli_rot(self, theta: float, pauli: str):
         """Append exp(-i theta/2 P) for an arbitrary Pauli string P (exact,
         global phase included) — the Hamiltonian-simulation primitive.

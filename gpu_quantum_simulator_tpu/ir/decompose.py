@@ -599,3 +599,61 @@ def emit_unitary_k(c: Circuit, u, qubits) -> None:
         scratch.x(0)
     for g in scratch.gates:
         c.append(g.name, *(qubits[q] for q in g.qubits), params=g.params)
+
+
+# ------------------------------------------------------------- state prep
+def emit_state_prep(c: Circuit, vec, qubits) -> None:
+    """Append gates mapping |0...0> (on ``qubits``) to the given amplitude
+    vector (Mottonen et al.): for each qubit from the top down, one
+    uniformly-controlled Rz aligns the phases and one uniformly-controlled
+    Ry splits the magnitudes.  Exact including global phase; basis: index
+    bit i = qubits[i].  The vector is normalized if needed.
+
+    Builds the REVERSE walk (state -> |0>) and appends its inverse, which
+    keeps every angle a simple two-amplitude atan2/phase read."""
+    import numpy as np
+
+    qubits = tuple(qubits)
+    k = len(qubits)
+    v = np.asarray(vec, dtype=complex).reshape(-1)
+    if v.shape != (1 << k,):
+        raise ValueError(
+            f"state vector length {v.size} != 2^{k} for {k} qubits")
+    norm = np.linalg.norm(v)
+    if norm < 1e-12:
+        raise ValueError("state vector is zero")
+    v = v / norm
+
+    scratch = Circuit(k)
+    work = v.copy()
+    for q in range(k - 1, -1, -1):
+        # fold qubit q (the current top): pairs (a0, a1) over control
+        # state s of the remaining low qubits
+        half = 1 << q
+        a0, a1 = work[:half].copy(), work[half:].copy()
+        mags0, mags1 = np.abs(a0), np.abs(a1)
+        ry_angles = -2.0 * np.arctan2(mags1, mags0)   # rotate a1 into a0
+        ph0 = np.where(mags0 > 1e-12, np.angle(a0), 0.0)
+        ph1 = np.where(mags1 > 1e-12, np.angle(a1), 0.0)
+        # symmetric Rz(t): phases (+t/2, -t/2); choose t to equalize
+        rz_angles = ph0 - ph1
+        _emit_mux_rot(scratch, rz_angles, list(range(q)), q, "rz")
+        _emit_mux_rot(scratch, ry_angles, list(range(q)), q, "ry")
+        r0 = np.exp(1j * (ph0 + ph1) / 2)
+        work = r0 * np.sqrt(mags0 ** 2 + mags1 ** 2)
+    # work is now a single global phase on |0...0>
+    dense = _dense_of_gates(scratch.gates, k)
+    final = dense @ v
+    if abs(abs(final[0]) - 1.0) > 1e-8:  # pragma: no cover
+        raise AssertionError("state-prep reverse walk failed")
+    phase = float(np.angle(final[0]))
+    inv = scratch.inverse()
+    if abs(phase) > 1e-12:
+        # scratch maps v -> e^{i phase}|0>, so its inverse lands at
+        # e^{-i phase} v: prepend the compensating scalar (it commutes)
+        c.append("p", qubits[0], params=(phase,))
+        c.x(qubits[0])
+        c.append("p", qubits[0], params=(phase,))
+        c.x(qubits[0])
+    for g in inv.gates:
+        c.append(g.name, *(qubits[q] for q in g.qubits), params=g.params)

@@ -171,3 +171,58 @@ class TestQSD:
                          tuple(range(7)))
         with pytest.raises(ValueError, match="unitary"):
             emit_unitary(Circuit(3), np.ones((8, 8)), (0, 1, 2))
+
+
+class TestStatePrep:
+    """Mottonen state preparation — Circuit.initialize, exact including
+    global phase."""
+
+    def test_random_states(self):
+        from gpu_quantum_simulator_tpu.ir.decompose import _dense_of_gates
+
+        rng = np.random.default_rng(0)
+        for k in (1, 2, 3, 4):
+            v = rng.standard_normal(1 << k) + 1j * rng.standard_normal(1 << k)
+            v = v / np.linalg.norm(v)
+            c = Circuit(k).initialize(v)
+            got = _dense_of_gates(c.gates, k)[:, 0]
+            assert np.max(np.abs(got - v)) < 1e-9
+
+    def test_sparse_basis_and_normalization(self):
+        from gpu_quantum_simulator_tpu.ir.decompose import _dense_of_gates
+
+        v = np.zeros(8, dtype=complex)
+        v[1] = 1j / np.sqrt(2)
+        v[6] = -1 / np.sqrt(2)
+        got = _dense_of_gates(Circuit(3).initialize(v).gates, 3)[:, 0]
+        assert np.max(np.abs(got - v)) < 1e-9
+        # unnormalized input normalizes; plain basis state lands exactly
+        w = np.zeros(8)
+        w[5] = 7.0
+        got = _dense_of_gates(Circuit(3).initialize(w).gates, 3)[:, 0]
+        assert abs(got[5] - 1) < 1e-9
+
+    def test_through_engine_on_subset(self):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        from gpu_quantum_simulator_tpu import simulate
+        from gpu_quantum_simulator_tpu.ref import simulate_reference
+
+        rng = np.random.default_rng(2)
+        v = rng.standard_normal(4) + 1j * rng.standard_normal(4)
+        v = v / np.linalg.norm(v)
+        c = Circuit(4).initialize(v, 3, 1)   # non-adjacent subset
+        got = np.asarray(simulate(c, strategy="mxu"))
+        assert np.max(np.abs(got - simulate_reference(c))) < 1e-6
+        # amplitude check: basis index bit3*? -> v[bit(q3) + 2*bit(q1)]
+        for i, amp in enumerate(got):
+            b3, b1 = (i >> 3) & 1, (i >> 1) & 1
+            want = v[b3 + 2 * b1] if (i & ~0b1010) == 0 else 0.0
+            assert abs(amp - want) < 1e-6
+
+    def test_errors(self):
+        with pytest.raises(ValueError, match="length"):
+            Circuit(2).initialize(np.ones(3))
+        with pytest.raises(ValueError, match="zero"):
+            Circuit(2).initialize(np.zeros(4))
