@@ -12,7 +12,7 @@ process — it re-execs itself with the XLA flag set):
             step kinds in range
   density   random interleaved gate/channel streams vs dense Kraus algebra
 
-Usage: python scripts/fuzz_battery.py [engines|sharded|planner|density|all]
+Usage: python scripts/fuzz_battery.py [engines|sharded|planner|density|frontier|all]
                                       [trials] [seed]
 Exit code != 0 on any failure.  The round-3 run (40/12+10/60 trials,
 seed defaults) found zero engine/planner failures; the two bugs fuzzing
@@ -206,6 +206,98 @@ def fuzz_density(trials: int, seed: int) -> int:
     return fails
 
 
+
+def fuzz_frontier(trials: int, seed: int) -> int:
+    """Random compositions of the synthesis surfaces (unitary 1-3q,
+    pauli_rot, initialize, gphase/for-loop QASM) vs an INDEPENDENT dense
+    matrix model built alongside — validates the decompositions
+    themselves, not just engine cross-parity."""
+    _init_cpu()
+    import numpy as np
+
+    from gpu_quantum_simulator_tpu import parse_qasm
+    from gpu_quantum_simulator_tpu.config import SimulatorConfig
+    from gpu_quantum_simulator_tpu.engine.simulator import Simulator
+    from gpu_quantum_simulator_tpu.ir.circuit import Circuit
+    from gpu_quantum_simulator_tpu.ref.cpu import simulate_reference
+
+    P1 = {"I": np.eye(2), "X": np.array([[0, 1], [1, 0]]),
+          "Y": np.array([[0, -1j], [1j, 0]]), "Z": np.diag([1, -1])}
+
+    def expand(u, qubits, n):
+        """Dense 2^n expansion of u over `qubits` (basis bit i = qubits[i])."""
+        k = len(qubits)
+        full = np.zeros((1 << n, 1 << n), dtype=complex)
+        rest = [q for q in range(n) if q not in qubits]
+        for col in range(1 << n):
+            sub = sum(((col >> q) & 1) << i for i, q in enumerate(qubits))
+            vout = u[:, sub]
+            base = col
+            for q in qubits:
+                base &= ~(1 << q)
+            for s in range(1 << k):
+                row = base
+                for i, q in enumerate(qubits):
+                    row |= ((s >> i) & 1) << q
+                full[row, col] += vout[s]
+        return full
+
+    def haar(rng, k):
+        d = 1 << k
+        z = rng.standard_normal((d, d)) + 1j * rng.standard_normal((d, d))
+        q, r = np.linalg.qr(z)
+        return q * (np.diag(r) / np.abs(np.diag(r)))
+
+    rng = np.random.default_rng(seed)
+    sim = Simulator(SimulatorConfig(strategy="mxu"))
+    fails = 0
+    for trial in range(trials):
+        n = int(rng.integers(2, 6))
+        c = Circuit(n)
+        model = np.eye(1 << n, dtype=complex)
+        v0 = np.zeros(1 << n, dtype=complex)
+        v0[0] = 1.0
+        if rng.random() < 0.5:
+            vec = rng.standard_normal(1 << n) + 1j * rng.standard_normal(1 << n)
+            vec /= np.linalg.norm(vec)
+            c.initialize(vec)
+            v0 = vec.astype(complex)
+        for _ in range(int(rng.integers(2, 7))):
+            kind = rng.integers(0, 3)
+            if kind == 0:       # haar unitary on 1-3 random qubits
+                k = int(rng.integers(1, min(3, n) + 1))
+                qs = tuple(int(q) for q in
+                           rng.choice(n, size=k, replace=False))
+                u = haar(rng, k)
+                c.unitary(u, *qs)
+                model = expand(u, qs, n) @ model
+            elif kind == 1:     # pauli string rotation
+                letters = "".join(rng.choice(list("IXYZ"), size=n))
+                th = float(rng.uniform(-3, 3))
+                c.pauli_rot(th, letters)
+                pm = np.eye(1)
+                for ch in reversed(letters):   # bit i = qubit i
+                    pm = np.kron(pm, P1[ch])
+                from scipy.linalg import expm
+                model = expm(-0.5j * th * pm) @ model
+            else:               # gphase via the QASM3 front-end
+                g = float(rng.uniform(-3, 3))
+                sub = parse_qasm(
+                    f"OPENQASM 3;\nqubit[{n}] q;\ngphase({g!r});\n")
+                c.gates.extend(sub.gates)
+                model = np.exp(1j * g) * model
+        want = model @ v0
+        ref = simulate_reference(c)
+        e_ref = float(np.max(np.abs(ref - want)))
+        e_eng = float(np.max(np.abs(np.asarray(sim.run(c)) - want)))
+        if e_ref > 1e-8 or e_eng > 1e-4:
+            print("FRONTIER FAIL", trial, n, e_ref, e_eng, flush=True)
+            fails += 1
+    print(f"frontier: {trials} synthesis circuits, fails = {fails}",
+          flush=True)
+    return fails
+
+
 def main() -> None:
     # the sharded battery needs the virtual 8-device platform, which must
     # be set before jax initializes — re-exec once with the flag in place
@@ -215,10 +307,12 @@ def main() -> None:
                             + " --xla_force_host_platform_device_count=8").strip()
         sys.exit(subprocess.call([sys.executable, os.path.abspath(__file__)]
                                  + sys.argv[1:], env=env))
-    defaults = {"engines": 40, "sharded": 10, "planner": 60, "density": 20}
+    defaults = {"engines": 40, "sharded": 10, "planner": 60, "density": 20,
+                "frontier": 30}
     fails = 0
     for mode, fn in (("engines", fuzz_engines), ("sharded", fuzz_sharded),
-                     ("planner", fuzz_planner), ("density", fuzz_density)):
+                     ("planner", fuzz_planner), ("density", fuzz_density),
+                     ("frontier", fuzz_frontier)):
         if MODE in (mode, "all"):
             fails += fn(TRIALS or defaults[mode], SEED)
     print("FUZZ BATTERY DONE, total fails =", fails, flush=True)

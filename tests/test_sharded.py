@@ -225,3 +225,12 @@ def test_sharded_observables_compose():
     e_sharded = expectation_pauli_sum(c, terms, cfg)
     e_flat = expectation_pauli_sum(c, terms)
     assert abs(e_sharded - e_flat) < 1e-5
+
+
+def test_quantum_volume_through_sharded_mesh():
+    """The KAK-synthesized QV workload (dense SU(4) blocks on every pair)
+    distributes correctly: 8-device mesh vs the f64 reference."""
+    c = models.quantum_volume(7, depth=3, seed=5)
+    got = _run(c, mesh_shape=(8,))
+    want = REF.simulate_reference(c)
+    assert np.max(np.abs(np.asarray(got) - want)) < TOL
