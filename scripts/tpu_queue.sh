@@ -110,6 +110,11 @@ run precision_ab 5400 python scripts/precision_ab.py 18 24
 run n29 7200 python scripts/n29_demo.py
 run n30 7200 python scripts/n30_demo.py
 
+# 6b. independent n=30 validation: random Clifford through the in-place
+# engine, every device sample checked against exact CHP tableau
+# predictions (parity constraints + marginals + 64 pairwise <Z Z>)
+run clifford30 7200 python scripts/clifford30_check.py 30 4000 4096
+
 # 7. sweep stage2: mxu 21-24 remainder + prefetch 18-26 re-measure
 run sweep2 14400 python scripts/sweep_fill.py stage2
 
