@@ -37,7 +37,7 @@ from .density import DensitySimulator, NoisyCircuit
 from .gradients import (adjoint_gradient, make_adjoint_value_and_grad,
                         parameter_shift, run_vqe)
 from .observables import (expectation_pauli, expectation_pauli_sum,
-                          overlap, state_fidelity)
+                          overlap, pauli_decompose, state_fidelity)
 from .interop import from_qiskit
 from .mitigation import (folded, mitigate_readout,
                          mitigate_readout_expectation_z,
@@ -81,6 +81,7 @@ __all__ = [
     "run_vqe",
     "expectation_pauli",
     "expectation_pauli_sum",
+    "pauli_decompose",
     "overlap",
     "state_fidelity",
     "from_qiskit",

@@ -447,3 +447,56 @@ def entanglement_entropy_halves(re0, re1, im0, im1, cut: int,
     rr = np.asarray(rr0, dtype=np.float64) + np.asarray(rr1, dtype=np.float64)
     ri = np.asarray(ri0, dtype=np.float64) + np.asarray(ri1, dtype=np.float64)
     return _entropy_of_rho(rr, ri, base)
+
+
+def pauli_decompose(matrix, qubits: Optional[Sequence[int]] = None,
+                    tol: float = 1e-12) -> List[Tuple[float, str]]:
+    """Decompose a Hermitian matrix into (coeff, pauli) terms — the format
+    ``expectation_pauli_sum`` / ``models.pauli_evolution`` consume.
+
+    ``matrix``: (2^k, 2^k) Hermitian over k <= 6 qubits, basis index
+    bit i = qubits[i] (the library convention).  ``qubits``: the qubit
+    labels used in the emitted sparse specs (default 0..k-1).  Terms with
+    |coeff| <= tol are dropped.  Cost O(8^k) — instant through k = 6.
+
+    With ``Circuit.unitary``/``pauli_evolution`` this closes the loop:
+    any few-body Hermitian observable or Hamiltonian becomes Pauli terms
+    for measurement grouping, Trotterization, or VQE objectives."""
+    import itertools
+
+    m = np.asarray(matrix, dtype=complex)
+    k = int(round(np.log2(m.shape[0])))
+    if m.shape != (1 << k, 1 << k) or 1 << k != m.shape[0]:
+        raise ValueError(f"matrix shape {m.shape} is not (2^k, 2^k)")
+    if k > 6:
+        raise ValueError("pauli_decompose supports up to 6 qubits")
+    if np.max(np.abs(m - m.conj().T)) > 1e-9:
+        raise ValueError("matrix is not Hermitian")
+    if qubits is None:
+        qubits = tuple(range(k))
+    qubits = tuple(qubits)
+    if len(qubits) != k:
+        raise ValueError(f"{k}-qubit matrix needs {k} qubit labels")
+
+    P1 = {"I": np.eye(2, dtype=complex),
+          "X": np.array([[0, 1], [1, 0]], dtype=complex),
+          "Y": np.array([[0, -1j], [1j, 0]], dtype=complex),
+          "Z": np.array([[1, 0], [0, -1]], dtype=complex)}
+    out: List[Tuple[float, str]] = []
+    for letters in itertools.product("IXYZ", repeat=k):
+        # letters[i] acts on qubits[i] = basis bit i -> kron high..low
+        p = np.eye(1, dtype=complex)
+        for ch in reversed(letters):
+            p = np.kron(p, P1[ch])
+        coeff = np.trace(p.conj().T @ m) / (1 << k)
+        if abs(coeff.imag) > 1e-9:  # pragma: no cover - Hermitian guard
+            raise AssertionError("non-real Pauli coefficient")
+        if abs(coeff.real) <= tol:
+            continue
+        if all(ch == "I" for ch in letters):
+            spec = "I0"         # identity term: constant offset
+        else:
+            spec = " ".join(f"{ch}{qubits[i]}"
+                            for i, ch in enumerate(letters) if ch != "I")
+        out.append((float(coeff.real), spec))
+    return out

@@ -317,3 +317,52 @@ def test_quench_entropy_growth_composes_device_stepping():
     assert entropies[0] > 0.01
     assert entropies[-1] > entropies[0]          # still growing at t=1.5
     assert expectation_z(re, im, [n // 2], n) < 0.9
+
+
+class TestPauliDecompose:
+    """Hermitian matrix -> (coeff, pauli) terms, round-trip exact."""
+
+    def test_roundtrip_random_hermitian(self):
+        import numpy as np
+        import gpu_quantum_simulator_tpu as Q
+        from gpu_quantum_simulator_tpu.observables import _parse_pauli
+
+        P1 = {"X": np.array([[0, 1], [1, 0]]),
+              "Y": np.array([[0, -1j], [1j, 0]]), "Z": np.diag([1, -1])}
+        rng = np.random.default_rng(0)
+        for k in (1, 2, 3):
+            z = (rng.standard_normal((1 << k, 1 << k))
+                 + 1j * rng.standard_normal((1 << k, 1 << k)))
+            h = (z + z.conj().T) / 2
+            re = np.zeros((1 << k, 1 << k), dtype=complex)
+            for coef, spec in Q.pauli_decompose(h):
+                ops = _parse_pauli(spec, k)
+                m = np.eye(1)
+                for q in reversed(range(k)):
+                    m = np.kron(m, P1[ops[q]] if q in ops else np.eye(2))
+                re += coef * m
+            assert np.max(np.abs(re - h)) < 1e-9
+
+    def test_known_operators(self):
+        import numpy as np
+        import gpu_quantum_simulator_tpu as Q
+
+        # ZZ has exactly one term; the number operator = (I - Z)/2
+        zz = np.diag([1.0, -1, -1, 1])
+        assert Q.pauli_decompose(zz) == [(1.0, "Z0 Z1")]
+        nop = np.diag([0.0, 1.0])
+        terms = dict((s, c) for c, s in Q.pauli_decompose(nop))
+        assert abs(terms["I0"] - 0.5) < 1e-12
+        assert abs(terms["Z0"] + 0.5) < 1e-12
+
+    def test_guards(self):
+        import numpy as np
+        import pytest
+        import gpu_quantum_simulator_tpu as Q
+
+        with pytest.raises(ValueError, match="Hermitian"):
+            Q.pauli_decompose(np.array([[0.0, 1], [0, 0]]))
+        with pytest.raises(ValueError, match="2\\^k"):
+            Q.pauli_decompose(np.eye(3))
+        with pytest.raises(ValueError, match="qubit labels"):
+            Q.pauli_decompose(np.eye(4), qubits=(0,))
