@@ -789,3 +789,16 @@ def pauli_evolution(num_qubits: int, terms, time: float, steps: int = 1,
             for coef, pauli in reversed(terms):
                 c.pauli_rot(float(coef) * dt, pauli)
     return c
+
+
+def pauli_evolution_parts(num_qubits: int, terms, dt: float,
+                          order: int = 1):
+    """(prefix, body) for ``run_device_iterated``: ``body`` is ONE Trotter
+    step of exp(-i H dt) for an arbitrary (coeff, pauli) Hamiltonian —
+    the general-Hamiltonian analog of ``trotter_tfim_parts``.  Repeating
+    the body ``steps`` times equals ``pauli_evolution(n, terms, steps*dt,
+    steps, order)``; the iterated engines dispatch ALL repetitions as one
+    device call."""
+    prefix = Circuit(num_qubits)
+    body = pauli_evolution(num_qubits, terms, dt, steps=1, order=order)
+    return prefix, body

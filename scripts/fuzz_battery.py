@@ -12,7 +12,7 @@ process — it re-execs itself with the XLA flag set):
             step kinds in range
   density   random interleaved gate/channel streams vs dense Kraus algebra
 
-Usage: python scripts/fuzz_battery.py [engines|sharded|planner|density|frontier|all]
+Usage: python scripts/fuzz_battery.py [engines|sharded|planner|density|frontier|clifford|all]
                                       [trials] [seed]
 Exit code != 0 on any failure.  The round-3 run (40/12+10/60 trials,
 seed defaults) found zero engine/planner failures; the two bugs fuzzing
@@ -298,6 +298,45 @@ def fuzz_frontier(trials: int, seed: int) -> int:
     return fails
 
 
+
+def fuzz_clifford(trials: int, seed: int) -> int:
+    """Random Clifford circuits: device sampler vs the exact CHP tableau
+    (parity constraints bit-for-bit + per-qubit marginals) at widths the
+    dense differential already covers — redundancy with a fully
+    independent oracle."""
+    _init_cpu()
+    import numpy as np
+
+    from gpu_quantum_simulator_tpu.config import SimulatorConfig
+    from gpu_quantum_simulator_tpu.engine.simulator import Simulator
+    from gpu_quantum_simulator_tpu.ref.stabilizer import (
+        StabilizerState, random_clifford_circuit)
+
+    rng = np.random.default_rng(seed)
+    fails = 0
+    for trial in range(trials):
+        n = int(rng.integers(4, 15))
+        c = random_clifford_circuit(n, int(rng.integers(30, 300)),
+                                    seed=int(rng.integers(10_000)))
+        st = StabilizerState.from_circuit(c)
+        strat = "mxu" if rng.random() < 0.5 else "prefetch"
+        sim = Simulator(SimulatorConfig(strategy=strat))
+        s = np.asarray(sim.sample(c, 2000, seed=trial))
+        bad = 0
+        for mask, parity in st.z_parity_constraints():
+            pc = np.array([bin(int(v) & mask).count("1") % 2 for v in s])
+            bad += int(np.sum(pc != parity))
+        for q in range(n):
+            p1 = float(np.mean((s >> q) & 1))
+            if abs(p1 - (1 - st.expectation_z([q])) / 2) > 0.06:
+                bad += 1
+        if bad:
+            print("CLIFFORD FAIL", trial, n, strat, bad, flush=True)
+            fails += 1
+    print(f"clifford: {trials} circuits, fails = {fails}", flush=True)
+    return fails
+
+
 def main() -> None:
     # the sharded battery needs the virtual 8-device platform, which must
     # be set before jax initializes — re-exec once with the flag in place
@@ -308,11 +347,11 @@ def main() -> None:
         sys.exit(subprocess.call([sys.executable, os.path.abspath(__file__)]
                                  + sys.argv[1:], env=env))
     defaults = {"engines": 40, "sharded": 10, "planner": 60, "density": 20,
-                "frontier": 30}
+                "frontier": 30, "clifford": 20}
     fails = 0
     for mode, fn in (("engines", fuzz_engines), ("sharded", fuzz_sharded),
                      ("planner", fuzz_planner), ("density", fuzz_density),
-                     ("frontier", fuzz_frontier)):
+                     ("frontier", fuzz_frontier), ("clifford", fuzz_clifford)):
         if MODE in (mode, "all"):
             fails += fn(TRIALS or defaults[mode], SEED)
     print("FUZZ BATTERY DONE, total fails =", fails, flush=True)

@@ -438,3 +438,26 @@ class TestPauliRotEvolution:
         e10, e20 = err(2, 10), err(2, 20)
         assert e10 < 2e-3 and 3.0 < e10 / e20 < 5.0
         assert err(1, 40) < 2e-2
+
+
+def test_pauli_evolution_parts_iterated():
+    """One Trotter step as a run_device_iterated body equals the flat
+    pauli_evolution circuit — the general-Hamiltonian on-device loop."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    import gpu_quantum_simulator_tpu as Q
+
+    n, dt, steps = 5, 0.05, 8
+    terms = Q.models.heisenberg_terms(n, Jx=1, Jy=0.7, Jz=0.4, h=0.3)
+    prefix, body = Q.models.pauli_evolution_parts(n, terms, dt, order=2)
+    sim = Q.Simulator(Q.SimulatorConfig(strategy="mxu"))
+    re, im, _ = sim.run_device_iterated(body, repetitions=steps,
+                                        prefix=prefix)
+    got = np.asarray(re) + 1j * np.asarray(im)
+    want = np.asarray(Q.simulate(
+        Q.models.pauli_evolution(n, terms, dt * steps, steps=steps,
+                                 order=2), strategy="mxu"))
+    assert np.max(np.abs(got - want)) < 1e-5
