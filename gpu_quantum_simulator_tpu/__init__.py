@@ -39,6 +39,7 @@ from .gradients import (adjoint_gradient, make_adjoint_value_and_grad,
 from .observables import (expectation_pauli, expectation_pauli_sum,
                           overlap, pauli_decompose, state_fidelity)
 from .interop import from_qiskit
+from .mps import MPS, run_mps
 from .mitigation import (folded, mitigate_readout,
                          mitigate_readout_expectation_z,
                          zne_expectation)
@@ -88,6 +89,8 @@ __all__ = [
     "folded",
     "zne_expectation",
     "mitigate_readout",
+    "MPS",
+    "run_mps",
     "mitigate_readout_expectation_z",
     "shadow_snapshots",
     "shadows_expectation",
