@@ -257,6 +257,13 @@ def _get_expander(C: int, cap: int, real_dtype):
 
 # debug/ablation knob: fold perm steps into the preceding mat's tables
 PERM_FOLD = True
+# A/B knob: lower MONOMIAL ops as generic 3-matmul mat steps instead of
+# the 2-matmul + VPU-rotation mono step.  Motivation (kernel_micro_n24):
+# the mono step's measured marginal cost (~1.3 ms/pass) EXCEEDS the full
+# Karatsuba mat step (~0.65 ms/pass) despite doing one matmul less — the
+# dynamic cos/sin row slices + broadcast rotation do not pipeline the way
+# back-to-back MXU dots do.  Default off until the on-chip A/B decides.
+MONO_AS_MAT = bool(int(os.environ.get("QSIM_MONO_AS_MAT", "0")))
 # debug/ablation knob: parallel grid dimension on the block kernel
 _PARALLEL_GRID = True
 
@@ -457,7 +464,8 @@ def plan_prefetch(
         # work (measured 2.53 ms vs 1.99 ms per 64-block chain at n=24,
         # kernel_micro_n24.json) — full-width steps only.  Monomial ops
         # (~3/4 of the grover-profile mix) take the 2-matmul mono step.
-        kind = kind_mono if _monomial_phases(u) is not None else 0
+        kind = (kind_mono if (not MONO_AS_MAT
+                              and _monomial_phases(u) is not None) else 0)
         b.kinds.append(kind)
         b.midx.append(len(b.mats))
         b.mats.append((u, positions, None))
@@ -2249,7 +2257,10 @@ def materialize_entries(entries: Sequence[_Block], cap_steps: int,
             scal[i, 4 + cap_steps : 4 + cap_steps + k] = blk.midx
             for s, (u, positions, operm) in enumerate(blk.mats):
                 d = u.shape[0]
-                theta = _monomial_phases(u)
+                # must mirror add_mat's kind choice: under MONO_AS_MAT the
+                # plan records kind 0, so the slot ships generic (re, im)
+                # tables — a mono-encoded table would drop the phases
+                theta = None if MONO_AS_MAT else _monomial_phases(u)
                 if theta is None:
                     u_re[i, s, :d, :d] = u.real
                     u_im[i, s, :d, :d] = u.imag
@@ -2669,7 +2680,7 @@ def run_prefetch(circuit, config, initial_parts=None, return_halves=False):
         # kernel-routing flags: programs bake their chain executables at
         # build time, so an in-process A/B toggling these must not reuse
         # the other arm's program
-        _STREAM_PLAIN, _STREAM_RELAYOUT,
+        _STREAM_PLAIN, _STREAM_RELAYOUT, MONO_AS_MAT,
     )
     cached = _RUN_CACHE.get(run_key)
     if cached is not None:

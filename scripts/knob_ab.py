@@ -34,12 +34,19 @@ from gpu_quantum_simulator_tpu.engine.simulator import Simulator
 ART = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "bench_artifacts")
 
+# Candidates from plan_model --tune under the ROUND-3 refreshed
+# calibration (kernel_micro_n24.json, 2026-08-19): the old mh1_* rows
+# stopped winning once measured mono/perm costs replaced the estimates;
+# the model now picks window=16 + cap_mats=8 (-6%) and prices the
+# QSIM_MONO_AS_MAT lowering (monomials as 3-matmul mat steps) at -13%
+# at n=24 / -12% at n=26.  "mono" toggles PF.MONO_AS_MAT at runtime
+# (run_prefetch keys its plan cache on it).
 CANDIDATES = {
     "default": {},
-    "mh1_cm12": {"prefetch_max_high": 1, "prefetch_cap_mats": 12},
-    "mh1_cm8": {"prefetch_max_high": 1, "prefetch_cap_mats": 8},
-    "mh1_cm12_w16": {"prefetch_max_high": 1, "prefetch_cap_mats": 12,
-                     "fusion_window": 16},
+    "w16_cm8": {"fusion_window": 16, "prefetch_cap_mats": 8},
+    "mono_mat": {"mono": True},
+    "mono_w16_cm8": {"mono": True, "fusion_window": 16,
+                     "prefetch_cap_mats": 8},
 }
 
 
@@ -50,6 +57,9 @@ def main() -> None:
     for n in ns:
         c = models.grover_like(n)
         for name, kw in CANDIDATES.items():
+            kw = dict(kw)
+            from gpu_quantum_simulator_tpu.engine import prefetch as PF
+            PF.MONO_AS_MAT = bool(kw.pop("mono", False))
             sim = Simulator(SimulatorConfig(strategy="prefetch", **kw))
             res = sim.run_detailed(c)   # warm-up: compile + plan
             # parity guard across candidates (first 64 amplitudes)

@@ -7,6 +7,8 @@ mechanism it composes: in-window 256x256 matmuls, in-tile row swaps
 interpret-mode Pallas (hermetic, no TPU).
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -479,6 +481,9 @@ def test_inplace_relayout_execution_parity():
         PF._CHAIN_CACHE.clear()
 
 
+@pytest.mark.skipif(
+    bool(int(os.environ.get("QSIM_MONO_AS_MAT", "0"))),
+    reason="mono steps disabled by the QSIM_MONO_AS_MAT A/B knob")
 def test_mono_step_used_and_exact():
     """cx/x/rz-only circuits fuse to MONOMIAL ops; the plan must lower
     them to the 2-matmul mono step kind and stay exact vs the reference."""
