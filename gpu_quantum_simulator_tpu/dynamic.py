@@ -20,7 +20,7 @@ state fetch per shot).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from functools import partial
+from functools import lru_cache, partial
 from typing import Iterable, List, Optional, Tuple, Union
 
 import numpy as np
@@ -369,26 +369,79 @@ def _jitted(fn, name: str):
     return w
 
 
+_LANE_QUBITS = 7          # low qubits living in the 128-lane dim (ops/apply.py)
+_LANES = 1 << _LANE_QUBITS
+_ENS_PRECISION = "highest"  # 0/1 lane matmuls must not round f32 amplitudes
+
+
+@lru_cache(maxsize=None)
+def _lane_flip_np(q: int) -> np.ndarray:
+    """128x128 permutation flipping lane bit ``q`` (symmetric involution)."""
+    idx = np.arange(_LANES)
+    m = np.zeros((_LANES, _LANES), dtype=np.float64)
+    m[idx, idx ^ (1 << q)] = 1.0
+    return m
+
+
+@lru_cache(maxsize=None)
+def _lane_bit_np(q: int) -> np.ndarray:
+    """(128,) mask: 1.0 on lanes whose bit ``q`` is set."""
+    return ((np.arange(_LANES) >> q) & 1).astype(np.float64)
+
+
+def _bit_ctx(q: int, n: int, s: int, dtype):
+    """Tile-friendly view of a flat (2^(n+s),) ensemble exposing bit ``q``.
+
+    Returns (shape, flip, b1, bc): reshape target, a bit-q flip callable,
+    a broadcastable bit-q indicator, and the per-shot broadcast shape.
+    The naive (S, hi, 2, 2^q) view is catastrophic on TPU for q < 7 —
+    XLA pads the minor (2, <=64) dims to (8, 128) tiles, a 64-128x HBM
+    blowup that OOMed the n=16/1024-shot noisy demo on chip.  Lane bits
+    therefore stay in the 128-lane dim: flip is one exact 128x128
+    permutation matmul (same recipe as ops/apply._swap_bits_device) and
+    the indicator is a lane mask.  Row bits q >= 10 split the low bits as
+    (2^(q-7), 128) — unpadded; 7 <= q < 10 keeps rank-4 with the 2-axis
+    padded 8x on one temp (the cheapest layout there, 4x HBM)."""
+    import jax.numpy as jnp
+
+    S = 1 << s
+    if q < _LANE_QUBITS and n > _LANE_QUBITS:
+        shape = (S, 1 << (n - _LANE_QUBITS), _LANES)
+        p = jnp.asarray(_lane_flip_np(q), dtype)
+        flip = lambda a: jnp.matmul(a, p, precision=_ENS_PRECISION)
+        b1 = jnp.asarray(_lane_bit_np(q), dtype)
+    elif q >= _LANE_QUBITS + 3:
+        shape = (S, 1 << (n - 1 - q), 2, 1 << (q - _LANE_QUBITS), _LANES)
+        flip = lambda a: jnp.flip(a, axis=2)
+        b1 = jnp.asarray([0.0, 1.0], dtype).reshape(1, 1, 2, 1, 1)
+    else:
+        shape = (S, 1 << (n - 1 - q), 2, 1 << q)
+        flip = lambda a: jnp.flip(a, axis=2)
+        b1 = jnp.asarray([0.0, 1.0], dtype).reshape(1, 1, 2, 1)
+    bc = (S,) + (1,) * (len(shape) - 1)
+    return shape, flip, b1, bc
+
+
 def _measure_ensemble(re, im, q: int, n: int, s: int, u):
     """Collapse qubit ``q`` across all 2^s trajectory blocks at once.
 
     The ensemble is flat (2^(n+s),) with the shot index in the high s
-    bits; one reshape puts the measured bit on its own axis (the apply_1q
-    low-rank form, ops/apply.py) so Born probabilities, outcome draws, and
-    the projective renormalization are a single fused elementwise+reduce
-    pass — no per-shot dispatch, no host round-trip."""
+    bits; the tile-friendly _bit_ctx view exposes the measured bit so Born
+    probabilities, outcome draws, and the projective renormalization are a
+    single fused elementwise+reduce pass — no per-shot dispatch, no host
+    round-trip."""
     import jax.numpy as jnp
 
-    S, hi, lo = 1 << s, 1 << (n - 1 - q), 1 << q
-    re4 = re.reshape(S, hi, 2, lo)
-    im4 = im.reshape(S, hi, 2, lo)
-    p1 = jnp.sum(re4[:, :, 1, :] ** 2 + im4[:, :, 1, :] ** 2, axis=(1, 2))
+    shape, _flip, b1, bc = _bit_ctx(q, n, s, re.dtype)
+    re_v, im_v = re.reshape(shape), im.reshape(shape)
+    red = tuple(range(1, len(shape)))
+    p1 = jnp.sum((re_v * re_v + im_v * im_v) * b1, axis=red)
     out = (u < p1).astype(jnp.int32)           # per-shot Born outcome
-    sel = jnp.stack([1 - out, out], axis=1).astype(re.dtype)
     norm = jnp.where(out == 1, p1, 1.0 - p1)
-    scale = (sel / jnp.sqrt(jnp.maximum(norm, 1e-30))[:, None]).reshape(
-        S, 1, 2, 1)
-    return (re4 * scale).reshape(-1), (im4 * scale).reshape(-1), out
+    outf = out.astype(re.dtype).reshape(bc)
+    sel = outf * b1 + (1.0 - outf) * (1.0 - b1)
+    scale = sel / jnp.sqrt(jnp.maximum(norm, 1e-30)).reshape(bc)
+    return (re_v * scale).reshape(-1), (im_v * scale).reshape(-1), out
 
 
 def _pauli_probs(kind: str, p: float) -> Tuple[float, float, float]:
@@ -406,28 +459,24 @@ def _pauli_probs(kind: str, p: float) -> Tuple[float, float, float]:
 def _pauli_hits(re, im, q: int, n: int, s: int, x_hit, y_hit, z_hit):
     """Apply per-shot Pauli selections on qubit ``q``: the (S,) boolean
     masks pick X/Y/Z (else identity), applied exactly (including Y's
-    complex structure — no global-phase shortcut)."""
+    complex structure — no global-phase shortcut).
+
+    Y = [[0, -i], [i, 0]]: (Yψ)_b = i·(2b-1)·ψ_{1-b}, i.e. with
+    sign = 1-2·b1: re_Y = sign·flip(im), im_Y = -sign·flip(re) — the same
+    algebra for the lane-matmul and row-axis views of _bit_ctx."""
     import jax.numpy as jnp
 
-    S, hi, lo = 1 << s, 1 << (n - 1 - q), 1 << q
-    re4 = re.reshape(S, hi, 2, lo)
-    im4 = im.reshape(S, hi, 2, lo)
-    x_hit = x_hit.reshape(S, 1, 1, 1)
-    y_hit = y_hit.reshape(S, 1, 1, 1)
-    z_hit = z_hit.reshape(S, 1, 1, 1)
-
-    flip = lambda a: a[:, :, ::-1, :]
-    sign = jnp.array([1.0, -1.0], re.dtype).reshape(1, 1, 2, 1)
-    # Y = [[0, -i], [i, 0]]: (Yψ)_0 = -i ψ_1, (Yψ)_1 = i ψ_0
-    re_y = jnp.stack([im4[:, :, 1, :], -im4[:, :, 0, :]], axis=2)
-    im_y = jnp.stack([-re4[:, :, 1, :], re4[:, :, 0, :]], axis=2)
-
-    out_re = jnp.where(x_hit, flip(re4),
-                       jnp.where(y_hit, re_y,
-                                 jnp.where(z_hit, re4 * sign, re4)))
-    out_im = jnp.where(x_hit, flip(im4),
-                       jnp.where(y_hit, im_y,
-                                 jnp.where(z_hit, im4 * sign, im4)))
+    shape, flip, b1, bc = _bit_ctx(q, n, s, re.dtype)
+    re_v, im_v = re.reshape(shape), im.reshape(shape)
+    xm, ym, zm = (h.reshape(bc) for h in (x_hit, y_hit, z_hit))
+    sign = 1.0 - 2.0 * b1
+    fre, fim = flip(re_v), flip(im_v)
+    out_re = jnp.where(xm, fre,
+                       jnp.where(ym, sign * fim,
+                                 jnp.where(zm, sign * re_v, re_v)))
+    out_im = jnp.where(xm, fim,
+                       jnp.where(ym, -sign * fre,
+                                 jnp.where(zm, sign * im_v, im_v)))
     return out_re.reshape(-1), out_im.reshape(-1)
 
 
@@ -463,52 +512,88 @@ def _damp_ensemble(re, im, q: int, n: int, s: int, gamma, u):
     """Quantum-jump unraveling of amplitude damping on qubit ``q``.
 
     Per shot: jump w.p. gamma * P(1) — the |1> component moves to |0>
-    (K1, renormalized); otherwise K0 = diag(1, sqrt(1-gamma)) applies,
-    renormalized by sqrt(1 - gamma * P(1)).  Averaging trajectories
-    reproduces the density channel (kraus_amplitude_damping)."""
+    (K1 = |0><1| = flip ∘ bit-1 mask, renormalized); otherwise
+    K0 = diag(1, sqrt(1-gamma)) applies, renormalized by
+    sqrt(1 - gamma * P(1)).  Averaging trajectories reproduces the
+    density channel (kraus_amplitude_damping)."""
     import jax.numpy as jnp
 
-    S, hi, lo = 1 << s, 1 << (n - 1 - q), 1 << q
-    re4 = re.reshape(S, hi, 2, lo)
-    im4 = im.reshape(S, hi, 2, lo)
-    p1 = jnp.sum(re4[:, :, 1, :] ** 2 + im4[:, :, 1, :] ** 2, axis=(1, 2))
+    shape, flip, b1, bc = _bit_ctx(q, n, s, re.dtype)
+    re_v, im_v = re.reshape(shape), im.reshape(shape)
+    red = tuple(range(1, len(shape)))
+    p1 = jnp.sum((re_v * re_v + im_v * im_v) * b1, axis=red)
     pjump = gamma * p1
-    jump = (u < pjump).reshape(S, 1, 1, 1)
+    jump = (u < pjump).reshape(bc)
     tiny = jnp.asarray(1e-30, re.dtype)
 
-    inv1 = (1.0 / jnp.sqrt(jnp.maximum(p1, tiny))).reshape(S, 1, 1, 1)
-    zeros = jnp.zeros_like(re4[:, :, 1, :])
-    re_j = jnp.stack([re4[:, :, 1, :], zeros], axis=2) * inv1
-    im_j = jnp.stack([im4[:, :, 1, :], zeros], axis=2) * inv1
+    inv1 = (1.0 / jnp.sqrt(jnp.maximum(p1, tiny))).reshape(bc)
+    re_j = flip(re_v * b1) * inv1
+    im_j = flip(im_v * b1) * inv1
 
-    k0 = jnp.stack([jnp.ones((), re.dtype),
-                    jnp.sqrt(jnp.asarray(1.0 - gamma, re.dtype))]).reshape(
-        1, 1, 2, 1)
-    invn = (1.0 / jnp.sqrt(jnp.maximum(1.0 - pjump, tiny))).reshape(S, 1, 1, 1)
-    re_n = re4 * k0 * invn
-    im_n = im4 * k0 * invn
-
-    out_re = jnp.where(jump, re_j, re_n)
-    out_im = jnp.where(jump, im_j, im_n)
+    k0 = (1.0 - b1) + jnp.sqrt(jnp.asarray(1.0 - gamma, re.dtype)) * b1
+    invn = (1.0 / jnp.sqrt(jnp.maximum(1.0 - pjump, tiny))).reshape(bc)
+    out_re = jnp.where(jump, re_j, re_v * k0 * invn)
+    out_im = jnp.where(jump, im_j, im_v * k0 * invn)
     return out_re.reshape(-1), out_im.reshape(-1)
 
 
-def _kraus_ensemble(re, im, qs: tuple, n: int, s: int, kre, kim, u):
+def _lane_lift_np(kmats: np.ndarray, qs: Tuple[int, ...],
+                  width: int = _LANE_QUBITS) -> np.ndarray:
+    """Lift a (k, d, d) Kraus stack on low qubits ``qs`` to (k, 2^w, 2^w).
+
+    Out[m][l, l'] = K[m][r(l), r(l')] iff l and l' agree outside ``qs``
+    (r = the little-endian pair/bit index over sorted qs) — the channel's
+    action embedded in the minor ``width``-bit block, so it runs as one
+    exact matmul instead of a minor-dim reshape that XLA pads 64-128x
+    (see _bit_ctx).  width=7 covers lane qubits; width=10 the whole
+    (8, 128) tile block (for targets at bits 7-9)."""
+    D = 1 << width
+    idx = np.arange(D)
+    mask = 0
+    r = np.zeros(D, dtype=np.int64)
+    for j, q in enumerate(qs):
+        mask |= 1 << q
+        r |= ((idx >> q) & 1) << j
+    same = (idx[:, None] & ~mask) == (idx[None, :] & ~mask)
+    return np.where(same[None], kmats[:, r[:, None], r[None, :]], 0.0)
+
+
+_TILE_QUBITS = 10         # bits 0-9 live in one (8, 128) layout tile block
+
+
+def _kraus_ensemble(re, im, qs: tuple, n: int, s: int, form: str,
+                    kre, kim, u):
     """Monte-Carlo unraveling of an arbitrary channel on an ensemble.
 
-    ``kre``/``kim``: (k, d, d) real/imag Kraus stacks, d = 2^len(qs) with
-    qs sorted ascending.  Per shot: p_m = ||K_m psi||^2 (trace preservation
+    ``kre``/``kim``: real/imag Kraus stacks prepared by _apply_kraus for
+    the static ``form`` (lane-lifted when a target is a lane qubit, see
+    _lane_lift_np).  Per shot: p_m = ||K_m psi||^2 (trace preservation
     makes them sum to 1), branch idx drawn from the cumulative weights of
     one uniform, state replaced by K_idx psi / sqrt(p_idx)."""
     import jax.numpy as jnp
 
     S = 1 << s
     k = kre.shape[0]
-    if len(qs) == 1:
+    kr, ki = kre, kim
+    if form == "lane":
+        # all targets in the lane dim: one (k,128,128) stack on (S,R,128)
+        shape = (S, 1 << (n - _LANE_QUBITS), _LANES)
+        spec = "mab,srb->msra"
+    elif form == "tile":
+        # targets at bits < 10: (k,1024,1024) stack on (S,R,1024) — the
+        # whole minor tile block moves through the MXU, zero padding
+        shape = (S, 1 << (n - _TILE_QUBITS), 1 << _TILE_QUBITS)
+        spec = "mab,srb->msra"
+    elif form == "mixed":
+        # qa lane-lifted, qb a row bit: kre (k, 2, 2, 128, 128) over
+        # (out_qb, in_qb, out_lane, in_lane)
+        qa, qb = qs
+        shape = (S, 1 << (n - 1 - qb), 2, 1 << (qb - _LANE_QUBITS), _LANES)
+        spec = "mbBLl,shBwl->mshbwL"
+    elif len(qs) == 1:
         q = qs[0]
         shape = (S, 1 << (n - 1 - q), 2, 1 << q)
         spec = "mij,shjl->mshil"
-        kr, ki = kre, kim
     else:
         qa, qb = qs
         shape = (S, 1 << (n - 1 - qb), 2, 1 << (qb - qa - 1), 2, 1 << qa)
@@ -518,7 +603,8 @@ def _kraus_ensemble(re, im, qs: tuple, n: int, s: int, kre, kim, u):
         ki = kim.reshape(k, 2, 2, 2, 2)
     x_re = re.reshape(shape)
     x_im = im.reshape(shape)
-    ein = lambda m, x: jnp.einsum(spec, m, x)
+    prec = _ENS_PRECISION if form in ("lane", "tile", "mixed") else None
+    ein = lambda m, x: jnp.einsum(spec, m, x, precision=prec)
     ys_re = ein(kr, x_re) - ein(ki, x_im)     # (k, S, ...)
     ys_im = ein(kr, x_im) + ein(ki, x_re)
     red = tuple(range(2, ys_re.ndim))
@@ -539,18 +625,54 @@ def _kraus_ensemble(re, im, qs: tuple, n: int, s: int, kre, kim, u):
 _KRAUS_JIT: dict = {}
 
 
+def _kraus_form(qs: Tuple[int, ...], n: int) -> str:
+    """Pick the tile-friendly _kraus_ensemble lowering for targets ``qs``.
+
+    lane: all targets < 7 (128x128 matmul); tile: all < 10 with one below
+    7 (1024x1024 matmul over the minor tile block); mixed: lane target +
+    a row target at bit >= 10 (lane-lifted einsum, unpadded rank-5 view);
+    row1/row2: every target >= 7, where the plain views already keep the
+    minor dims >= (2, 128).  Small states fall through to row forms —
+    padding is irrelevant below one tile row."""
+    lo = min(qs)
+    if lo >= _LANE_QUBITS:
+        return "row1" if len(qs) == 1 else "row2"
+    if max(qs) < _LANE_QUBITS and n > _LANE_QUBITS:
+        return "lane"
+    if max(qs) < _TILE_QUBITS:
+        return "tile" if n >= _TILE_QUBITS + 3 else (
+            "row1" if len(qs) == 1 else "row2")
+    return "mixed"
+
+
 def _apply_kraus(re, im, seg: KrausNoise, n: int, s: int, u, real_dtype):
     """Dispatch one KrausNoise event on a (possibly s=0) ensemble state."""
     import jax
     import jax.numpy as jnp
 
     k = len(seg.kraus)
-    key = (seg.qubits, n, s, k, np.dtype(real_dtype).str)
+    form = _kraus_form(seg.qubits, n)
+    key = (seg.qubits, n, s, k, form, np.dtype(real_dtype).str)
     fn = _KRAUS_JIT.get(key)
     if fn is None:
-        fn = jax.jit(partial(_kraus_ensemble, qs=seg.qubits, n=n, s=s))
+        fn = jax.jit(partial(_kraus_ensemble, qs=seg.qubits, n=n, s=s,
+                             form=form))
         _KRAUS_JIT[key] = fn
     stack = np.stack(seg.kraus)
+    if form == "lane":
+        stack = _lane_lift_np(stack, seg.qubits)
+    elif form == "tile":
+        stack = _lane_lift_np(stack, seg.qubits, width=_TILE_QUBITS)
+    elif form == "mixed":
+        qa, qb = seg.qubits
+        # (k, 4, 4) -> (k, b, a, B, A) over (out_qb, out_qa, in_qb, in_qa),
+        # then lift the qa action into the lane dim per (b, B) pair
+        k4 = stack.reshape(k, 2, 2, 2, 2)
+        lifted = np.zeros((k, 2, 2, _LANES, _LANES), dtype=stack.dtype)
+        for b in (0, 1):
+            for bb in (0, 1):
+                lifted[:, b, bb] = _lane_lift_np(k4[:, b, :, bb, :], (qa,))
+        stack = lifted
     kre = jnp.asarray(stack.real, real_dtype)
     kim = jnp.asarray(stack.imag, real_dtype)
     return fn(re, im, kre=kre, kim=kim, u=u)
@@ -624,12 +746,12 @@ def _flip_where(re, im, q: int, n: int, s: int, cond):
     """X on qubit ``q`` for the trajectory blocks where ``cond`` is true."""
     import jax.numpy as jnp
 
-    S, hi, lo = 1 << s, 1 << (n - 1 - q), 1 << q
-    c = cond.astype(bool).reshape(S, 1, 1, 1)
+    shape, flip, _b1, bc = _bit_ctx(q, n, s, re.dtype)
+    c = cond.astype(bool).reshape(bc)
 
     def f(x):
-        x4 = x.reshape(S, hi, 2, lo)
-        return jnp.where(c, x4[:, :, ::-1, :], x4).reshape(-1)
+        xv = x.reshape(shape)
+        return jnp.where(c, flip(xv), xv).reshape(-1)
 
     return f(re), f(im)
 
