@@ -257,13 +257,42 @@ def _get_expander(C: int, cap: int, real_dtype):
 
 # debug/ablation knob: fold perm steps into the preceding mat's tables
 PERM_FOLD = True
-# A/B knob: lower MONOMIAL ops as generic 3-matmul mat steps instead of
-# the 2-matmul + VPU-rotation mono step.  Motivation (kernel_micro_n24):
-# the mono step's measured marginal cost (~1.3 ms/pass) EXCEEDS the full
-# Karatsuba mat step (~0.65 ms/pass) despite doing one matmul less — the
-# dynamic cos/sin row slices + broadcast rotation do not pipeline the way
-# back-to-back MXU dots do.  Default off until the on-chip A/B decides.
-MONO_AS_MAT = bool(int(os.environ.get("QSIM_MONO_AS_MAT", "0")))
+# Lower MONOMIAL ops as generic 3-matmul mat steps instead of the
+# 2-matmul + VPU-rotation mono step.  The mono step's measured marginal
+# cost (~1.3 ms/pass, kernel_micro_n24) EXCEEDS the full Karatsuba mat
+# step (~0.65 ms/pass) despite doing one matmul less — the dynamic
+# cos/sin row slices + broadcast rotation do not pipeline the way
+# back-to-back MXU dots do.  On-chip A/B (knob_ab.log 2026-08-19,
+# grover_like workload): n=24 18.91 -> 12.27 s alone, 11.06 s with
+# window=16 + cap_mats=8; n=26 neutral (91.3 -> 90.5 s).  Tri-state:
+# None = auto (on for flat plans at n >= MONO_AUTO_MIN_QUBITS, where it
+# was measured); QSIM_MONO_AS_MAT / assigning a bool forces either arm.
+_MONO_ENV = os.environ.get("QSIM_MONO_AS_MAT")
+MONO_AS_MAT = None if _MONO_ENV is None else bool(int(_MONO_ENV))
+MONO_AUTO_MIN_QUBITS = 21
+
+
+def resolve_mono_as_mat(n: int, inplace: bool = False,
+                        num_global: int = 0) -> bool:
+    """Effective mono-as-mat lowering for one plan.  Auto scope = exactly
+    the measured regime: single-chip flat plans at n >= 21 (knob_ab);
+    in-place halves chains (n >= 29) and sharded plans stay on the mono
+    step until their own A/B says otherwise."""
+    if MONO_AS_MAT is not None:
+        return bool(MONO_AS_MAT)
+    return num_global == 0 and not inplace and n >= MONO_AUTO_MIN_QUBITS
+
+
+# A/B knob: lower UNFOLDED lane-victim perm steps (window bit v <-> 7
+# exchange) as a 2-qubit SWAP mat slot on positions (v, 7) instead of the
+# dedicated p_ref dot-pair step.  MEASURED NEGATIVE on chip (knob_ab.log
+# 2026-08-19): n=24 mono+perm 17.57 s / mono+perm+w16+cm8 22.60 s vs
+# mono-only 12.27 s — the extra mats slots fragment blocks faster than
+# the cheaper step kind pays back.  Stays default-off; kept as the
+# documented ablation hook (docs/ABLATIONS.md).
+PERM_AS_MAT = bool(int(os.environ.get("QSIM_PERM_AS_MAT", "0")))
+_SWAP4 = np.array(
+    [[1, 0, 0, 0], [0, 0, 1, 0], [0, 1, 0, 0], [0, 0, 0, 1]], dtype=complex)
 # debug/ablation knob: parallel grid dimension on the block kernel
 _PARALLEL_GRID = True
 
@@ -346,6 +375,10 @@ class PrefetchPlan:
     num_relayouts: int = 0
     num_gswaps: int = 0
     num_pfolds: int = 0
+    # the mono-lowering arm this plan was emitted under; the table packer
+    # (materialize_entries) must mirror it or mono-encoded tables would
+    # drop phases on slots the plan recorded as generic mats
+    mono_as_mat: bool = False
 
 
 def _op_dag(ops: Sequence[Op]):
@@ -377,6 +410,7 @@ def plan_prefetch(
     num_global: int = 0,
     involution_relayout: bool = False,
     lookahead_waves: Optional[int] = None,
+    mono_as_mat: Optional[bool] = None,
 ) -> PrefetchPlan:
     """Lower fused ops to uniform kernel blocks.
 
@@ -413,6 +447,10 @@ def plan_prefetch(
     disjoint HBM block swaps and so plans with ``involution_relayout=True``.
     """
     n = num_qubits
+    if MONO_AS_MAT is not None:          # forced arm (env / A/B scripts)
+        mono_as_mat = bool(MONO_AS_MAT)
+    elif mono_as_mat is None:
+        mono_as_mat = resolve_mono_as_mat(n, involution_relayout, num_global)
     lw = LOOKAHEAD_WAVES if lookahead_waves is None else lookahead_waves
     nl = n - num_global          # local qubits: window + tile + cross-tile
     if nl < MIN_QUBITS:
@@ -464,7 +502,7 @@ def plan_prefetch(
         # work (measured 2.53 ms vs 1.99 ms per 64-block chain at n=24,
         # kernel_micro_n24.json) — full-width steps only.  Monomial ops
         # (~3/4 of the grover-profile mix) take the 2-matmul mono step.
-        kind = (kind_mono if (not MONO_AS_MAT
+        kind = (kind_mono if (not mono_as_mat
                               and _monomial_phases(u) is not None) else 0)
         b.kinds.append(kind)
         b.midx.append(len(b.mats))
@@ -493,6 +531,10 @@ def plan_prefetch(
             operm = sig if operm is None else operm[sig]
             b.mats[b.midx[-1]] = (u, pos, operm)
             num_pfolds += 1
+            return
+        if PERM_AS_MAT:
+            add_mat(_SWAP4, (v, LANE_QUBITS))
+            num_perms += 1
             return
         b = room(1, 0)
         b.kinds.append(kind_perm)
@@ -812,6 +854,7 @@ def plan_prefetch(
     return PrefetchPlan(
         blocks, np.asarray(pos_of), len(ops), num_tswaps, num_xswaps,
         num_perms, logt, num_relayouts, num_gswaps, num_pfolds,
+        mono_as_mat=bool(mono_as_mat),
     )
 
 
@@ -2155,7 +2198,8 @@ def materialize_entries(entries: Sequence[_Block], cap_steps: int,
                         cap_mats: int, dt, inplace: bool = False,
                         single_class: bool = False,
                         max_chunk: int = 1 << 30,
-                        fold_relayout: bool = False):
+                        fold_relayout: bool = False,
+                        mono_as_mat: bool = False):
     """Pack plan entries into grouped, pow-2-chunked scal + factor tables.
 
     Two block classes keep table H2D near the real content volume:
@@ -2257,10 +2301,10 @@ def materialize_entries(entries: Sequence[_Block], cap_steps: int,
             scal[i, 4 + cap_steps : 4 + cap_steps + k] = blk.midx
             for s, (u, positions, operm) in enumerate(blk.mats):
                 d = u.shape[0]
-                # must mirror add_mat's kind choice: under MONO_AS_MAT the
+                # must mirror add_mat's kind choice: under mono-as-mat the
                 # plan records kind 0, so the slot ships generic (re, im)
                 # tables — a mono-encoded table would drop the phases
-                theta = None if MONO_AS_MAT else _monomial_phases(u)
+                theta = None if mono_as_mat else _monomial_phases(u)
                 if theta is None:
                     u_re[i, s, :d, :d] = u.real
                     u_im[i, s, :d, :d] = u.imag
@@ -2357,7 +2401,8 @@ class PrefetchProgram:
              hvec_o, phases, mono) in materialize_entries(
                 entries, cap_steps, cap_mats, dt, inplace=inplace,
                 single_class=single_class, max_chunk=max_chunk,
-                fold_relayout=(not inplace) and _STREAM_RELAYOUT):
+                fold_relayout=(not inplace) and _STREAM_RELAYOUT,
+                mono_as_mat=plan.mono_as_mat):
             off = 0
             for c in sizes:
                 chain_builder = get_block_chain_split if inplace else get_block_chain
@@ -2580,10 +2625,12 @@ def resolve_prefetch_knobs(config, n: int, inplace: bool):
     Config fields win; unset fields fall back to the QSIM_PREFETCH_MAX_HIGH
     / QSIM_PREFETCH_CAP_MATS / QSIM_FUSION_WINDOW env overrides (the
     on-chip A/B hook for scripts/plan_model.py --tune candidates), then to
-    the measured defaults: max_high=2; cap_mats=4 at n >= 21 flat
-    (swap-bounded blocks are thin — one small capacity class keeps the
-    circuit to a handful of chain dispatches), engine CAP_MATS otherwise;
-    window=8 (fusion_ab.json)."""
+    the measured defaults.  At n >= 21 flat: window=16 + cap_mats=8
+    (on-chip A/B knob_ab.log 2026-08-19: 18.91 -> 15.18 s at n=24 and
+    91.3 -> 89.2 s at n=26 on grover_like, compounding with the
+    mono-as-mat lowering to 11.06 s at n=24); otherwise window=8
+    (fusion_ab.json) + engine CAP_MATS (the n=18 flagship point was
+    tuned separately and keeps its measured optimum)."""
     import os
 
     max_high = getattr(config, "prefetch_max_high", None)
@@ -2595,12 +2642,12 @@ def resolve_prefetch_knobs(config, n: int, inplace: bool):
     if cap_mats is None and os.environ.get("QSIM_PREFETCH_CAP_MATS"):
         cap_mats = int(os.environ["QSIM_PREFETCH_CAP_MATS"])
     if cap_mats is None:
-        cap_mats = 4 if (n >= 21 and not inplace) else CAP_MATS
+        cap_mats = 8 if (n >= 21 and not inplace) else CAP_MATS
     window = getattr(config, "fusion_window", None)
     if window is None and os.environ.get("QSIM_FUSION_WINDOW"):
         window = int(os.environ["QSIM_FUSION_WINDOW"])
     if not window:
-        window = 8
+        window = 16 if (n >= 21 and not inplace) else 8
     return int(max_high), int(cap_mats), int(window)
 
 
@@ -2680,7 +2727,8 @@ def run_prefetch(circuit, config, initial_parts=None, return_halves=False):
         # kernel-routing flags: programs bake their chain executables at
         # build time, so an in-process A/B toggling these must not reuse
         # the other arm's program
-        _STREAM_PLAIN, _STREAM_RELAYOUT, MONO_AS_MAT,
+        _STREAM_PLAIN, _STREAM_RELAYOUT,
+        resolve_mono_as_mat(n, bool(inplace)), PERM_AS_MAT,
     )
     cached = _RUN_CACHE.get(run_key)
     if cached is not None:

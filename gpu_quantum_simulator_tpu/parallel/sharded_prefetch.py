@@ -223,7 +223,8 @@ class ShardedPrefetchProgram:
         for (cap, sizes, scal, u_re, u_im, mvec, hvec, mvec_o,
              hvec_o, phases, mono) in materialize_entries(
                 plan.blocks, cap_steps, cap_mats, dt,
-                single_class=single_class, max_chunk=max_chunk):
+                single_class=single_class, max_chunk=max_chunk,
+                mono_as_mat=plan.mono_as_mat):
             off = 0
             for c in sizes:
                 chain = get_sharded_chain(

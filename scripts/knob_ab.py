@@ -34,19 +34,18 @@ from gpu_quantum_simulator_tpu.engine.simulator import Simulator
 ART = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "bench_artifacts")
 
-# Candidates from plan_model --tune under the ROUND-3 refreshed
-# calibration (kernel_micro_n24.json, 2026-08-19): the old mh1_* rows
-# stopped winning once measured mono/perm costs replaced the estimates;
-# the model now picks window=16 + cap_mats=8 (-6%) and prices the
-# QSIM_MONO_AS_MAT lowering (monomials as 3-matmul mat steps) at -13%
-# at n=24 / -12% at n=26.  "mono" toggles PF.MONO_AS_MAT at runtime
-# (run_prefetch keys its plan cache on it).
+# Measured 2026-08-19 (knob_ab.log, grover_like): mono+w16+cm8 won n=24
+# 18.91 -> 11.06 s (n=26 ~neutral) and became the n >= 21 flat default;
+# perm-as-mat measured NEGATIVE (17.57 / 22.60 s) and stays off.  The
+# arms below regression-check the flip: "default" = the new auto knobs,
+# "round2" = the pre-flip configuration, "mono_off" isolates the mono
+# lowering under the new window/cap, "monoperm" re-checks the rejected
+# perm lowering against the current default.
 CANDIDATES = {
     "default": {},
-    "w16_cm8": {"fusion_window": 16, "prefetch_cap_mats": 8},
-    "mono_mat": {"mono": True},
-    "mono_w16_cm8": {"mono": True, "fusion_window": 16,
-                     "prefetch_cap_mats": 8},
+    "round2": {"mono": False, "fusion_window": 8, "prefetch_cap_mats": 4},
+    "mono_off": {"mono": False},
+    "monoperm": {"perm": True},
 }
 
 
@@ -59,7 +58,11 @@ def main() -> None:
         for name, kw in CANDIDATES.items():
             kw = dict(kw)
             from gpu_quantum_simulator_tpu.engine import prefetch as PF
-            PF.MONO_AS_MAT = bool(kw.pop("mono", False))
+            # None = the engine's auto default (mono ON at n >= 21 flat
+            # since the 2026-08-19 flip); True/False force an arm
+            mono = kw.pop("mono", None)
+            PF.MONO_AS_MAT = None if mono is None else bool(mono)
+            PF.PERM_AS_MAT = bool(kw.pop("perm", False))
             sim = Simulator(SimulatorConfig(strategy="prefetch", **kw))
             res = sim.run_detailed(c)   # warm-up: compile + plan
             # parity guard across candidates (first 64 amplitudes)

@@ -736,15 +736,60 @@ def test_plan_knob_env_fallback(monkeypatch):
     monkeypatch.setenv("QSIM_PREFETCH_MAX_HIGH", "1")
     monkeypatch.setenv("QSIM_PREFETCH_CAP_MATS", "12")
     cfg = SimulatorConfig(strategy="prefetch")
-    assert PF.resolve_prefetch_knobs(cfg, 24, False) == (1, 12, 8)
+    assert PF.resolve_prefetch_knobs(cfg, 24, False) == (1, 12, 16)
     # explicit config wins over env
     cfg2 = SimulatorConfig(strategy="prefetch", prefetch_max_high=3,
                            prefetch_cap_mats=2)
-    assert PF.resolve_prefetch_knobs(cfg2, 24, False) == (3, 2, 8)
+    assert PF.resolve_prefetch_knobs(cfg2, 24, False) == (3, 2, 16)
     monkeypatch.delenv("QSIM_PREFETCH_MAX_HIGH")
     monkeypatch.delenv("QSIM_PREFETCH_CAP_MATS")
-    assert PF.resolve_prefetch_knobs(cfg, 24, False) == (2, 4, 8)
+    # measured n >= 21 flat defaults (knob_ab.log 2026-08-19):
+    # window=16 + cap_mats=8; in-place and n < 21 keep window 8
+    assert PF.resolve_prefetch_knobs(cfg, 24, False) == (2, 8, 16)
     assert PF.resolve_prefetch_knobs(cfg, 24, True) == (2, PF.CAP_MATS, 8)
+    assert PF.resolve_prefetch_knobs(cfg, 18, False) == (2, PF.CAP_MATS, 8)
+
+
+def test_mono_as_mat_auto_scope():
+    """Auto mono lowering covers exactly the measured regime: flat
+    single-chip plans at n >= 21 (knob_ab 2026-08-19); in-place and
+    sharded plans keep the mono step; forcing the global wins."""
+    old = PF.MONO_AS_MAT
+    try:
+        PF.MONO_AS_MAT = None
+        assert PF.resolve_mono_as_mat(24, False)
+        assert not PF.resolve_mono_as_mat(18, False)
+        assert not PF.resolve_mono_as_mat(24, True)          # in-place
+        assert not PF.resolve_mono_as_mat(24, False, num_global=3)
+        PF.MONO_AS_MAT = False
+        assert not PF.resolve_mono_as_mat(24, False)
+        PF.MONO_AS_MAT = True
+        assert PF.resolve_mono_as_mat(18, False)
+    finally:
+        PF.MONO_AS_MAT = old
+
+
+def test_mono_as_mat_plan_parity():
+    """The mat-lowered plan of a monomial-heavy circuit must execute to
+    the same amplitudes as the mono-step plan, and the packer must follow
+    the PLAN's arm (plan.mono_as_mat), not the global at pack time."""
+    n = 10
+    c = models.grover_like(n, num_gates=200, seed=23)
+    want = Simulator(SimulatorConfig(strategy="prefetch")).run(c)
+    old = PF.MONO_AS_MAT
+    try:
+        PF.MONO_AS_MAT = True
+        PF._RUN_CACHE.clear()
+        got = Simulator(SimulatorConfig(strategy="prefetch")).run(c)
+    finally:
+        PF.MONO_AS_MAT = old
+        PF._RUN_CACHE.clear()
+    assert np.max(np.abs(got - want)) < TOL
+    ops = _fuse_pipeline(c, 7, max_high=2)
+    plan = PF.plan_prefetch(ops, n, mono_as_mat=True)
+    assert plan.mono_as_mat
+    kind_mono = plan.logt + 2
+    assert all(k != kind_mono for b in plan.blocks for k in b.kinds)
 
 
 def test_lookahead_waves_parity():
