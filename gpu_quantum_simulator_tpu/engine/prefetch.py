@@ -889,11 +889,54 @@ _CHAIN_CACHE: dict = {}
 
 
 def _precision(name: str):
+    # Mosaic lowers only DEFAULT and HIGHEST dots ("Unsupported dot
+    # precision: HIGH", precision_ab.log 2026-08-19); XLA's 3-pass bf16
+    # "high" rung is emulated explicitly in _make_dot/_make_pdot, so it
+    # stays a string sentinel here.
     return {
         "highest": jax.lax.Precision.HIGHEST,
-        "high": jax.lax.Precision.HIGH,
+        "high": "high",
         "default": jax.lax.Precision.DEFAULT,
     }[name]
+
+
+def _make_dot(prec, dt):
+    """``x @ m`` at the requested MXU precision (dense f32 operands).
+
+    ``"high"`` is XLA's 3-pass bf16 decomposition (hi*hi + lo*hi + hi*lo)
+    written out by hand because Mosaic has no HIGH dot lowering.  Each
+    pass is a DEFAULT-precision dot whose operands are either bf16-exact
+    (the hi split) or the bf16 residual, giving ~16 mantissa bits at half
+    the MXU work of HIGHEST (6 passes)."""
+    if prec == "high":
+        d = lambda a, b: jnp.dot(a, b, preferred_element_type=dt,
+                                 precision=jax.lax.Precision.DEFAULT)
+
+        def dot(x, m):
+            xh = x.astype(jnp.bfloat16).astype(dt)
+            mh = m.astype(jnp.bfloat16).astype(dt)
+            return d(xh, mh) + d(x - xh, mh) + d(xh, m - mh)
+
+        return dot
+    return lambda x, m: jnp.dot(x, m, preferred_element_type=dt,
+                                precision=prec)
+
+
+def _make_pdot(prec, dt):
+    """``x @ p`` for a bf16-exact table p (the 0/1 gather patterns of
+    perm/mono steps): the table residual is zero, so ``"high"`` needs
+    only 2 passes — the exact hi product plus the activation residual."""
+    if prec == "high":
+        d = lambda a, b: jnp.dot(a, b, preferred_element_type=dt,
+                                 precision=jax.lax.Precision.DEFAULT)
+
+        def dot(x, p):
+            xh = x.astype(jnp.bfloat16).astype(dt)
+            return d(xh, p) + d(x - xh, p)
+
+        return dot
+    return lambda x, p: jnp.dot(x, p, preferred_element_type=dt,
+                                precision=prec)
 
 
 TSWAP_ROLL_MIN_K = 4   # tswap strides >= 2^(k-1) rows run as static rolls
@@ -906,11 +949,13 @@ def _steps_loop(scal_ref, a_ref, b_ref, p_ref, sre, sim,
                 cap_steps: int, T: int, dt, prec):
     """Shared step interpreter: run the block's step list on one tile."""
     logt = int(np.log2(T))
+    ddot = _make_dot(prec, dt)
+    pdot = _make_pdot(prec, dt)
 
     def mat_step(j, sre, sim):
         a = a_ref[scal_ref[4 + cap_steps + j]]  # M_re^T
         b = b_ref[scal_ref[4 + cap_steps + j]]  # M_im^T
-        dot = lambda x, m: jnp.dot(x, m, preferred_element_type=dt, precision=prec)
+        dot = ddot
         t1 = dot(sre + sim, a)
         t2 = dot(sre, b - a)
         t3 = dot(sim, a + b)
@@ -958,7 +1003,7 @@ def _steps_loop(scal_ref, a_ref, b_ref, p_ref, sre, sim,
         # arithmetically cheaper still but blows up the remote Mosaic
         # compile (>17 min at n=18 vs ~3 min).
         p = p_ref[scal_ref[4 + cap_steps + j]]
-        dot = lambda x: jnp.dot(x, p, preferred_element_type=dt, precision=prec)
+        dot = lambda x: pdot(x, p)
         return dot(sre), dot(sim)
 
     def mono_step(j, sre, sim):
@@ -971,7 +1016,7 @@ def _steps_loop(scal_ref, a_ref, b_ref, p_ref, sre, sim,
         p = a_ref[idx]
         c = b_ref[idx, 0:1, :]
         s = b_ref[idx, 1:2, :]
-        dot = lambda x: jnp.dot(x, p, preferred_element_type=dt, precision=prec)
+        dot = lambda x: pdot(x, p)
         gr = dot(sre)
         gi = dot(sim)
         return gr * c - gi * s, gr * s + gi * c
@@ -1002,14 +1047,17 @@ def _steps_loop_halves(scal_ref, a_ref, b_ref, p_ref, r0, r1, i0, i1,
     selects, perms as blocked products against the resident 0/1 table.
     """
     logt = int(np.log2(T))
+    _ddot = _make_dot(prec, dt)
+    _pdot = _make_pdot(prec, dt)
 
-    def bdot(x0, x1, m):
+    def _bdot(d, x0, x1, m):
         # halves of x @ m for 256x256 m: (lo, hi) = x0 @ m[:128] + x1 @ m[128:]
-        d = lambda x, mm: jnp.dot(x, mm, preferred_element_type=dt,
-                                  precision=prec)
         lo = d(x0, m[:LANES, :LANES]) + d(x1, m[LANES:, :LANES])
         hi = d(x0, m[:LANES, LANES:]) + d(x1, m[LANES:, LANES:])
         return lo, hi
+
+    bdot = partial(_bdot, _ddot)        # dense matrices
+    bpdot = partial(_bdot, _pdot)       # bf16-exact 0/1 tables
 
     def mat_step(j, r0, r1, i0, i1):
         a = a_ref[scal_ref[4 + cap_steps + j]]  # M_re^T
@@ -1043,8 +1091,8 @@ def _steps_loop_halves(scal_ref, a_ref, b_ref, p_ref, r0, r1, i0, i1,
 
     def perm_step(j, r0, r1, i0, i1):
         p = p_ref[scal_ref[4 + cap_steps + j]]
-        o0, o1 = bdot(r0, r1, p)
-        p0, p1 = bdot(i0, i1, p)
+        o0, o1 = bpdot(r0, r1, p)
+        p0, p1 = bpdot(i0, i1, p)
         return o0, o1, p0, p1
 
     def mono_step(j, r0, r1, i0, i1):
@@ -1056,8 +1104,8 @@ def _steps_loop_halves(scal_ref, a_ref, b_ref, p_ref, r0, r1, i0, i1,
         c1 = b_ref[idx, 0:1, LANES:]
         s0 = b_ref[idx, 1:2, :LANES]
         s1 = b_ref[idx, 1:2, LANES:]
-        gr0, gr1 = bdot(r0, r1, p)
-        gi0, gi1 = bdot(i0, i1, p)
+        gr0, gr1 = bpdot(r0, r1, p)
+        gi0, gi1 = bpdot(i0, i1, p)
         return (gr0 * c0 - gi0 * s0, gr1 * c1 - gi1 * s1,
                 gr0 * s0 + gi0 * c0, gr1 * s1 + gi1 * c1)
 

@@ -15,7 +15,10 @@ Per width: run the deep grover-profile circuit at each precision,
 record median seconds and amplitude error vs the ``highest`` arm
 (max|Δ| and the total-variation distance of the probability
 distribution over the first 2^14 basis states — TVD is what sampling
-accuracy actually depends on).
+accuracy actually depends on).  Timing is ``run_device`` + a one-scalar
+force (the honest engine number): a ``run_detailed`` timing would bury
+a 128 MB (n=24) tunnel D2H identically in every arm and halve the
+relative signal (the diag24 lesson).
 
 Writes bench_artifacts/precision_ab.json.
 Usage: python scripts/precision_ab.py [n ...] (default 18 24) [cpu]
@@ -48,6 +51,10 @@ ART = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
 HEAD = 1 << 14   # amplitudes fetched for the error measures
 
 
+def force(x):
+    return float(np.asarray(x[:1])[0])
+
+
 def main() -> None:
     ns = [int(a) for a in sys.argv[1:]] or [18, 24]
     out = {}
@@ -69,8 +76,10 @@ def main() -> None:
             times = []
             for _ in range(3):
                 t0 = time.perf_counter()
-                sim.run_detailed(c)
+                re, im, _ = sim.run_device(c)
+                force(re)
                 times.append(time.perf_counter() - t0)
+                del re, im
             key = f"prefetch_n{n}_{prec}"
             out[key] = {"seconds": round(statistics.median(times), 4),
                         "max_amp_err": err, "head_tvd": tvd,

@@ -864,3 +864,31 @@ def test_plan_cost_regression_guard_n24():
     assert secs < 3.5, (secs, parts)
     n_blocks = len(plan.blocks)
     assert plan.num_ops / n_blocks > 1.8, (plan.num_ops, n_blocks)
+
+
+def test_precision_high_emulation_parity():
+    # Mosaic has no HIGH dot lowering (precision_ab.log 2026-08-19); the
+    # engine emulates the 3-pass bf16 rung in _make_dot/_make_pdot.  On
+    # CPU interpret the emulation executes literally: the only error is
+    # the bf16 residual rounding, which must stay far under the DEFAULT
+    # rung's ~1e-4/gate and within the suite tolerance of the exact run.
+    c = models.grover_like(10, num_gates=300, seed=7)
+    ref = Simulator(SimulatorConfig(strategy="prefetch",
+                                    precision="highest")).run(c)
+    hi = Simulator(SimulatorConfig(strategy="prefetch",
+                                   precision="high")).run(c)
+    err = float(np.max(np.abs(np.asarray(hi) - np.asarray(ref))))
+    assert err < TOL, err
+
+
+def test_precision_high_inplace_halves():
+    # same ladder through the split-halves step interpreter (bpdot path)
+    n = 10
+    c = models.grover_like(n, num_gates=200, seed=5)
+    ref = Simulator(SimulatorConfig(strategy="prefetch",
+                                    precision="highest")).run(c)
+    sim = Simulator(SimulatorConfig(strategy="prefetch", precision="high",
+                                    prefetch_inplace=True))
+    out = sim.run(c)
+    err = float(np.max(np.abs(np.asarray(out) - np.asarray(ref))))
+    assert err < TOL, err
