@@ -1,9 +1,9 @@
-"""n=30 single-chip demonstration + n=29 mxu + fusion A/B — real chip.
+"""n=30 single-chip demonstration — real chip.
 
 n=30 runs the prefetch engine in IN-PLACE mode (aliased split-half chains;
 an (in, out) f32 state pair would be 17 GB > 16 GB HBM).  All timings force
 a device->host scalar fetch (block_until_ready can return early through the
-dev tunnel).  Writes bench_artifacts/n30_demo.json + fusion_ab.json.
+dev tunnel).  Writes bench_artifacts/n30_demo.json.
 """
 
 import json
@@ -31,18 +31,6 @@ os.makedirs(ART, exist_ok=True)
 def force(x):
     """Synchronize for real: fetch one element to the host."""
     return float(np.asarray(x[:1])[0])
-
-
-def timed_runs(sim, c, runs):
-    ts = []
-    nops = None
-    for _ in range(runs):
-        t0 = time.perf_counter()
-        re, im, nops = sim.run_device(c)
-        force(re)
-        ts.append(time.perf_counter() - t0)
-        del re, im
-    return ts, nops
 
 
 def main():
@@ -84,37 +72,12 @@ def main():
     with open(os.path.join(ART, "n30_demo.json"), "w") as f:
         json.dump(out30, f, indent=1)
     print(json.dumps(out30), flush=True)
-
-    # ---------------- n=29 via the wide (mxu) engine ----------------
-    n = 29
-    c29 = models.grover_like(n, num_gates=2445, seed=29)
-    sim29 = Simulator(SimulatorConfig(strategy="mxu", fusion_window=8,
-                                      fusion_cost_model=True))
-    t0 = time.perf_counter()
-    re, im, nops = sim29.run_device(c29)
-    force(re)
-    print(f"n=29 mxu cold: {time.perf_counter()-t0:.1f}s ({nops} ops)", flush=True)
-    del re, im
-    ts29, _ = timed_runs(sim29, c29, 3)
-    print(f"n=29 mxu warm: {['%.2f' % t for t in ts29]}", flush=True)
-
-    # ---------------- fusion A/B at n=18 / n=24 ----------------
-    ab = {"mxu_n29_cm-w8": {"seconds": round(float(np.median(ts29)), 3),
-                            "ops": nops, "reference_n22_best": 51.68}}
-    for nn, runs in ((18, 5), (24, 3)):
-        c = models.grover_like(nn, num_gates=2445, seed=318)
-        for tag, kw in (("w1", {}),
-                        ("cm-w8", dict(fusion_window=8, fusion_cost_model=True))):
-            sim = Simulator(SimulatorConfig(strategy="mxu", **kw))
-            _ = timed_runs(sim, c, 1)  # warm-up/compile
-            ts, nops = timed_runs(sim, c, runs)
-            ab[f"mxu_n{nn}_{tag}"] = {"seconds": round(float(np.median(ts)), 4),
-                                      "ops": nops}
-            print(f"n={nn} {tag}: {np.median(ts):.3f}s ({nops} ops)", flush=True)
-
-    with open(os.path.join(ART, "fusion_ab.json"), "w") as f:
-        json.dump(ab, f, indent=1)
-    print(json.dumps(ab), flush=True)
+    # NOTE: this script used to chase an n=29 mxu run + the n=18/24
+    # fusion A/B here, in-process after the 8.6 GB n=30 run.  The wide
+    # engine caps at n=28 (per-segment temporaries) and the post-run
+    # fragmented heap refuses its big contiguous buffers anyway
+    # (RESOURCE_EXHAUSTED, queue_logs/n30.log 2026-08-19) — the mxu A/B
+    # lives in scripts/fusion_ab.py, which must run in a FRESH process.
     print("DONE n30", flush=True)
 
 

@@ -1,15 +1,27 @@
 #!/bin/bash
-# Follow-up TPU queue: the stages the first queue's 6 h deadline cuts off
-# (noisy re-test after the ensemble-layout fix, large-n demos, Clifford
-# validation, sweep stages 2/3) plus a re-bench under any flipped planner
-# defaults.  Same rules as tpu_queue.sh: ONE process on the chip, hard
-# deadline so the driver's round-end bench never overlaps.
+# Follow-up TPU queue (rewritten 2026-08-19 15:20 after queue1 reached its
+# own sweep stages — the first draft's sweep2/sweep3 repeats are dropped):
+#   queue1 delivered n29 (76.7 s warm, new defaults), n30 (156.9 s),
+#   QV-20, quench, grover22, clifford30 (ok), sweep stage2, and is
+#   finishing sweep stage3 + consolidate + digest itself.  What's left:
+#   - noisy2: re-test after the tile-friendly ensemble-layout fix
+#   - bench2: flagship bench under the flipped planner defaults (also
+#     warms the persistent compile + plan caches for the driver's
+#     round-end bench)
+#   - diag24: exec vs D2H-fetch split for grid/fold arms at n=24/26 —
+#     the honest engine numbers that decide the QSIM_STREAM_RELAYOUT
+#     default at large n (the earlier A/Bs timed run_detailed, which
+#     buries a 128-512 MB tunnel fetch in the comparison)
+#   - precision_ab2: re-run after the Mosaic HIGH-dot 3-pass emulation
+#   - digest
+# Same rules as tpu_queue.sh: ONE process on the chip, hard deadline so
+# the driver's round-end bench never overlaps.
 set -u
 cd "$(dirname "$0")/.."
 mkdir -p bench_artifacts/queue_logs
 log() { echo "[$(date +%H:%M:%S)] $*" | tee -a bench_artifacts/queue_logs/queue2.log; }
 
-DEADLINE=${QSIM_QUEUE_DEADLINE:-$(( $(date +%s) + 6 * 3600 ))}
+DEADLINE=${QSIM_QUEUE_DEADLINE:-$(( $(date +%s) + 4 * 3600 ))}
 
 run() { # run <name> <timeout_s> <cmd...>
   local name=$1 to=$2; shift 2
@@ -32,23 +44,16 @@ run wait2 21600 bash -c 'while ps -p "$(cat /tmp/queue.pid 2>/dev/null || echo 0
 # 1. noisy ensemble demo — re-test of the tile-friendly layout fix
 run noisy2 2400 python scripts/noisy_demo.py 16 1024
 
-# 2. flagship bench under current defaults (records any planner flips)
+# 2. flagship bench under current defaults (records the planner flips,
+#    warms the persistent caches for the driver's round-end run)
 run bench2 2400 python bench.py
 
-# 3. large-n demos (VERDICT #1 artifacts)
-run n29 7200 python scripts/n29_demo.py
-run n30 7200 python scripts/n30_demo.py
+# 3. honest exec/fetch split, grid vs fold, n=24/26 (fold-default lever)
+run diag24 7200 python scripts/diag24.py 24 26
 
-# 4. independent n=30 Clifford validation vs exact CHP tableau
-run clifford30 7200 python scripts/clifford30_check.py 30 4000 4096
+# 4. precision ladder, re-run with the 3-pass HIGH emulation
+run precision_ab2 5400 python scripts/precision_ab.py 18 24
 
-# 5. sweep stage2: mxu 21-24 remainder + prefetch 18-26 re-measure
-run sweep2 14400 python scripts/sweep_fill.py stage2
-
-# 6. sweep stage3: vmem 16-18
-run sweep3 7200 python scripts/sweep_fill.py stage3
-
-# 7. consolidate the CSV + decision digest
-run consolidate2 600 python scripts/sweep_fill.py consolidate
+# 5. decision digest
 run digest2 600 python scripts/queue_digest.py
 log "QUEUE2 DONE"
