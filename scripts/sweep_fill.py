@@ -48,10 +48,11 @@ CEILINGS = {
     "mxu": {"max_n": 24, "reason": "per-segment temporaries cap the wide "
             "engine at n=28; n>24 rows cost ~minutes of D2H each over the "
             "dev tunnel — see prefetch for the large-n ladder"},
-    "prefetch": {"max_n": 26, "reason": "n=27+ exceeds the double-buffer "
-                 "margin planning headroom on 16 GB; n=29/30 run via the "
-                 "in-place engine (bench_artifacts/n29_demo.json, "
-                 "n30_demo.json)"},
+    "prefetch": {"max_n": 26, "reason": "ladder recorded to n=26: each "
+                 "n>=27 row costs minutes of full-state D2H per run under "
+                 "the tester protocol (0.16-1 GB/s tunnel); capability "
+                 "extends to n=29 flat (n29_demo.json, 76.7 s warm) and "
+                 "n=30 via the in-place halves engine (n30_demo.json)"},
     "pallas": {"max_n": 14, "reason": "hand-written Karatsuba kernels kept "
                "as an ablation; mxu supersedes it at every n (ladder "
                "recorded to 14 where the curves are already separated)"},
