@@ -200,3 +200,15 @@ def test_sharded_portfolio_parity(monkeypatch):
     got = np.asarray(re) + 1j * np.asarray(im)
     want = simulate_reference(c)
     assert np.max(np.abs(got - want)) < TOL
+
+
+def test_precision_high_sharded_parity():
+    """precision='high' flows into the shared block kernels (the 3-pass
+    bf16 emulation — Mosaic rejects lax.Precision.HIGH); on the CPU mesh
+    the emulation executes literally and must stay at bf16-residual
+    error, far under the suite tolerance."""
+    n = 12
+    c = models.grover_like(n, num_gates=300, seed=17)
+    got = _simulate_segmented(c, precision="high")
+    want = simulate_reference(c)
+    assert np.max(np.abs(got - want)) < TOL
