@@ -60,9 +60,14 @@ def main() -> None:
     out = {}
     for n in ns:
         c = models.grover_like(n)
-        for arm, fold in (("grid", False), ("fold", True)):
+        arms = [("grid", False, "prefetch"), ("fold", True, "prefetch")]
+        if n <= 26:
+            # same split for the wide engine: the n=24 mxu-vs-prefetch
+            # story must compare exec to exec, not exec to exec+fetch
+            arms.append(("mxu", False, "mxu"))
+        for arm, fold, strategy in arms:
             PF._STREAM_RELAYOUT = fold
-            sim = Simulator(SimulatorConfig(strategy="prefetch"))
+            sim = Simulator(SimulatorConfig(strategy=strategy))
             re, im, nops = sim.run_device(c)   # cold: compile+plan+upload
             force(re)
             del re, im
@@ -80,10 +85,11 @@ def main() -> None:
 
             # per-chain-part dispatch costs: rebuild via the run cache and
             # drive the parts by hand with a sync after each
-            prog = next(iter(PF._RUN_CACHE.values())) if PF._RUN_CACHE else None
-            for p in PF._RUN_CACHE.values():
-                if p.num_qubits == n and not p.inplace:
-                    prog = p
+            prog = None
+            if strategy == "prefetch":
+                for p in PF._RUN_CACHE.values():
+                    if p.num_qubits == n and not p.inplace:
+                        prog = p
             if prog is not None and not prog.inplace:
                 r, i = initial_state_parts(n, dtype=np.float32)
                 chunks = []
