@@ -115,15 +115,19 @@ def main():
     for demo in ("n29_demo", "n30_demo", "fusion_ab", "density_demo", "kh0_ab",
                  "variational_demo", "noisy_demo", "knob_ab", "vqe_demo",
                  "quench_demo", "stream_relayout_ab", "precision_ab",
-                 "grover22_demo"):
+                 "grover22_demo", "clifford30_check", "qv_demo", "diag24",
+                 "inplace_knob_ab"):
         d = _load(demo + ".json")
         if d:
             brief = {}
             for k, v in d.items():
                 if isinstance(v, (int, float, str)):
                     brief[k] = v
-                elif isinstance(v, dict) and "seconds" in v:
-                    brief[k] = v["seconds"]
+                elif isinstance(v, dict):
+                    for kk in ("seconds", "exec_s", "warm_s"):
+                        if kk in v:
+                            brief[k] = v[kk]
+                            break
             print(f"{demo}:", json.dumps(brief))
 
     # sweep fill: rows per (strategy) with max n, from the JSONL
