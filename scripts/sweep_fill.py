@@ -81,6 +81,11 @@ STAGES = {
     "stage3": [
         ("vmem", 16, 18),
     ],
+    # n=26 alone in a fresh process: sweep2's single-process 18..25 ladder
+    # fragments the heap and 26 then hits RESOURCE_EXHAUSTED
+    "stage26": [
+        ("prefetch", 26, 26),
+    ],
 }
 
 

@@ -31,7 +31,16 @@ run() { # run <name> <timeout_s> <cmd...>
 # 0. wait for queue2 to release the chip (never two TPU jobs)
 run wait3 21600 bash -c 'while ps -p "$(cat /tmp/queue2.pid 2>/dev/null || echo 0)" >/dev/null 2>&1; do sleep 30; done; echo chip free'
 
-# 1. large-n knob + precision A/B (n=29 flat, n=30 in-place)
+# 1. fill the missing prefetch n=26 sweep row in a FRESH process
+#    (sweep2 hit RESOURCE_EXHAUSTED at 26 after running 18-25 in one
+#    process — post-run heap fragmentation, the known n>=26 hazard)
+run sweep26 3600 python scripts/sweep_fill.py stage26
+
+# 2. large-n knob + precision A/B (n=29 flat, n=30 in-place)
 run inplace_ab 7200 python scripts/inplace_knob_ab.py
+
+# 3. consolidate the CSV with the n=26 row + refresh the digest
+run consolidate3 600 python scripts/sweep_fill.py consolidate
+run digest3 600 python scripts/queue_digest.py
 
 log "QUEUE3 DONE"
