@@ -270,17 +270,27 @@ PERM_FOLD = True
 _MONO_ENV = os.environ.get("QSIM_MONO_AS_MAT")
 MONO_AS_MAT = None if _MONO_ENV is None else bool(int(_MONO_ENV))
 MONO_AUTO_MIN_QUBITS = 21
+# in-place (split-halves) plans: only n=30 is measured (inplace_knob_ab);
+# forced-in-place tests at small n keep the mono step.
+MONO_INPLACE_AUTO_MIN_QUBITS = 29
 
 
 def resolve_mono_as_mat(n: int, inplace: bool = False,
                         num_global: int = 0) -> bool:
     """Effective mono-as-mat lowering for one plan.  Auto scope = exactly
-    the measured regime: single-chip flat plans at n >= 21 (knob_ab);
-    in-place halves chains (n >= 29) and sharded plans stay on the mono
-    step until their own A/B says otherwise."""
+    the measured regimes: single-chip flat plans at n >= 21 (knob_ab
+    2026-08-19: n=24 18.9 -> 12.3 s) and in-place halves chains at
+    n >= MONO_INPLACE_AUTO_MIN_QUBITS (inplace_knob_ab n30knobs arm
+    2026-08-19: 156.9/166.9 default -> 136.5 s warm with knobs).
+    Sharded plans stay on the mono step until their own A/B says
+    otherwise."""
     if MONO_AS_MAT is not None:
         return bool(MONO_AS_MAT)
-    return num_global == 0 and not inplace and n >= MONO_AUTO_MIN_QUBITS
+    if num_global != 0:
+        return False
+    if inplace:
+        return n >= MONO_INPLACE_AUTO_MIN_QUBITS
+    return n >= MONO_AUTO_MIN_QUBITS
 
 
 # A/B knob: lower UNFOLDED lane-victim perm steps (window bit v <-> 7
@@ -2676,11 +2686,15 @@ def resolve_prefetch_knobs(config, n: int, inplace: bool):
     the measured defaults.  At n >= 21 flat: window=16 + cap_mats=8
     (on-chip A/B knob_ab.log 2026-08-19: 18.91 -> 15.18 s at n=24 and
     91.3 -> 89.2 s at n=26 on grover_like, compounding with the
-    mono-as-mat lowering to 11.06 s at n=24); otherwise window=8
-    (fusion_ab.json) + engine CAP_MATS (the n=18 flagship point was
-    tuned separately and keeps its measured optimum)."""
+    mono-as-mat lowering to 11.06 s at n=24).  In-place at n >= 29 gets
+    the same pair (inplace_knob_ab n30knobs arm 2026-08-19: 156.9/166.9
+    default -> 136.5 s warm at n=30, with mono-as-mat).  Otherwise
+    window=8 (fusion_ab.json) + engine CAP_MATS (the n=18 flagship point
+    was tuned separately and keeps its measured optimum)."""
     import os
 
+    knobbed = (n >= 21 and not inplace) or (
+        inplace and n >= MONO_INPLACE_AUTO_MIN_QUBITS)
     max_high = getattr(config, "prefetch_max_high", None)
     if max_high is None and os.environ.get("QSIM_PREFETCH_MAX_HIGH"):
         max_high = int(os.environ["QSIM_PREFETCH_MAX_HIGH"])
@@ -2690,12 +2704,12 @@ def resolve_prefetch_knobs(config, n: int, inplace: bool):
     if cap_mats is None and os.environ.get("QSIM_PREFETCH_CAP_MATS"):
         cap_mats = int(os.environ["QSIM_PREFETCH_CAP_MATS"])
     if cap_mats is None:
-        cap_mats = 8 if (n >= 21 and not inplace) else CAP_MATS
+        cap_mats = 8 if knobbed else CAP_MATS
     window = getattr(config, "fusion_window", None)
     if window is None and os.environ.get("QSIM_FUSION_WINDOW"):
         window = int(os.environ["QSIM_FUSION_WINDOW"])
     if not window:
-        window = 16 if (n >= 21 and not inplace) else 8
+        window = 16 if knobbed else 8
     return int(max_high), int(cap_mats), int(window)
 
 

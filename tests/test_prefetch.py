@@ -743,23 +743,29 @@ def test_plan_knob_env_fallback(monkeypatch):
     assert PF.resolve_prefetch_knobs(cfg2, 24, False) == (3, 2, 16)
     monkeypatch.delenv("QSIM_PREFETCH_MAX_HIGH")
     monkeypatch.delenv("QSIM_PREFETCH_CAP_MATS")
-    # measured n >= 21 flat defaults (knob_ab.log 2026-08-19):
-    # window=16 + cap_mats=8; in-place and n < 21 keep window 8
+    # measured defaults: n >= 21 flat (knob_ab.log) and n >= 29 in-place
+    # (inplace_knob_ab n30knobs) get window=16 + cap_mats=8; small-n
+    # forced-in-place and n < 21 flat keep window 8
     assert PF.resolve_prefetch_knobs(cfg, 24, False) == (2, 8, 16)
     assert PF.resolve_prefetch_knobs(cfg, 24, True) == (2, PF.CAP_MATS, 8)
+    assert PF.resolve_prefetch_knobs(cfg, 30, True) == (2, 8, 16)
     assert PF.resolve_prefetch_knobs(cfg, 18, False) == (2, PF.CAP_MATS, 8)
 
 
 def test_mono_as_mat_auto_scope():
-    """Auto mono lowering covers exactly the measured regime: flat
-    single-chip plans at n >= 21 (knob_ab 2026-08-19); in-place and
-    sharded plans keep the mono step; forcing the global wins."""
+    """Auto mono lowering covers exactly the measured regimes: flat
+    single-chip plans at n >= 21 (knob_ab 2026-08-19) and in-place
+    halves chains at n >= 29 (inplace_knob_ab n30knobs); small-n
+    forced-in-place and sharded plans keep the mono step; forcing the
+    global wins."""
     old = PF.MONO_AS_MAT
     try:
         PF.MONO_AS_MAT = None
         assert PF.resolve_mono_as_mat(24, False)
         assert not PF.resolve_mono_as_mat(18, False)
-        assert not PF.resolve_mono_as_mat(24, True)          # in-place
+        assert not PF.resolve_mono_as_mat(24, True)          # in-place, small
+        assert PF.resolve_mono_as_mat(30, True)              # in-place, n>=29
+        assert not PF.resolve_mono_as_mat(30, True, num_global=3)
         assert not PF.resolve_mono_as_mat(24, False, num_global=3)
         PF.MONO_AS_MAT = False
         assert not PF.resolve_mono_as_mat(24, False)
