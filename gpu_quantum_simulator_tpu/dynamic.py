@@ -603,8 +603,11 @@ def _kraus_ensemble(re, im, qs: tuple, n: int, s: int, form: str,
         ki = kim.reshape(k, 2, 2, 2, 2)
     x_re = re.reshape(shape)
     x_im = im.reshape(shape)
-    prec = _ENS_PRECISION if form in ("lane", "tile", "mixed") else None
-    ein = lambda m, x: jnp.einsum(spec, m, x, precision=prec)
+    # _ENS_PRECISION for EVERY form: the row contractions sum over dims of
+    # size 2/4 so the cost is negligible, and a default (one-pass bf16)
+    # einsum would silently give ~1e-4/gate rounding on TPU for channels
+    # targeting qubits >= 7 while the lane/tile/mixed forms stay exact.
+    ein = lambda m, x: jnp.einsum(spec, m, x, precision=_ENS_PRECISION)
     ys_re = ein(kr, x_re) - ein(ki, x_im)     # (k, S, ...)
     ys_im = ein(kr, x_im) + ein(ki, x_re)
     red = tuple(range(2, ys_re.ndim))
@@ -640,7 +643,10 @@ def _kraus_form(qs: Tuple[int, ...], n: int) -> str:
     if max(qs) < _LANE_QUBITS and n > _LANE_QUBITS:
         return "lane"
     if max(qs) < _TILE_QUBITS:
-        return "tile" if n >= _TILE_QUBITS + 3 else (
+        # n > _TILE_QUBITS suffices: a (S, R, 1024) view with R >= 2 is
+        # already unpadded, while the row2 fallback's minor (2, 2^qa) dims
+        # would tile-pad up to 64x per shot for qa in 7..9.
+        return "tile" if n > _TILE_QUBITS else (
             "row1" if len(qs) == 1 else "row2")
     return "mixed"
 

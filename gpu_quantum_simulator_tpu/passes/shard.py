@@ -58,6 +58,26 @@ class ShardPlan:
     final_position: np.ndarray
     num_swaps: int
     num_local_swaps: int = 0
+    num_qubits: int = 0
+    num_global: int = 0
+
+    def ici_bytes(self, real_bytes: int = 4) -> int:
+        """Total ICI traffic the plan's SwapItems generate, summed over all
+        2^d devices (``real_bytes`` = bytes per real scalar; the state is a
+        split re/im pair, so one complex amplitude is 2*real_bytes).
+
+        Per swap, each device ships EXACTLY half its 2^(n-d) block — the
+        analytic minimum for a global<->local qubit exchange: an amplitude
+        moves iff its local bit differs from its device bit, which selects
+        exactly half the basis indices (parallel/sharded._swap_halves).
+        LocalSwapItems are device-local transposes: zero ICI."""
+        per_swap = (1 << (self.num_qubits - 1)) * 2 * real_bytes
+        return self.num_swaps * per_swap
+
+    def ici_bytes_per_device(self, real_bytes: int = 4) -> int:
+        """ICI bytes each single device sends (= receives) over the plan."""
+        local_n = self.num_qubits - self.num_global
+        return self.num_swaps * (1 << (local_n - 1)) * 2 * real_bytes
 
 
 def plan_sharded(
@@ -67,6 +87,7 @@ def plan_sharded(
     max_local_high: Optional[int] = None,
     initial_layout: Optional[Sequence[int]] = None,
     restore_layout: bool = False,
+    victim_policy: str = "cold",
 ) -> ShardPlan:
     """Rewrite an op list over logical qubits into physical-position items.
 
@@ -78,7 +99,13 @@ def plan_sharded(
     ``restore_layout``: append swaps returning every qubit to its initial
     position, making the plan layout-closed (required for on-device
     iteration of a repeated block).
+    ``victim_policy``: which local position an incoming global qubit
+    displaces — "cold" (default: fewest remaining uses, the corrected
+    version of the reference's usage histogram) or "first" (lowest free
+    slot, the baseline the A/B in tests/test_sharded.py measures against).
     """
+    if victim_policy not in ("cold", "first"):
+        raise ValueError(f"unknown victim_policy {victim_policy!r}")
     n, d = num_qubits, num_global
     local_n = n - d
     if local_n < 1:
@@ -136,9 +163,13 @@ def plan_sharded(
             # the op, preferring lane-region slots (< 7) so the per-device
             # apply stays on the wide-matmul fast path
             cands = [l for l in range(local_n) if qubit_at[l] not in qs]
-            victim = min(
-                cands, key=lambda l: (remaining[qubit_at[l]], l >= LANE_REGION, l)
-            )
+            if victim_policy == "first":
+                victim = cands[0]
+            else:
+                victim = min(
+                    cands,
+                    key=lambda l: (remaining[qubit_at[l]], l >= LANE_REGION, l),
+                )
             do_swap(p, victim)
 
         if max_local_high is not None and local_n > LANE_REGION:
@@ -192,4 +223,5 @@ def plan_sharded(
                 do_swap(b, a)
         assert list(pos_of) == entry_layout
 
-    return ShardPlan(items, np.asarray(pos_of), num_swaps, num_local_swaps)
+    return ShardPlan(items, np.asarray(pos_of), num_swaps, num_local_swaps,
+                     num_qubits=n, num_global=d)

@@ -8,8 +8,10 @@ re/im state plus metadata and resume simulation from it (CLI:
 Format: compressed .npz with re, im (float32/float64) and a metadata record.
 Device arrays are gathered to host; at n=30 that is an 8 GB file — callers
 at that scale should snapshot rarely (or not at all; sampling needs no
-transfer).  A sharded-native (per-shard) format can layer on later without
-changing the API.
+transfer), or use the split-halves form (save_state_halves) that never
+joins the state.  A sharded-native no-host-gather format also exists below
+(save_state_sharded / load_state_sharded, orbax-backed): each device writes
+its own shard, so a mesh-sharded state checkpoints without ever gathering.
 """
 
 from __future__ import annotations

@@ -715,3 +715,38 @@ def test_dynamic_parser_classical_subset():
     ms = [(m.qubit, m.clbit) for m in dc.items if isinstance(m, Measure)]
     assert ms == [(0, 0), (1, 1), (2, 2)]
     assert dc.items[1].params == (1.0,)
+
+
+def test_precounted_header_format():
+    """The CUDA variants' preprocessed "<num_q> <num_g>" format
+    (quantum_simulator_naive.cu:239-240) is accepted drop-in: header
+    integers replace the QASM declarations, exactly num_g gates are read,
+    trailing content is ignored (matching the reference reader's
+    i<num_g loop)."""
+    import numpy as np
+
+    import gpu_quantum_simulator_tpu as Q
+
+    src = "3 4\nh q[0];\ncx q[0], q[1];\nrz(0.5) q[2];\nsx q[1];\n"
+    c = Q.parse_qasm(src)
+    assert c.num_qubits == 3
+    assert [(g.name, g.qubits) for g in c.gates] == [
+        ("h", (0,)), ("cx", (0, 1)), ("rz", (2,)), ("sx", (1,))]
+    assert np.isclose(c.gates[2].params[0], 0.5)
+
+    # equivalent QASM3 spelling produces the identical circuit
+    c2 = Q.parse_qasm(
+        "OPENQASM 3.0;\nqubit[3] q;\n"
+        "h q[0];\ncx q[0], q[1];\nrz(0.5) q[2];\nsx q[1];\n")
+    for a, b in zip(c.gates, c2.gates):
+        assert (a.name, a.qubits, a.params) == (b.name, b.qubits, b.params)
+
+    # num_g caps consumption: the 5th statement is ignored
+    c3 = Q.parse_qasm(src + "x q[0];\n")
+    assert len(c3.gates) == 4
+    # EOF before num_g gates ends the circuit early (feof semantics)
+    c4 = Q.parse_qasm("2 99\nh q[0];\ncx q[0], q[1];\n")
+    assert len(c4.gates) == 2
+    # register name is never checked (the reference scans straight to '[')
+    c5 = Q.parse_qasm("2 1\nh anyreg[1];\n")
+    assert c5.gates[0].qubits == (1,)

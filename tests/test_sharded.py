@@ -234,3 +234,63 @@ def test_quantum_volume_through_sharded_mesh():
     got = _run(c, mesh_shape=(8,))
     want = REF.simulate_reference(c)
     assert np.max(np.abs(np.asarray(got) - want)) < TOL
+
+
+# ------------------------------------------------- round-4 coverage (VERDICT)
+def test_ici_bytes_accounting():
+    """ShardPlan.ici_bytes counts num_swaps half-block exchanges: total
+    = num_swaps * 2^(n-1) complex amplitudes * 8 B (split f32 re/im), and
+    per-device * 2^d == total."""
+    for n, d, gates, seed in [(10, 3, 200, 0), (12, 2, 500, 1), (9, 1, 300, 2)]:
+        c = models.grover_like(n, num_gates=gates, seed=seed)
+        plan = plan_sharded(circuit_to_ops(c), n, d)
+        n_swap_items = sum(1 for it in plan.items if isinstance(it, SwapItem))
+        assert n_swap_items == plan.num_swaps
+        assert plan.ici_bytes() == plan.num_swaps * (1 << (n - 1)) * 8
+        assert plan.ici_bytes_per_device() * (1 << d) == plan.ici_bytes()
+        # f64 doubles it
+        assert plan.ici_bytes(real_bytes=8) == 2 * plan.ici_bytes()
+
+
+def test_ici_half_block_is_analytic_minimum():
+    """Ground-truth the half-block claim (parallel/sharded.py docstring):
+    swapping global bit p with local bit l relocates amplitude i across
+    devices iff bit_p(i) != bit_l(i) — EXACTLY half of all 2^n basis
+    indices.  ici_bytes charges each swap exactly that many amplitudes,
+    so the accounting equals the analytic minimum data motion."""
+    n, d = 9, 3
+    local_n = n - d
+    idx = np.arange(1 << n)
+    for p in range(local_n, n):
+        for l in range(local_n):
+            bit_p = (idx >> p) & 1
+            bit_l = (idx >> l) & 1
+            # new index after exchanging bit positions p and l
+            swapped = idx & ~((1 << p) | (1 << l)) | (bit_l << p) | (bit_p << l)
+            moved = int(np.sum((swapped >> local_n) != (idx >> local_n)))
+            assert moved == 1 << (n - 1)
+    plan = plan_sharded(circuit_to_ops(models.ghz(n).cx(8, 0)), n, d)
+    assert plan.num_swaps >= 1
+    per_swap_amps = plan.ici_bytes() // (plan.num_swaps * 8)
+    assert per_swap_amps == 1 << (n - 1)
+
+
+def test_victim_policy_ab_grover_profile():
+    """Planner A/B (VERDICT r3 #4): the remaining-use ("cold") victim
+    choice must beat the naive first-free-slot baseline on gswap count
+    for grover-profile circuits — the corrected version of the
+    reference's usage histogram (quantum_simulator_preproces_permute.cu:
+    388-413, defect #5) actually pays off."""
+    from gpu_quantum_simulator_tpu.engine.simulator import _fuse_pipeline
+
+    for n, d, gates, seed in [(12, 2, 2445, 0), (12, 3, 2445, 0),
+                              (16, 3, 2445, 318)]:
+        c = models.grover_like(n, num_gates=gates, seed=seed)
+        ops = _fuse_pipeline(c, min(7, n - d), max_high=2)
+        cold = plan_sharded(ops, n, d, max_local_high=2)
+        first = plan_sharded(ops, n, d, max_local_high=2,
+                             victim_policy="first")
+        assert cold.num_swaps < first.num_swaps
+        assert cold.ici_bytes() < first.ici_bytes()
+    with pytest.raises(ValueError):
+        plan_sharded([], 8, 2, victim_policy="hottest")
