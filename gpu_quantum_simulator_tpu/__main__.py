@@ -140,11 +140,13 @@ def main(argv=None) -> int:
     p.add_argument("--dtype", choices=["complex64", "complex128"], default="complex64")
     p.add_argument("--permute", action="store_true", help="qubit-relabeling pass")
     p.add_argument(
-        "--precision", choices=["highest", "high", "default"], default="highest",
+        "--precision", choices=["auto", "highest", "high", "default"],
+        default="auto",
         help="MXU matmul passes per f32 product: highest = 6 bf16 passes "
-        "(~1e-7/gate, the parity default), high = 3 (~1e-6/gate, ~2x faster "
+        "(~1e-7/gate, the parity rung), high = 3 (~1e-6/gate, ~2x faster "
         "mats — fine for sampling/expectation workloads), default = 1 bf16 "
-        "pass (~1e-3/gate, exploratory only)",
+        "pass (~1e-3/gate, exploratory only); auto (the default) = highest "
+        "below 24 qubits, high from there up (the measured n>=24 win)",
     )
     p.add_argument("--seed", type=int, default=0, help="measurement RNG seed")
     p.add_argument(

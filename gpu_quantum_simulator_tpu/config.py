@@ -11,6 +11,29 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional, Tuple
 
+# "auto" precision resolves to the 3-pass "high" rung from this width up:
+# sampling-class scale (the Simulator samples device-side past n=22), where
+# the measured 2x MXU-pass saving (n=29 76.7 -> 63.0 s flat, n=30 136.5 ->
+# 109.9 s in-place, bench_artifacts/precision_ab.json / inplace_knob_ab.json)
+# buys far more than the ~4e-7 circuit-level amplitude error costs — an
+# order of magnitude inside the BASELINE.md 1e-6 parity bar.  Below it,
+# exact-f32 "highest" (the reference-parity rung) stays the default.
+PRECISION_AUTO_HIGH_MIN_QUBITS = 24
+
+
+def resolve_precision(precision: str, num_qubits: int) -> str:
+    """Materialize the "auto" precision rung for a circuit width.
+
+    Every engine resolves through here before building (and before keying
+    any plan/kernel cache), so auto and the equivalent explicit setting
+    share compiled programs.
+    """
+    if precision != "auto":
+        return precision
+    return ("high" if num_qubits >= PRECISION_AUTO_HIGH_MIN_QUBITS
+            else "highest")
+
+
 STRATEGIES = (
     "auto",        # width-based dispatch over the measured single-chip ladder
                    # (prefetch <= 22, mxu 23..28, prefetch in-place >= 29;
@@ -41,10 +64,12 @@ class SimulatorConfig:
     permute: bool = False
     # max fused block width for the mxu strategy (7 -> 128x128 matrices).
     max_fused_qubits: int = 7
-    # MXU pass precision for f32 matmuls: "highest" (6 bf16 passes, default —
-    # full f32 accuracy) or "high" (3 passes, ~2x MXU throughput, ~1e-6
-    # relative error per op; fine for sampling workloads).
-    precision: str = "highest"
+    # MXU pass precision for f32 matmuls: "highest" (6 bf16 passes — full
+    # f32 accuracy), "high" (3 passes, ~2x MXU throughput, ~1e-6 relative
+    # error per circuit; fine for sampling workloads) or "auto" (default:
+    # "highest" below PRECISION_AUTO_HIGH_MIN_QUBITS qubits, "high" from
+    # there up — the measured n>=24 win, resolve_precision above).
+    precision: str = "auto"
     # scan strategy pads op tables to the next multiple of this bucket size so
     # circuits of similar depth share one compiled executable.
     scan_bucket: int = 256
@@ -87,5 +112,9 @@ class SimulatorConfig:
             raise ValueError("dtype must be complex64 or complex128")
         if not (1 <= self.max_fused_qubits <= 10):
             raise ValueError("max_fused_qubits must be in [1, 10]")
-        if self.precision not in ("highest", "high", "default"):
-            raise ValueError("precision must be highest/high/default")
+        if self.precision not in ("auto", "highest", "high", "default"):
+            raise ValueError("precision must be auto/highest/high/default")
+
+    def effective_precision(self, num_qubits: int) -> str:
+        """The concrete MXU precision rung for a circuit of this width."""
+        return resolve_precision(self.precision, num_qubits)

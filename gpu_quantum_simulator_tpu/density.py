@@ -321,7 +321,8 @@ class DensitySimulator:
             re, im = initial_state_parts(nn, dtype=real_dtype)
             ops = fuse_k(ops, max_qubits=7, max_high=2)
             re, im = build_wide_program(
-                ops, nn, real_dtype, precision=self.config.precision
+                ops, nn, real_dtype,
+                precision=self.config.effective_precision(nn)
             )(re, im)
         else:
             # Bra-side ops live entirely on high qubits, so the wide engine's
@@ -337,7 +338,8 @@ class DensitySimulator:
                 inplace = nn >= 30
             ops = fuse_k(ops, max_qubits=7)
             prog = build_prefetch_program(
-                ops, nn, real_dtype, precision=self.config.precision,
+                ops, nn, real_dtype,
+                precision=self.config.effective_precision(nn),
                 final_layout=np.arange(nn), inplace=bool(inplace))
             if inplace:
                 parts = prog.run_parts(*initial_halves(nn, real_dtype))

@@ -2781,9 +2781,12 @@ def run_prefetch(circuit, config, initial_parts=None, return_halves=False):
         reorder = True
     max_high, cap_mats, window = resolve_prefetch_knobs(
         config, n, bool(inplace))
+    from ..config import resolve_precision
+
+    precision = resolve_precision(getattr(config, "precision", "highest"), n)
 
     run_key = (
-        _circuit_fingerprint(circuit), config.precision,
+        _circuit_fingerprint(circuit), precision,
         config.max_fused_qubits, str(np.dtype(real_dtype)), bool(inplace),
         bool(reorder), max_high, cap_mats, window,
         # kernel-routing flags: programs bake their chain executables at
@@ -2807,7 +2810,7 @@ def run_prefetch(circuit, config, initial_parts=None, return_halves=False):
             max_high=max_high, window=window
         )
         prog = build_prefetch_program(
-            ops, n, real_dtype, precision=config.precision,
+            ops, n, real_dtype, precision=precision,
             cap_mats=cap_mats,
             final_layout=final_layout, inplace=bool(inplace),
             reorder=bool(reorder),

@@ -361,7 +361,8 @@ class Simulator:
                 # final_layout = identity: layout-closed, repetitions compose
                 prog = ShardedPrefetchProgram(
                     ops, n, mesh, cfg.mesh_axis_names[0],
-                    precision=cfg.precision, final_layout=np.arange(n))
+                    precision=cfg.effective_precision(n),
+                    final_layout=np.arange(n))
                 return prog, prog.num_ops
             from ..parallel.sharded import ShardedProgram
 
@@ -392,7 +393,7 @@ class Simulator:
             # layout-closed: the plan routes the state back to the identity
             # layout, so repeated applications compose in the original basis
             prog = build_prefetch_program(
-                ops, n, real_dtype, precision=cfg.precision,
+                ops, n, real_dtype, precision=cfg.effective_precision(n),
                 cap_mats=cap_mats,
                 final_layout=np.arange(n), reorder=reorder)
             return prog, prog.num_ops
@@ -404,7 +405,9 @@ class Simulator:
                  if cfg.fusion_cost_model is not None else True)
         ops = _fuse_pipeline(circuit, min(cfg.max_fused_qubits, n), max_high=2,
                              window=window, cost_model=costm)
-        return build_wide_program(ops, n, real_dtype, precision=cfg.precision), len(ops)
+        return build_wide_program(
+            ops, n, real_dtype,
+            precision=cfg.effective_precision(n)), len(ops)
 
     def run_many(self, circuits, terms=None, throttle: int = 8):
         """Pipelined batch execution: dispatch EVERY circuit before fetching
@@ -585,14 +588,15 @@ class Simulator:
                 # same repeated-execution economics the prefetch engine's
                 # _RUN_CACHE established.
                 key = (_circuit_fingerprint(circuit), n, cfg.dtype,
-                       cfg.precision, k, window, costm,
+                       cfg.effective_precision(n), k, window, costm,
                        jax.default_backend())
                 cached = _MXU_PLAN_CACHE.get(key)
                 if cached is None:
                     ops = _fuse_pipeline(circuit, k, max_high=2,
                                          window=window, cost_model=costm)
                     prog = build_wide_program(
-                        ops, n, real_dtype, precision=cfg.precision)
+                        ops, n, real_dtype,
+                        precision=cfg.effective_precision(n))
                     if len(_MXU_PLAN_CACHE) >= _MXU_PLAN_CACHE_LIMIT:
                         _MXU_PLAN_CACHE.pop(next(iter(_MXU_PLAN_CACHE)))
                     _MXU_PLAN_CACHE[key] = (ops, prog)

@@ -65,15 +65,28 @@ def get_kh0_kernel(R: int, nmats: int, real_dtype, precision: str,
     fn = _KH0_CACHE.get(key)
     if fn is not None:
         return fn
-    prec = {
-        "highest": jax.lax.Precision.HIGHEST,
-        "high": jax.lax.Precision.HIGH,
-        "default": jax.lax.Precision.DEFAULT,
-    }[precision]
+    if precision == "high":
+        # Mosaic lowers only DEFAULT and HIGHEST dots ("Unsupported dot
+        # precision: HIGH"); emulate XLA's 3-pass bf16 decomposition by
+        # hand, exactly like engine.prefetch._make_dot — each pass is a
+        # DEFAULT dot whose operands are bf16-exact or the bf16 residual.
+        _d = lambda a, b: jnp.dot(a, b, preferred_element_type=dt,
+                                  precision=jax.lax.Precision.DEFAULT)
+
+        def _dot(x, m):
+            xh = x.astype(jnp.bfloat16).astype(dt)
+            mh = m.astype(jnp.bfloat16).astype(dt)
+            return _d(xh, mh) + _d(x - xh, mh) + _d(xh, m - mh)
+    else:
+        prec = {
+            "highest": jax.lax.Precision.HIGHEST,
+            "default": jax.lax.Precision.DEFAULT,
+        }[precision]
+        _dot = lambda x, m: jnp.dot(x, m, preferred_element_type=dt,
+                                    precision=prec)
 
     def kernel(re_ref, im_ref, m1_ref, m2_ref, m3_ref, ore_ref, oim_ref):
-        dot = lambda x, m: jnp.dot(x, m, preferred_element_type=dt,
-                                   precision=prec)
+        dot = _dot
 
         def step(j, carry):
             r, i = carry

@@ -317,8 +317,12 @@ def run_sharded_prefetch(circuit, config, initial_parts=None):
     if reorder is None:
         reorder = True
 
+    from ..config import resolve_precision
+
+    precision = resolve_precision(getattr(config, "precision", "highest"), n)
+
     run_key = (
-        "shard", _circuit_fingerprint(circuit), config.precision,
+        "shard", _circuit_fingerprint(circuit), precision,
         config.max_fused_qubits, bool(reorder), mesh, axis,
     )
     prog = _RUN_CACHE.get(run_key)
@@ -338,7 +342,7 @@ def run_sharded_prefetch(circuit, config, initial_parts=None):
 
         cap_mats = 4 if n - d >= 21 else _CAP
         prog = ShardedPrefetchProgram(
-            ops, n, mesh, axis, precision=config.precision,
+            ops, n, mesh, axis, precision=precision,
             cap_mats=cap_mats,
             final_layout=final_layout, reorder=bool(reorder))
         if len(_RUN_CACHE) >= _RUN_CACHE_LIMIT:

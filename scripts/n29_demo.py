@@ -64,6 +64,7 @@ def main():
         "n": N,
         "gates": GATES,
         "strategy": "prefetch",
+        "precision": f"auto->{sim.config.effective_precision(N)}",
         "device": "tpu-v5e-1chip",
         "state_bytes": 2 * (1 << N) * 4,
         "cold_seconds": round(cold, 2),

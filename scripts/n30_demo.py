@@ -63,6 +63,7 @@ def main():
     print(f"n=30 warm runs: {['%.2f' % t for t in ts]}", flush=True)
     out30 = {
         "n": 30, "gates": 2445, "strategy": "prefetch-inplace",
+        "precision": f"auto->{sim30.config.effective_precision(n)}",
         "device": "tpu-v5e-1chip", "state_bytes": 2 * (1 << 30) * 4,
         "cold_seconds": round(cold30, 2),
         "warm_seconds_median": round(float(np.median(ts)), 3),
