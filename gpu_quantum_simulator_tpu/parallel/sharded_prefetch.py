@@ -260,8 +260,19 @@ class ShardedPrefetchProgram:
     def __call__(self, re, im):
         re = jax.device_put(re, self.sharding)
         im = jax.device_put(im, self.sharding)
-        for chain, scal, a_tab, b_tab in self._chain_parts:
+        # Throttle the async chunk queue.  Unthrottled dispatch deadlocks
+        # the in-process CPU backend on deep circuits: each queued chunk's
+        # per-device execution parks a client thread-pool thread inside a
+        # collective rendezvous, and once the pool is full of waiters from
+        # DIFFERENT chunks no device can start the one chunk they are all
+        # waiting on (observed at n=16 / >=1500 gates on an 8-device
+        # virtual mesh).  A periodic barrier also unpins queued table
+        # buffers (the prefetch engine throttles for the same reason).
+        throttle = 2 if jax.default_backend() == "cpu" else 8
+        for i, (chain, scal, a_tab, b_tab) in enumerate(self._chain_parts):
             re, im = chain(re, im, scal, a_tab, b_tab, self._ptab)
+            if (i + 1) % throttle == 0:
+                jax.block_until_ready((re, im))
         return re, im
 
     def lowered_mlir_sizes(self):

@@ -25,40 +25,56 @@ ART = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
 CSV = os.path.join(ART, "OverallTest_v5e.csv")
 JSONL = os.path.join(ART, "sweep_v5e.jsonl")
 
-# why each ladder stops where it does (committed evidence vs silent gaps)
+# why each ladder stops where it does (committed evidence vs silent gaps).
+# "max_n" is the FULL-pipeline (tester.bash protocol incl. D2H) ceiling —
+# for n >= 23 those rows measure the dev tunnel's 15-22 MB/s D2H, not the
+# chip.  "exec_max_n" is the exec-only column (state device-resident, one-
+# scalar completion fetch), which lets the dispatch-bound ablations reach
+# the reference's own n=22 grid (tester.bash:8-48) honestly.
 CEILINGS = {
     "reference": {"max_n": 18, "reason": "CPU float64 oracle; ~minutes/run "
                   "beyond n=18 adds no information (ref CPU row: 899 s)"},
-    "naive": {"max_n": 10, "reason": "one ~30 ms tunnel dispatch per gate x "
-              "2445 gates = ~75 s/run regardless of n; the strategy is "
-              "dispatch-bound by design (reference launch-per-gate analog)"},
-    "fused2x2": {"max_n": 12, "reason": "per-flush dispatch-bound like naive "
-                 "(~700 flushes); state size is irrelevant below n~26"},
-    "fused3in1": {"max_n": 10, "reason": "dispatch-bound (3-in-1 grouped "
-                  "flushes)"},
-    "fused4x4": {"max_n": 12, "reason": "dispatch-bound (~600 4x4 blocks)"},
-    "scan": {"max_n": 16, "reason": "documented negative result (dynamic "
-             "per-amplitude gathers, ~100x slower); larger n adds minutes "
-             "per run without changing the conclusion"},
-    "megakernel": {"max_n": 16, "reason": "whole-circuit unrolled jit: "
-                   "remote compile time grows with n (minutes at 16); "
-                   "superseded by mxu/prefetch beyond"},
-    "vmem": {"max_n": 18, "reason": "state must fit VMEM: hard cap n<=19 "
-             "minus double-buffering margin (engine/vmem.py)"},
-    "mxu": {"max_n": 24, "reason": "per-segment temporaries cap the wide "
-            "engine at n=28; n>24 rows cost ~minutes of D2H each over the "
-            "dev tunnel — see prefetch for the large-n ladder"},
-    "prefetch": {"max_n": 26, "reason": "ladder recorded to n=26: each "
-                 "n>=27 row costs minutes of full-state D2H per run under "
-                 "the tester protocol (0.16-1 GB/s tunnel); capability "
-                 "extends to n=29 flat (n29_demo.json, 76.7 s warm) and "
-                 "n=30 via the in-place halves engine (n30_demo.json)"},
-    "pallas": {"max_n": 14, "reason": "hand-written Karatsuba kernels kept "
-               "as an ablation; mxu supersedes it at every n (ladder "
-               "recorded to 14 where the curves are already separated)"},
+    "naive": {"max_n": 10, "exec_max_n": 22, "reason": "full rows stop at "
+              "10 (launch-per-gate + D2H is all overhead); exec column "
+              "covers the reference grid — ~1.9 s/run at n=10 (2445 "
+              "pipelined dispatches), chip time grows past n~20"},
+    "fused2x2": {"max_n": 12, "exec_max_n": 22, "reason": "per-flush "
+                 "dispatch-bound (~700 flushes); exec column reaches the "
+                 "reference grid"},
+    "fused3in1": {"max_n": 10, "exec_max_n": 22, "reason": "dispatch-bound "
+                  "(3-in-1 grouped flushes); exec column reaches the "
+                  "reference grid"},
+    "fused4x4": {"max_n": 12, "exec_max_n": 22, "reason": "dispatch-bound "
+                 "(~600 4x4 blocks); exec column reaches the reference "
+                 "grid"},
+    "scan": {"max_n": 16, "exec_max_n": 18, "reason": "documented negative "
+             "result (dynamic per-amplitude gathers, ~100x slower): 0.64 "
+             "s/run at n=14 scales ~2^n to minutes/run by 22; rungs past "
+             "18 burn tens of minutes without changing the conclusion"},
+    "megakernel": {"max_n": 16, "exec_max_n": 18, "reason": "whole-circuit "
+                   "unrolled jit: remote compile time grows with n "
+                   "(minutes at 16, and the MLIR payload approaches the "
+                   "remote compiler's ~100 MB cap); superseded by "
+                   "mxu/prefetch beyond"},
+    "vmem": {"max_n": 18, "exec_max_n": 18, "reason": "state must fit "
+             "VMEM: hard cap n<=19 minus double-buffering margin "
+             "(engine/vmem.py)"},
+    "mxu": {"max_n": 24, "exec_max_n": 24, "reason": "per-segment "
+            "temporaries cap the wide engine at n=28; full rows past 24 "
+            "cost ~minutes of D2H each over the dev tunnel — see prefetch "
+            "for the large-n ladder"},
+    "prefetch": {"max_n": 26, "exec_max_n": 26, "reason": "ladder recorded "
+                 "to n=26; capability extends to n=29 flat "
+                 "(n29_demo.json) and n=30 via the in-place halves engine "
+                 "(n30_demo.json)"},
+    "pallas": {"max_n": 14, "exec_max_n": 14, "reason": "hand-written "
+               "Karatsuba kernels kept as an ablation; mxu supersedes it "
+               "at every n (ladder recorded to 14 where the curves are "
+               "already separated)"},
     "sharded": {"max_n": None, "reason": "one physical chip in this "
                 "environment; virtual-mesh correctness in "
-                "tests/test_sharded_prefetch.py, n=31 plan smoke included"},
+                "tests/test_sharded_prefetch.py, n=31 plan smoke included; "
+                "big-n virtual-mesh runs in sharded_bign_cpu.json"},
 }
 
 STAGES = {
@@ -86,7 +102,35 @@ STAGES = {
     "stage26": [
         ("prefetch", 26, 26),
     ],
+    # refresh the headline full rows under the round-4 auto-precision
+    # default (VERDICT r3 #2: re-run the n=24 row with the code as
+    # committed)
+    "stage24": [
+        ("mxu", 24, 24),
+        ("prefetch", 24, 24),
+    ],
+    # exec-only column (VERDICT r3 #5): the dispatch-bound ablations reach
+    # the reference's full n=5..22 grid once the tunnel D2H is out of the
+    # timed region
+    "exec1": [
+        ("naive", 5, 22),
+        ("fused2x2", 5, 22),
+        ("fused3in1", 5, 22),
+        ("fused4x4", 5, 22),
+    ],
+    "exec2": [
+        ("scan", 5, 18),
+        ("megakernel", 5, 18),
+        ("vmem", 16, 18),
+        ("pallas", 5, 14),
+    ],
+    "exec3": [
+        ("mxu", 5, 24),
+        ("prefetch", 5, 26),
+    ],
 }
+
+EXEC_STAGES = {"exec1", "exec2", "exec3"}
 
 
 ORDER = ["reference", "naive", "fused2x2", "fused3in1", "fused4x4", "scan",
@@ -99,11 +143,11 @@ def consolidate():
     round-3 perm-shuffle kernels) supersede earlier sections.  The JSONL is
     the append-only full history."""
     import re
-    latest = {}  # (strategy, n) -> [seconds lines]
+    latest = {}  # (section, n) -> [seconds lines]; section may be "s (exec)"
     cur = n = None
     for line in open(CSV):
         line = line.strip()
-        m = re.match(r"^([a-z0-9_]+):$", line)
+        m = re.match(r"^([a-z0-9_]+(?: \(exec\))?):$", line)
         if m:
             cur, n = m.group(1), None
             continue
@@ -114,18 +158,22 @@ def consolidate():
             continue
         if line:
             latest[(cur, n)].append(line)
+
+    def order_key(section):
+        base = section.replace(" (exec)", "")
+        rank = ORDER.index(base) if base in ORDER else len(ORDER)
+        return (section.endswith("(exec)"), rank, base)  # full cols first
+
     with open(CSV, "w") as f:
-        for s in ORDER + sorted({k[0] for k in latest} - set(ORDER)):
+        for s in sorted({k[0] for k in latest}, key=order_key):
             ns = sorted(n for (s2, n) in latest if s2 == s)
-            if not ns:
-                continue
             f.write(f"{s}:\n")
             for n in ns:
                 f.write(f"Num QBit {n}:\n")
                 for v in latest[(s, n)]:
                     f.write(v + "\n")
     print(f"consolidated {CSV}: "
-          f"{len({k[0] for k in latest})} strategies", flush=True)
+          f"{len({k[0] for k in latest})} sections", flush=True)
 
 
 def main():
@@ -135,10 +183,11 @@ def main():
         return
     with open(os.path.join(ART, "sweep_ceilings.json"), "w") as f:
         json.dump(CEILINGS, f, indent=1)
+    timing = ["exec"] if stage in EXEC_STAGES else ["full"]
     for strategy, lo, hi in STAGES[stage]:
         try:
             run_sweep([strategy], lo, hi, runs=5,
-                      csv_path=CSV, jsonl_path=JSONL)
+                      csv_path=CSV, jsonl_path=JSONL, timing=timing)
         except Exception as e:  # capture per-strategy failures, keep going
             print(f"FAILED {strategy} [{lo},{hi}]: {e!r}", file=sys.stderr,
                   flush=True)
