@@ -164,6 +164,9 @@ def consolidate():
         rank = ORDER.index(base) if base in ORDER else len(ORDER)
         return (section.endswith("(exec)"), rank, base)  # full cols first
 
+    # a deadline-killed ladder can leave a "Num QBit k:" header with no
+    # timed rows — drop those so the artifact has no empty groups
+    latest = {k: v for k, v in latest.items() if v}
     with open(CSV, "w") as f:
         for s in sorted({k[0] for k in latest}, key=order_key):
             ns = sorted(n for (s2, n) in latest if s2 == s)
