@@ -58,6 +58,22 @@ def main() -> None:
     norm = float(np.abs(np.vdot(res.state, res.state)))
     assert abs(norm - 1.0) < 1e-3, f"norm drift {norm}"
 
+    # exec-only secondary metric (round-4 verdict #8): state stays device-
+    # resident, completion forced by a one-scalar fetch — separates chip
+    # time from the tunnel's dispatch/D2H noise so chip-side regressions
+    # are visible across rounds even when the full-pipeline median is
+    # 30%-noise-bound.
+    re_d, im_d, _ = sim.run_device(circuit)
+    np.asarray(re_d[:1])  # warm-up + completion barrier
+    exec_times = []
+    for _ in range(RUNS):
+        t0 = time.perf_counter()
+        re_d, im_d, _ = sim.run_device(circuit)
+        np.asarray(re_d[:1])
+        np.asarray(im_d[:1])
+        exec_times.append(time.perf_counter() - t0)
+    del re_d, im_d
+
     # min + spread alongside the median: the axon tunnel adds random
     # hundreds-of-ms stalls, so a single sample cannot distinguish noise
     # from regression (round-3 "regressed" 6% on median alone).  min is
@@ -73,6 +89,9 @@ def main() -> None:
                 "max": round(max(times), 4),
                 "spread": round(max(times) - min(times), 4),
                 "runs": RUNS,
+                "exec_value": round(statistics.median(exec_times), 4),
+                "exec_min": round(min(exec_times), 4),
+                "exec_spread": round(max(exec_times) - min(exec_times), 4),
             }
         )
     )

@@ -127,6 +127,8 @@ def estimate_plan(plan, n: int, inplace: bool = False, stream: bool = False,
 # a projection constant until a pod is available to measure).
 ICI_GBS = 45.0
 GSWAP_LAT_US = 25.0  # ppermute launch + barrier slack per exchange
+HBM_EFF_GBS = 233.0  # measured XLA elementwise-pass ceiling on this part
+                     # (scripts/dma_probe.py, bench_artifacts/dma_probe_n24.json)
 
 
 def estimate_plan_sharded(plan, n: int, d: int):
@@ -137,3 +139,74 @@ def estimate_plan_sharded(plan, n: int, d: int):
     gswap_us = (1 << nl) * 4 / (ICI_GBS * 1e9) * 1e6 + GSWAP_LAT_US
     acc["gswap"] = plan.num_gswaps * gswap_us * US
     return secs + acc["gswap"], acc
+
+
+def estimate_shard_plan(plan, n: int):
+    """(seconds, breakdown) for a dense-engine ``ShardPlan``
+    (passes/shard.py over parallel/sharded.py).
+
+    Every plan item is one per-device pass over the 2^(n-d) local block
+    (read + write at the measured HBM ceiling); a ``SwapItem`` additionally
+    ships exactly half the block across ICI — the term is
+    ``plan.ici_bytes_per_device() / ICI_GBS`` spread over its swaps, plus a
+    per-exchange latency.  All 2^d devices run in parallel, so per-device
+    seconds ARE plan seconds (the reference has no analog: its one GPU
+    permutes labels instead, quantum_simulator_preproces_permute.cu:388-413).
+    """
+    from ..passes.shard import LocalSwapItem, SwapItem
+
+    nl = n - plan.num_global
+    blk_bytes = 2 * (1 << nl) * 4           # split re/im float32 block
+    pass_s = 2 * blk_bytes / (HBM_EFF_GBS * 1e9)   # read + write
+    swap_ici_s = ((1 << (nl - 1)) * 2 * 4 / (ICI_GBS * 1e9)
+                  + GSWAP_LAT_US * US)
+    acc = {"ops": 0.0, "local_swaps": 0.0, "gswap_ici": 0.0,
+           "gswap_hbm": 0.0}
+    for it in plan.items:
+        if isinstance(it, SwapItem):
+            acc["gswap_ici"] += swap_ici_s
+            acc["gswap_hbm"] += pass_s      # select + reassemble the halves
+        elif isinstance(it, LocalSwapItem):
+            acc["local_swaps"] += pass_s
+        else:
+            acc["ops"] += pass_s
+    return sum(acc.values()), acc
+
+
+def choose_num_global(ops, n: int, num_devices: int, segmented: bool = False,
+                      victim_policy: str = "cold", max_local_high=None):
+    """Pick the mesh split d (the number of device-id qubits) by MODELED
+    seconds instead of swap counts.
+
+    Plans each candidate d in 1..log2(num_devices) with the matching
+    planner (dense ShardPlan, or the segmented prefetch planner at
+    ``num_global=d``) and returns ``(best_d, {d: modeled_seconds})``.
+    Larger d shrinks every local pass 2x but adds gswap exchanges; the
+    model prices both, so the split follows the circuit, not the device
+    count.  Infeasible candidates (an op wider than the local region) are
+    skipped.
+    """
+    import math
+
+    from ..passes.shard import plan_sharded
+
+    max_d = int(math.log2(num_devices))
+    scores = {}
+    for d in range(1, max_d + 1):
+        try:
+            if segmented:
+                from . import prefetch as P
+
+                plan = P.plan_prefetch(ops, n, num_global=d)
+                secs, _ = estimate_plan_sharded(plan, n, d)
+            else:
+                plan = plan_sharded(ops, n, d, victim_policy=victim_policy,
+                                    max_local_high=max_local_high)
+                secs, _ = estimate_shard_plan(plan, n)
+        except ValueError:
+            continue
+        scores[d] = secs
+    if not scores:
+        raise ValueError(f"no feasible mesh split for n={n} over "
+                         f"{num_devices} devices")
+    return min(scores, key=scores.get), scores

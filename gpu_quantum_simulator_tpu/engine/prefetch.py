@@ -955,21 +955,66 @@ TSWAP_ROLL_MIN_K = 4   # tswap strides >= 2^(k-1) rows run as static rolls
 _SPLIT_HALVES_NATIVE = True
 
 
+def _mat_kernel() -> str:
+    """Complex mat-step form inside the block kernels (chip A/B:
+    kernel_micro_n24*.json ``matform`` rows).
+
+    - ``karatsuba``  — 3 dependent dots + VPU operand combines (the
+      round-2 default; fewest MXU MACs but a serial dot→add→dot chain)
+    - ``schoolbook`` — 4 independent dots + 2 output adds (4/3 the MACs,
+      no inter-dot dependencies, no operand combines)
+    - ``block``      — ONE (T, 512) x (512, 512) dot against the real
+      2x2 embedding [[a, b], [-b, a]] assembled in VMEM per step (same
+      MACs as schoolbook collapsed into a single deep MXU contraction;
+      the concat/slice are lane-aligned vreg moves)
+    """
+    return os.environ.get("QSIM_MAT_KERNEL", "karatsuba")
+
+
+def _make_mat_step(form, ddot, a_ref, b_ref, scal_ref, cap_steps):
+    """mat step on a (T, 256) component pair, selected by ``form``.
+
+    All three compute out_re = s_re @ a - s_im @ b,
+    out_im = s_re @ b + s_im @ a for a = M_re^T, b = M_im^T
+    (reference convention: rows @ M^T, quantum_simulator_4x4.cu:124-134).
+    """
+    def idx(j):
+        return scal_ref[4 + cap_steps + j]
+
+    if form == "schoolbook":
+        def mat_step(j, sre, sim):
+            a = a_ref[idx(j)]
+            b = b_ref[idx(j)]
+            return (ddot(sre, a) - ddot(sim, b),
+                    ddot(sre, b) + ddot(sim, a))
+    elif form == "block":
+        def mat_step(j, sre, sim):
+            a = a_ref[idx(j)]
+            b = b_ref[idx(j)]
+            m = jnp.concatenate(
+                [jnp.concatenate([a, b], axis=1),
+                 jnp.concatenate([-b, a], axis=1)], axis=0)
+            o = ddot(jnp.concatenate([sre, sim], axis=1), m)
+            return o[:, :DVIEW], o[:, DVIEW:]
+    else:  # karatsuba
+        def mat_step(j, sre, sim):
+            a = a_ref[idx(j)]
+            b = b_ref[idx(j)]
+            t1 = ddot(sre + sim, a)
+            t2 = ddot(sre, b - a)
+            t3 = ddot(sim, a + b)
+            return t1 - t3, t1 + t2
+    return mat_step
+
+
 def _steps_loop(scal_ref, a_ref, b_ref, p_ref, sre, sim,
                 cap_steps: int, T: int, dt, prec):
     """Shared step interpreter: run the block's step list on one tile."""
     logt = int(np.log2(T))
     ddot = _make_dot(prec, dt)
     pdot = _make_pdot(prec, dt)
-
-    def mat_step(j, sre, sim):
-        a = a_ref[scal_ref[4 + cap_steps + j]]  # M_re^T
-        b = b_ref[scal_ref[4 + cap_steps + j]]  # M_im^T
-        dot = ddot
-        t1 = dot(sre + sim, a)
-        t2 = dot(sre, b - a)
-        t3 = dot(sim, a + b)
-        return t1 - t3, t1 + t2
+    mat_step = _make_mat_step(_mat_kernel(), ddot, a_ref, b_ref,
+                              scal_ref, cap_steps)
 
     def make_tswap(k):
         # exchange column bit 7 (qubit 7) with tile-row bit k-1 (qubit 7+k)
@@ -1069,16 +1114,39 @@ def _steps_loop_halves(scal_ref, a_ref, b_ref, p_ref, r0, r1, i0, i1,
     bdot = partial(_bdot, _ddot)        # dense matrices
     bpdot = partial(_bdot, _pdot)       # bf16-exact 0/1 tables
 
-    def mat_step(j, r0, r1, i0, i1):
-        a = a_ref[scal_ref[4 + cap_steps + j]]  # M_re^T
-        b = b_ref[scal_ref[4 + cap_steps + j]]  # M_im^T
-        ba = b - a
-        ab = a + b
-        t1 = bdot(r0 + i0, r1 + i1, a)
-        t2 = bdot(r0, r1, ba)
-        t3 = bdot(i0, i1, ab)
-        return (t1[0] - t3[0], t1[1] - t3[1],
-                t1[0] + t2[0], t1[1] + t2[1])
+    _matform = _mat_kernel()
+
+    if _matform == "schoolbook":
+        def mat_step(j, r0, r1, i0, i1):
+            a = a_ref[scal_ref[4 + cap_steps + j]]  # M_re^T
+            b = b_ref[scal_ref[4 + cap_steps + j]]  # M_im^T
+            ta = bdot(r0, r1, a)
+            tb = bdot(i0, i1, b)
+            tc = bdot(r0, r1, b)
+            td = bdot(i0, i1, a)
+            return (ta[0] - tb[0], ta[1] - tb[1],
+                    tc[0] + td[0], tc[1] + td[1])
+    elif _matform == "block":
+        def mat_step(j, r0, r1, i0, i1):
+            a = a_ref[scal_ref[4 + cap_steps + j]]  # M_re^T
+            b = b_ref[scal_ref[4 + cap_steps + j]]  # M_im^T
+            m = jnp.concatenate(
+                [jnp.concatenate([a, b], axis=1),
+                 jnp.concatenate([-b, a], axis=1)], axis=0)
+            o = _ddot(jnp.concatenate([r0, r1, i0, i1], axis=1), m)
+            return (o[:, :LANES], o[:, LANES:DVIEW],
+                    o[:, DVIEW:DVIEW + LANES], o[:, DVIEW + LANES:])
+    else:  # karatsuba
+        def mat_step(j, r0, r1, i0, i1):
+            a = a_ref[scal_ref[4 + cap_steps + j]]  # M_re^T
+            b = b_ref[scal_ref[4 + cap_steps + j]]  # M_im^T
+            ba = b - a
+            ab = a + b
+            t1 = bdot(r0 + i0, r1 + i1, a)
+            t2 = bdot(r0, r1, ba)
+            t3 = bdot(i0, i1, ab)
+            return (t1[0] - t3[0], t1[1] - t3[1],
+                    t1[0] + t2[0], t1[1] + t2[1])
 
     def make_tswap(k):
         # exchange column bit 7 (the half split) with tile-row bit k-1:
@@ -1147,7 +1215,8 @@ def get_block_kernel(n: int, real_dtype, precision: str, interpret: bool,
     fixed ~10.4 us/grid-step empty-pass overhead (kernel_micro_n24.json).
     """
     dt = np.dtype(real_dtype)
-    key = (n, cap_steps, cap_mats, dt.str, precision, interpret, _stream_on())
+    key = (n, cap_steps, cap_mats, dt.str, precision, interpret, _stream_on(),
+           _mat_kernel())
     fn = _KERNEL_CACHE.get(key)
     if fn is not None:
         return fn
@@ -1301,7 +1370,8 @@ def get_stream_block_kernel(n: int, real_dtype, precision: str,
     boundary disappear; src_of matches get_relayout_kernel exactly).
     """
     dt = np.dtype(real_dtype)
-    key = ("stream", n, cap_steps, cap_mats, dt.str, precision, interpret)
+    key = ("stream", n, cap_steps, cap_mats, dt.str, precision, interpret,
+           _mat_kernel())
     fn = _KERNEL_CACHE.get(key)
     if fn is not None:
         return fn
@@ -1745,7 +1815,7 @@ def get_split_kernels(n: int, real_dtype, precision: str, interpret: bool,
     """
     dt = np.dtype(real_dtype)
     key = ("split", n, cap_steps, cap_mats, dt.str, precision, interpret,
-           _STREAM_PLAIN)
+           _STREAM_PLAIN, _mat_kernel())
     fn = _KERNEL_CACHE.get(key)
     if fn is not None:
         return fn
@@ -1879,7 +1949,7 @@ def get_stream_split_kernel(n: int, real_dtype, precision: str,
     """
     dt = np.dtype(real_dtype)
     key = ("stream-split", n, cap_steps, cap_mats, dt.str, precision,
-           interpret)
+           interpret, _mat_kernel())
     fn = _KERNEL_CACHE.get(key)
     if fn is not None:
         return fn
@@ -2067,7 +2137,7 @@ def get_block_chain_split(n: int, real_dtype, precision: str, interpret: bool,
     state's own buffers."""
     dt = np.dtype(real_dtype)
     key = ("split", n, cap_steps, cap_mats, dt.str, precision, interpret,
-           num_blocks, _STREAM_PLAIN)
+           num_blocks, _STREAM_PLAIN, _mat_kernel())
     fn = _CHAIN_CACHE.get(key)
     if fn is not None:
         return fn
@@ -2119,7 +2189,7 @@ def get_block_chain(n: int, real_dtype, precision: str, interpret: bool,
     """
     dt = np.dtype(real_dtype)
     key = (n, cap_steps, cap_mats, dt.str, precision, interpret, num_blocks,
-           _stream_on())
+           _stream_on(), _mat_kernel())
     fn = _CHAIN_CACHE.get(key)
     if fn is not None:
         return fn
@@ -2619,6 +2689,10 @@ def build_prefetch_program(
     h = hashlib.sha256(
         f"p|{num_qubits}|{np.dtype(real_dtype)}|{precision}|{cap_steps}|{cap_mats}"
         f"|{inplace}|{reorder}"
+        # kernel-routing knobs: programs bake chain executables at build
+        # time, so an in-process A/B flipping these must rebuild
+        f"|{_stream_on()}|{_STREAM_RELAYOUT}|{_mat_kernel()}"
+        f"|{resolve_mono_as_mat(num_qubits, inplace)}|{PERM_AS_MAT}"
         f"|{None if final_layout is None else list(final_layout)}".encode()
     )
     for op in ops:
@@ -2792,7 +2866,7 @@ def run_prefetch(circuit, config, initial_parts=None, return_halves=False):
         # kernel-routing flags: programs bake their chain executables at
         # build time, so an in-process A/B toggling these must not reuse
         # the other arm's program
-        _STREAM_PLAIN, _STREAM_RELAYOUT,
+        _STREAM_PLAIN, _STREAM_RELAYOUT, _mat_kernel(),
         resolve_mono_as_mat(n, bool(inplace)), PERM_AS_MAT,
     )
     cached = _RUN_CACHE.get(run_key)

@@ -127,10 +127,11 @@ def test_recompile_free_across_circuits():
     chains_after_first = set(PF._CHAIN_CACHE)
     got2 = _run_prefetch(c2)
     # no new kernel compiles for the second circuit; chains may add only
-    # power-of-2 sizes not seen yet
+    # power-of-2 sizes not seen yet (num_blocks sits 3rd-from-last in the
+    # chain key, ahead of the stream/mat-kernel routing flags)
     assert dict(PF._KERNEL_CACHE) == kernels_after_first
     new_chains = set(PF._CHAIN_CACHE) - chains_after_first
-    assert all(isinstance(k[-1], int) for k in new_chains)
+    assert all(isinstance(k[-3], int) for k in new_chains)
     assert np.max(np.abs(got1 - simulate_reference(c1))) < TOL
     assert np.max(np.abs(got2 - simulate_reference(c2))) < TOL
 
@@ -898,3 +899,26 @@ def test_precision_high_inplace_halves():
     out = sim.run(c)
     err = float(np.max(np.abs(np.asarray(out) - np.asarray(ref))))
     assert err < TOL, err
+
+
+@pytest.mark.parametrize("form", ["schoolbook", "block"])
+@pytest.mark.parametrize("inplace", [False, True])
+def test_mat_kernel_forms_parity(form, inplace, monkeypatch):
+    """The alternative complex mat-step forms (QSIM_MAT_KERNEL) are exact
+    rewrites of the Karatsuba default: schoolbook = 4 independent dots,
+    block = one (T, 512) x (512, 512) dot against the [[a, b], [-b, a]]
+    real embedding.  Both step interpreters (flat + split halves) must
+    match the f64 reference through every step kind they compose with."""
+    monkeypatch.setenv("QSIM_MAT_KERNEL", form)
+    PF._KERNEL_CACHE.clear()
+    PF._CHAIN_CACHE.clear()
+    try:
+        n = 11
+        c = models.grover_like(n, num_gates=300, seed=21)
+        got = Simulator(SimulatorConfig(
+            strategy="prefetch", prefetch_inplace=inplace)).run(c)
+        want = simulate_reference(c)
+        assert np.max(np.abs(got - want)) < TOL
+    finally:
+        PF._KERNEL_CACHE.clear()
+        PF._CHAIN_CACHE.clear()

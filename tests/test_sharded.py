@@ -294,3 +294,60 @@ def test_victim_policy_ab_grover_profile():
         assert cold.ici_bytes() < first.ici_bytes()
     with pytest.raises(ValueError):
         plan_sharded([], 8, 2, victim_policy="hottest")
+
+def test_victim_policy_ab_modeled_seconds():
+    """The ICI-aware cost model (engine/plancost.estimate_shard_plan) must
+    rank the measured-better plan first: "cold" beats "first" on MODELED
+    SECONDS, not just swap counts — the model consumes ici_bytes_per_device
+    (ICI term) plus per-item HBM passes, so fewer half-block exchanges on
+    the same op stream must yield a strictly smaller estimate."""
+    from gpu_quantum_simulator_tpu.engine.plancost import estimate_shard_plan
+    from gpu_quantum_simulator_tpu.engine.simulator import _fuse_pipeline
+
+    for n, d, gates, seed in [(12, 2, 2445, 0), (16, 3, 2445, 318)]:
+        c = models.grover_like(n, num_gates=gates, seed=seed)
+        ops = _fuse_pipeline(c, min(7, n - d), max_high=2)
+        cold = plan_sharded(ops, n, d, max_local_high=2)
+        first = plan_sharded(ops, n, d, max_local_high=2,
+                             victim_policy="first")
+        s_cold, acc_cold = estimate_shard_plan(cold, n)
+        s_first, _ = estimate_shard_plan(first, n)
+        assert s_cold < s_first
+        # the ICI term is exactly ici_bytes_per_device / ICI bandwidth
+        # plus the per-exchange latency
+        from gpu_quantum_simulator_tpu.engine import plancost as PC
+        want_ici = (cold.ici_bytes_per_device() / (PC.ICI_GBS * 1e9)
+                    + cold.num_swaps * PC.GSWAP_LAT_US * PC.US)
+        assert abs(acc_cold["gswap_ici"] - want_ici) < 1e-12
+
+
+def test_choose_num_global_models_tradeoff():
+    """choose_num_global picks the mesh split by modeled seconds.  A
+    local-heavy circuit (every gate on low qubits) must prefer the widest
+    split (halving every pass, no extra swaps); a global-thrashing circuit
+    alternating across the top qubits must NOT pick the widest split —
+    the gswap term the reference could never express (it had one GPU)
+    outweighs the local saving."""
+    from gpu_quantum_simulator_tpu.engine.plancost import choose_num_global
+    from gpu_quantum_simulator_tpu.ir.oplist import Op
+
+    n = 12
+    h = np.sqrt(0.5) * np.array([[1, 1], [1, -1]], dtype=np.complex64)
+    local_ops = [Op("u", (q % 4,), h) for q in range(64)]
+    best_local, scores_local = choose_num_global(local_ops, n, 8)
+    assert best_local == 3, scores_local
+    assert set(scores_local) == {1, 2, 3}
+
+    # alternate single-qubit gates across ALL of the top qubits: at d=3
+    # every gate forces a fresh half-block exchange
+    churn = [Op("u", (n - 1 - (k % 5),), h) for k in range(64)]
+    best_churn, scores_churn = choose_num_global(churn, n, 8)
+    assert scores_churn[best_churn] <= min(scores_churn.values())
+    assert best_churn < 3, scores_churn
+
+    # segmented variant runs the prefetch planner at num_global=d
+    deep = models.grover_like(16, num_gates=600, seed=7)
+    from gpu_quantum_simulator_tpu.engine.simulator import _fuse_pipeline
+    ops16 = _fuse_pipeline(deep, 7, max_high=2)
+    best_seg, scores_seg = choose_num_global(ops16, 16, 8, segmented=True)
+    assert best_seg in scores_seg and len(scores_seg) >= 2
