@@ -915,17 +915,23 @@ def _make_dot(prec, dt):
 
     ``"high"`` is XLA's 3-pass bf16 decomposition (hi*hi + lo*hi + hi*lo)
     written out by hand because Mosaic has no HIGH dot lowering.  Each
-    pass is a DEFAULT-precision dot whose operands are either bf16-exact
-    (the hi split) or the bf16 residual, giving ~16 mantissa bits at half
+    pass is a dot over bf16-NATIVE operands (the hi split, or the bf16
+    residual) with a float32 accumulator — feeding the MXU bf16 directly
+    instead of f32 operands it would re-convert per pass (the round-5
+    matform A/B showed the mat class scales with per-dot work, so the
+    duplicated conversions were real time).  ~16 mantissa bits at half
     the MXU work of HIGHEST (6 passes)."""
     if prec == "high":
         d = lambda a, b: jnp.dot(a, b, preferred_element_type=dt,
                                  precision=jax.lax.Precision.DEFAULT)
+        b16 = jnp.bfloat16
 
         def dot(x, m):
-            xh = x.astype(jnp.bfloat16).astype(dt)
-            mh = m.astype(jnp.bfloat16).astype(dt)
-            return d(xh, mh) + d(x - xh, mh) + d(xh, m - mh)
+            xh = x.astype(b16)
+            mh = m.astype(b16)
+            xl = (x - xh.astype(dt)).astype(b16)
+            ml = (m - mh.astype(dt)).astype(b16)
+            return d(xh, mh) + d(xl, mh) + d(xh, ml)
 
         return dot
     return lambda x, m: jnp.dot(x, m, preferred_element_type=dt,
@@ -935,14 +941,18 @@ def _make_dot(prec, dt):
 def _make_pdot(prec, dt):
     """``x @ p`` for a bf16-exact table p (the 0/1 gather patterns of
     perm/mono steps): the table residual is zero, so ``"high"`` needs
-    only 2 passes — the exact hi product plus the activation residual."""
+    only 2 passes — the exact hi product plus the activation residual,
+    both as bf16-native dots with a float32 accumulator."""
     if prec == "high":
         d = lambda a, b: jnp.dot(a, b, preferred_element_type=dt,
                                  precision=jax.lax.Precision.DEFAULT)
+        b16 = jnp.bfloat16
 
         def dot(x, p):
-            xh = x.astype(jnp.bfloat16).astype(dt)
-            return d(xh, p) + d(x - xh, p)
+            xh = x.astype(b16)
+            xl = (x - xh.astype(dt)).astype(b16)
+            ph = p.astype(b16)
+            return d(xh, ph) + d(xl, ph)
 
         return dot
     return lambda x, p: jnp.dot(x, p, preferred_element_type=dt,

@@ -74,9 +74,13 @@ def get_kh0_kernel(R: int, nmats: int, real_dtype, precision: str,
                                   precision=jax.lax.Precision.DEFAULT)
 
         def _dot(x, m):
-            xh = x.astype(jnp.bfloat16).astype(dt)
-            mh = m.astype(jnp.bfloat16).astype(dt)
-            return _d(xh, mh) + _d(x - xh, mh) + _d(xh, m - mh)
+            # bf16-NATIVE operands with f32 accumulation (round-5 matform
+            # A/B: per-pass f32->bf16 re-conversion was real time)
+            xh = x.astype(jnp.bfloat16)
+            mh = m.astype(jnp.bfloat16)
+            xl = (x - xh.astype(dt)).astype(jnp.bfloat16)
+            ml = (m - mh.astype(dt)).astype(jnp.bfloat16)
+            return _d(xh, mh) + _d(xl, mh) + _d(xh, ml)
     else:
         prec = {
             "highest": jax.lax.Precision.HIGHEST,

@@ -122,9 +122,12 @@ def main():
         with open(path, "w") as f:
             json.dump(out, f, indent=1)
 
+    only = os.environ.get("QSIM_MATFORM_ONLY", "")  # e.g. "karatsuba/high"
     cases = ([(form, "high", False) for form in FORMS]
              + [(form, "high", True) for form in FORMS]
              + [(form, "highest", False) for form in FORMS])
+    if only:
+        cases = [c for c in cases if f"{c[0]}/{c[1]}" in only.split(",")]
     for form, precision, inplace in cases:
         key = f"{form}/{precision}/{'inplace' if inplace else 'flat'}"
         out["rows"][key] = bench(form, precision, inplace)
