@@ -175,6 +175,16 @@ STAGES = {
     # the full-pipeline pallas ladder from the original stage1 never
     # produced rows (no pallas entries in the JSONL) — retriable alone
     "pallas_full": [("pallas", 5, 14)],
+    # full-row gaps vs target ceilings (stage1 was deadline-killed at
+    # fused2x2 n=11, queue7.log; everything after it never ran)
+    "fullfix": [
+        ("fused2x2", 12, 12),
+        ("fused3in1", 9, 10),
+        ("fused4x4", 11, 12),
+        ("scan", 15, 16),
+        ("megakernel", 15, 16),
+        ("vmem", 18, 18),
+    ],
 }
 
 EXEC_STAGES = {s for s in STAGES if s.startswith("exec")}
