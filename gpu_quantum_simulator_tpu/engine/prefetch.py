@@ -886,8 +886,9 @@ def plan_prefetch_best(ops, num_qubits, stream: bool = False,
     best = None
     for waves in PLAN_PORTFOLIO:
         plan = plan_prefetch(ops, num_qubits, lookahead_waves=waves, **kwargs)
-        secs, _ = plancost.estimate_plan(plan, num_qubits, inplace=inplace,
-                                         stream=stream)
+        secs, _ = plancost.estimate_plan(
+            plan, num_qubits, inplace=inplace, stream=stream,
+            fold_relayout=resolve_stream_relayout(num_qubits, inplace))
         if best is None or secs < best[0]:
             best = (secs, plan)
     return best[1]
@@ -1225,8 +1226,8 @@ def get_block_kernel(n: int, real_dtype, precision: str, interpret: bool,
     fixed ~10.4 us/grid-step empty-pass overhead (kernel_micro_n24.json).
     """
     dt = np.dtype(real_dtype)
-    key = (n, cap_steps, cap_mats, dt.str, precision, interpret, _stream_on(),
-           _mat_kernel())
+    key = (n, cap_steps, cap_mats, dt.str, precision, interpret,
+           _stream_on(n), _mat_kernel())
     fn = _KERNEL_CACHE.get(key)
     if fn is not None:
         return fn
@@ -1313,7 +1314,7 @@ def get_block_kernel(n: int, real_dtype, precision: str, interpret: bool,
         interpret=interpret,
     )
 
-    if _stream_on():
+    if _stream_on(n):
         # the streaming kernel handles ALL forms (steered input copies
         # fold the pending xswap exactly like map_half does; folded
         # relayout input copies source through the sigma)
@@ -1347,14 +1348,29 @@ _STREAM_PLAIN = bool(int(os.environ.get("QSIM_STREAM_PLAIN", "0")))
 # input copies (scal mode 5; docs/ROADMAP.md design note 1): kills both
 # the relayout's own state round-trip AND its forced block boundary, at
 # the cost of Tr-granular input DMAs (T/Tr copies per tile per component
-# instead of one).  Implies streaming-kernel routing.  Default off until
-# the DMA probe prices Tr-sized copies (hbmTr64 vs hbmTr512).
-_STREAM_RELAYOUT = bool(int(os.environ.get("QSIM_STREAM_RELAYOUT", "0")))
+# instead of one).  Implies streaming-kernel routing.  Round-3 measured
+# it a no-op under the then-default plan shapes; the round-4 knob flips
+# (mono-as-mat + window=16 + cap_mats=8 → fewer, fatter blocks) changed
+# the calculus: under shipped auto defaults the fold wins exec-to-exec
+# at n=24 (1.687 vs 1.802 s) AND n=26 (7.234 vs 7.808 s) — diag24.json
+# round 5 — so it now defaults ON for flat plans at n >= 23.  None =
+# auto; QSIM_STREAM_RELAYOUT=0/1 (or assigning a bool, as the A/B
+# scripts do) forces an arm.
+_STREAM_RELAYOUT = (None if os.environ.get("QSIM_STREAM_RELAYOUT") is None
+                    else bool(int(os.environ["QSIM_STREAM_RELAYOUT"])))
+STREAM_RELAYOUT_MIN_QUBITS = 23
 
 
-def _stream_on() -> bool:
+def resolve_stream_relayout(n: int, inplace: bool = False) -> bool:
+    """Materialize the relayout-fold default for a plan width."""
+    if _STREAM_RELAYOUT is not None:
+        return bool(_STREAM_RELAYOUT)
+    return (not inplace) and n >= STREAM_RELAYOUT_MIN_QUBITS
+
+
+def _stream_on(n: int, inplace: bool = False) -> bool:
     """Route flat blocks through the manual streaming DMA kernel."""
-    return _STREAM_PLAIN or _STREAM_RELAYOUT
+    return _STREAM_PLAIN or resolve_stream_relayout(n, inplace)
 
 
 def get_stream_block_kernel(n: int, real_dtype, precision: str,
@@ -2199,7 +2215,7 @@ def get_block_chain(n: int, real_dtype, precision: str, interpret: bool,
     """
     dt = np.dtype(real_dtype)
     key = (n, cap_steps, cap_mats, dt.str, precision, interpret, num_blocks,
-           _stream_on(), _mat_kernel())
+           _stream_on(n), _mat_kernel())
     fn = _CHAIN_CACHE.get(key)
     if fn is not None:
         return fn
@@ -2539,7 +2555,7 @@ class PrefetchProgram:
              hvec_o, phases, mono) in materialize_entries(
                 entries, cap_steps, cap_mats, dt, inplace=inplace,
                 single_class=single_class, max_chunk=max_chunk,
-                fold_relayout=(not inplace) and _STREAM_RELAYOUT,
+                fold_relayout=resolve_stream_relayout(n, inplace),
                 mono_as_mat=plan.mono_as_mat):
             off = 0
             for c in sizes:
@@ -2701,7 +2717,8 @@ def build_prefetch_program(
         f"|{inplace}|{reorder}"
         # kernel-routing knobs: programs bake chain executables at build
         # time, so an in-process A/B flipping these must rebuild
-        f"|{_stream_on()}|{_STREAM_RELAYOUT}|{_mat_kernel()}"
+        f"|{_stream_on(num_qubits, inplace)}"
+        f"|{resolve_stream_relayout(num_qubits, inplace)}|{_mat_kernel()}"
         f"|{resolve_mono_as_mat(num_qubits, inplace)}|{PERM_AS_MAT}"
         f"|{None if final_layout is None else list(final_layout)}".encode()
     )
@@ -2876,7 +2893,8 @@ def run_prefetch(circuit, config, initial_parts=None, return_halves=False):
         # kernel-routing flags: programs bake their chain executables at
         # build time, so an in-process A/B toggling these must not reuse
         # the other arm's program
-        _STREAM_PLAIN, _STREAM_RELAYOUT, _mat_kernel(),
+        _STREAM_PLAIN, resolve_stream_relayout(n, bool(inplace)),
+        _mat_kernel(),
         resolve_mono_as_mat(n, bool(inplace)), PERM_AS_MAT,
     )
     cached = _RUN_CACHE.get(run_key)
