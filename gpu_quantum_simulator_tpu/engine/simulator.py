@@ -42,10 +42,15 @@ def _auto_strategy(cfg: SimulatorConfig, n: int) -> str:
     Encodes the measured single-chip ladder (bench_artifacts/
     sweep_v5e.jsonl, docs/PERFORMANCE.md): the recompile-free prefetch
     engine is fastest through n=22 and is the only engine with an
-    in-place path at n >= 29; mxu wins the 23..28 band where prefetch's
-    cross-tile traffic overtakes it.  An explicit device mesh always
-    means the sharded engine (the reference's multi-GPU analog, spread
-    over ICI instead of NVLink).
+    in-place path at n >= 29.  In the 23..28 band the round-5 re-base
+    under shipped auto-precision defaults (bench_artifacts/diag24.json:
+    prefetch-fold exec 1.69/7.23 s vs mxu 1.81/7.93 s at n=24/26) shows
+    prefetch wins exec-to-exec, but mxu keeps the band because this
+    environment's end-to-end includes the dev-tunnel D2H, which runs 2x
+    faster on the mxu output path (full n=24: 6.1 vs 10.3 s) — on
+    PCIe-class hosts flip the band to prefetch.  An explicit device mesh
+    always means the sharded engine (the reference's multi-GPU analog,
+    spread over ICI instead of NVLink).
     """
     if cfg.mesh_shape is not None:
         return "sharded"
