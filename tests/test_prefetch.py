@@ -922,3 +922,19 @@ def test_mat_kernel_forms_parity(form, inplace, monkeypatch):
     finally:
         PF._KERNEL_CACHE.clear()
         PF._CHAIN_CACHE.clear()
+
+
+def test_resolve_stream_relayout_defaults(monkeypatch):
+    """Fold default: ON for flat plans at n >= 23 (diag24.json round 5:
+    exec 1.687 vs 1.802 s at n=24, 7.234 vs 7.808 s at n=26), OFF below
+    and for in-place plans; both env and module-var overrides win."""
+    monkeypatch.setattr(PF, "_STREAM_RELAYOUT", None)
+    assert not PF.resolve_stream_relayout(18)
+    assert not PF.resolve_stream_relayout(22)
+    assert PF.resolve_stream_relayout(23)
+    assert PF.resolve_stream_relayout(26)
+    assert not PF.resolve_stream_relayout(30, inplace=True)
+    monkeypatch.setattr(PF, "_STREAM_RELAYOUT", False)  # A/B scripts
+    assert not PF.resolve_stream_relayout(26)
+    monkeypatch.setattr(PF, "_STREAM_RELAYOUT", True)
+    assert PF.resolve_stream_relayout(12)
