@@ -170,7 +170,11 @@ STAGES = {
     "exec2a": [("scan", 5, 18)],
     "exec2b": [("megakernel", 5, 18)],
     "exec2c": [("vmem", 16, 18), ("pallas", 5, 14)],
-    "exec3a": [("mxu", 5, 24)],
+    # round-5 queue triage: naive's first exec stage spent its budget on
+    # fresh per-rung compiles and was killed at n=16 (queue8.log exec1
+    # rc=124), so the verdict-critical naive remainder runs ahead of the
+    # mxu ladder in the next slot the queue reaches
+    "exec3a": [("naive", 17, 22), ("mxu", 5, 24)],
     "exec3b": [("prefetch", 5, 26)],
     # the full-pipeline pallas ladder from the original stage1 never
     # produced rows (no pallas entries in the JSONL) — retriable alone
