@@ -245,6 +245,31 @@ def consolidate():
           f"{len({k[0] for k in latest})} sections", flush=True)
 
 
+def missing_exec_ranges(strategies=("naive", "fused2x2", "fused3in1",
+                                    "fused4x4")):
+    """Contiguous exec-column gaps vs each strategy's target grid,
+    derived from the recorded JSONL — deadline-killed ladders leave
+    arbitrary prefixes, so the resume point is computed, not hardcoded."""
+    have = {}
+    if os.path.exists(JSONL):
+        for line in open(JSONL):
+            r = json.loads(line)
+            if r.get("timing") == "exec" and "seconds" in r:
+                have.setdefault(r["strategy"], set()).add(r["num_qubits"])
+    out = []
+    for s in strategies:
+        top = TARGETS[s].get("target_exec_max_n")
+        if not top:
+            continue
+        ns = [n for n in range(5, top + 1) if n not in have.get(s, ())]
+        while ns:  # split into contiguous ranges
+            lo = hi = ns.pop(0)
+            while ns and ns[0] == hi + 1:
+                hi = ns.pop(0)
+            out.append((s, lo, hi))
+    return out
+
+
 def main():
     stage = sys.argv[1] if len(sys.argv) > 1 else "stage1"
     if stage == "consolidate":
@@ -253,6 +278,22 @@ def main():
         return
     if stage == "ceilings":
         derive_ceilings()
+        return
+    if stage in ("execfix", "exec3a"):
+        # self-healing resume of the dispatch-bound exec ladders (their
+        # fixed stages were budget-killed at arbitrary rungs), then the
+        # mxu ladder with whatever budget remains
+        todo = missing_exec_ranges() + ([("mxu", 5, 24)]
+                                        if stage == "exec3a" else [])
+        for strategy, lo, hi in todo:
+            try:
+                run_sweep([strategy], lo, hi, runs=5,
+                          csv_path=CSV, jsonl_path=JSONL, timing=["exec"])
+            except Exception as e:
+                print(f"FAILED {strategy} [{lo},{hi}]: {e!r}",
+                      file=sys.stderr, flush=True)
+        derive_ceilings()
+        print(f"DONE sweep_fill {stage}", flush=True)
         return
     timing = ["exec"] if stage in EXEC_STAGES else ["full"]
     for strategy, lo, hi in STAGES[stage]:
